@@ -1,0 +1,82 @@
+"""As-of join (SURVEY §2.3 J7) — for each left row, the most recent right
+row with ``right_ts <= left_ts`` per key. The canonical quotes↔news query
+the reference's lake is shaped for (both schemas carry symbol + event-time
+precisely to enable it; reference producer_stock_quotes.py:98-110 vs
+producer_company_news.py:152-164).
+
+Two implementations:
+
+- :func:`asof_join` — the **scale path**: union both sides, one shuffle on
+  the key, per-partition sort, then ``last(value, ignorenulls)`` over an
+  unbounded-preceding window. Cost is O((|L|+|R|) log) with exactly one
+  shuffle and no row explosion, regardless of time-range skew. This is the
+  one to run on 100 TB.
+- a range-join + row_number formulation exists in tests as a correctness
+  cross-check only; its BroadcastNestedLoopJoin physical plan explodes on
+  large inputs.
+
+Tie semantics: a right row at exactly ``left_ts`` is matched (backward
+inclusive); among right rows with identical timestamps the one latest in
+``(ts, tiebreak)`` order wins — pass ``right_tiebreak`` for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    right_tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: attach the latest right_values at-or-before each left row.
+
+    Returns ``left`` with one extra column per entry in ``right_values``
+    named ``{col}{suffix}`` (null when no right row precedes the left row).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    left_cols = left.columns
+    # Tag and align the two sides: left rows carry null right-values;
+    # right rows carry null left-payloads. After the union, a window sorted
+    # by (ts, side) lets last(ignorenulls) propagate right values forward.
+    l = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right on ts ties → inclusive match
+        F.lit(None).cast("long").alias("__rtb"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__rv_{v}") for v in right_values],
+    )
+    rtb = F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0).cast("long")
+    r = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rtb.alias("__rtb"),
+        *[F.col(v).alias(f"__rv_{v}") for v in right_values],
+    ).select(*l.columns)  # align column order for unionByName-safety
+
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rtb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(f"__rv_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            for v in right_values
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *left_cols, *[f"{v}{suffix}" for v in right_values]
+    )

@@ -1,0 +1,101 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure built-in expressions (codegen, no Python): language-ID via n-gram/
+marker heuristics, quality scoring, token counting (whitespace + BPE-ish
+regex), and rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MOD = 2_147_483_647  # < 2^31: keeps acc*33+h inside long range under ANSI
+
+# Tiny per-language marker sets for the heuristic language-ID. Real corpora
+# would use char-trigram profiles; the mechanism (score arrays, argmax) is
+# identical and all JVM-side.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "les", "des", "est", "une"],
+}
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "on"]
+
+
+def words_col(text_col) -> Column:
+    return F.split(F.lower(text_col), r"\s+")
+
+
+def token_count_whitespace(text_col) -> Column:
+    return F.size(words_col(text_col))
+
+
+def token_count_bpe_ish(text_col) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single punctuation
+    each count as one token (a regex approximation of byte-pair behavior)."""
+    toks = F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(toks)
+
+
+def lang_id(text_col) -> Column:
+    """Heuristic language ID: CJK char presence → zh, else marker-word argmax
+    (first-listed language wins ties, deterministic)."""
+    w = words_col(text_col)
+    has_cjk = F.regexp_count(text_col, F.lit(r"[一-鿿]")) > 0
+    result = F.lit("und")
+    best = F.lit(0)
+    def _marker_score(markers):
+        ma = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda: a default arg would make PySpark treat it as the
+        # (element, index) two-arg filter variant
+        return F.size(F.filter(w, lambda t: F.array_contains(ma, t)))
+
+    # strictly-greater comparison keeps the earliest language on ties
+    for code, markers in _LANG_MARKERS.items():
+        score = _marker_score(markers)
+        result = F.when(score > best, F.lit(code)).otherwise(result)
+        best = F.greatest(best, score)
+    return F.when(has_cjk, F.lit("zh")).otherwise(result)
+
+
+def stopword_ratio(text_col) -> Column:
+    w = words_col(text_col)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    hits = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def punct_ratio(text_col) -> Column:
+    n_punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
+    return n_punct / F.greatest(F.length(text_col), F.lit(1))
+
+
+def mean_word_len(text_col) -> Column:
+    w = words_col(text_col)
+    total = F.aggregate(F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+    return total / F.greatest(F.size(w), F.lit(1))
+
+
+def quality_score(text_col) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, low punctuation
+    noise, healthy mean word length. Deterministic arithmetic only."""
+    n = F.length(text_col)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text_col) * 5, F.lit(1.0))
+    mwl = mean_word_len(text_col)
+    wl_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(0.5 * len_score + 0.3 * (1 - punct_penalty) + 0.2 * wl_score, 4)
+
+
+def doc_fingerprint(text_col) -> Column:
+    """Order-sensitive rolling hash over words (mod 2^31-1): equal texts →
+    equal fingerprints; any word reorder/change → different w.h.p."""
+    w = words_col(text_col)
+    return F.aggregate(
+        w,
+        F.lit(7).cast("long"),
+        lambda acc, t: (acc * 33 + F.pmod(F.xxhash64(t), F.lit(_MOD))) % F.lit(_MOD),
+    )

@@ -1,0 +1,254 @@
+"""J-family: joins (SURVEY §2.3).
+
+The reference never joins its two topics (separate streams, Lambdas, and S3
+prefixes — terraform/kinesis.tf:4,24); joining quotes↔news on
+(symbol, time) is the intended Athena workload both schemas are shaped
+for. All equi-joins are Catalyst's to plan (broadcast-hash vs shuffle-hash
+vs sort-merge by stats + AQE); the engine's job is to (a) state the join
+declaratively, (b) broadcast what is knowably small, (c) provide the one
+composition Spark lacks: the as-of join (operators/asof.py).
+
+Scale: J4 broadcasts the dim side explicitly; J5's range join broadcasts
+the tiny band table (a nested-loop join with a non-broadcastable side
+would be the classic 100 TB trap); J7 uses the union+window formulation —
+one shuffle, no row explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineventstream_spark.catalog import Tables
+from fineventstream_spark.operators.asof import asof_join
+from fineventstream_spark.registry import register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           count(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    tags=("J1",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way inner join + aggregation."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        cust.join(t.orders, cust.c_custkey == t.orders.o_custkey, "inner")
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           l.n_lines, l.sum_qty
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, count(*) AS n_lines, ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    tags=("J2",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join against a pre-aggregated fact (nulls preserved for childless orders)."""
+    t = Tables(spark, sf_dir)
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+    )
+    return (
+        t.orders.join(per_order, t.orders.o_orderkey == per_order.l_orderkey, "left")
+        .select("o_orderkey", "o_totalprice", "n_lines", "sum_qty")
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.nationkey = s.nationkey
+    """,
+    tags=("J2",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (both null-sides exercised)."""
+    t = Tables(spark, sf_dir)
+    c = t.customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("n_cust"))
+    s = t.supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("n_supp"))
+    return c.join(s, c.nationkey == s.nationkey, "full").select(
+        F.coalesce(c.nationkey, s.nationkey).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    tags=("J3",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join = EXISTS (no right columns, no duplication)."""
+    t = Tables(spark, sf_dir)
+    big_orders = t.orders.filter(F.col("o_totalprice") > 100000)
+    return t.customer.join(
+        big_orders, t.customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("J3",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join = NOT EXISTS — also the batch form of dedup-against-seen-set
+    (reference producer_company_news.py:133-135)."""
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_lines,
+           ROUND(SUM(l.l_quantity), 4) AS sum_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("J4",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dim side: no shuffle of the 100 TB fact table."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 1e12),
+]
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT b.band_name, count(*) AS n_orders, ROUND(SUM(o.o_totalprice), 4) AS band_total
+    FROM orders o
+    JOIN (VALUES ('budget', 0.0, 50000.0),
+                 ('mid', 50000.0, 150000.0),
+                 ('premium', 150000.0, 300000.0),
+                 ('luxury', 300000.0, 1e12)) AS b(band_name, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_name
+    """,
+    tags=("J5",),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast band table.
+
+    Physical plan: BroadcastNestedLoopJoin with the 4-row side broadcast —
+    the only sane shape for theta joins at scale.
+    """
+    t = Tables(spark, sf_dir)
+    bands = spark.createDataFrame(_BANDS, "band_name string, lo double, hi double")
+    return (
+        t.orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+            "inner",
+        )
+        .groupBy("band_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("band_total"))
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("J6",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny sets."""
+    t = Tables(spark, sf_dir)
+    statuses = t.orders.select("o_orderstatus").distinct()
+    return t.region.select("r_name").crossJoin(statuses)
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.value,
+           (SELECT c.value
+            FROM events c
+            WHERE c.user_id = p.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC
+            LIMIT 1) AS click_value_asof
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("J7",),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click value at-or-before it per user
+    (the quotes↔news pattern). Union+window formulation — one shuffle, no explosion."""
+    t = Tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"), F.col("value").alias("click_value"), F.col("event_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "click_value", "event_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_value"],
+        right_tiebreak="event_id",
+        suffix="_asof",
+    )
+    return joined.select("event_id", "user_id", "value", "click_value_asof")

@@ -1,0 +1,291 @@
+"""U-family: UDF surface + LLM-data-pipeline operators (SURVEY §2.9 + the
+100 TB training-data mandate): dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding-cosine), similarity search (brute-force + IVF),
+text analysis (lang-ID, quality, tokens, fingerprint), multimodal
+plumbing.
+
+Approximate/bucketed operators are rows-only checks (thresholds are
+approximate by design); everything arithmetic is oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineventstream_spark.catalog import Tables, load_table
+from fineventstream_spark.operators import dedup, multimodal, similarity, text
+from fineventstream_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# UDF surface (U1/U2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT event_id, ROUND((value - 50.0) / 25.0, 4) AS zscore
+    FROM events
+    """,
+    tags=("U1",),
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow-batched). The oracle checks the
+    arithmetic; the point here is the UDF plumbing itself."""
+
+    @F.pandas_udf("double")
+    def zscore(v: pd.Series) -> pd.Series:
+        return ((v - 50.0) / 25.0).round(4)
+
+    t = Tables(spark, sf_dir)
+    return t.events.select("event_id", zscore("value").alias("zscore"))
+
+
+@register(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           ROUND(SUM(value), 4) AS total,
+           ROUND(MAX(value) - MIN(value), 4) AS value_range
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("U2",),
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via groupBy().applyInPandas — one pandas frame per group."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "total": [round(pdf["value"].sum(), 4)],
+                "value_range": [round(pdf["value"].max() - pdf["value"].min(), 4)],
+            }
+        )
+
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("user_id").applyInPandas(
+        agg, "user_id long, n long, total double, value_range double"
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup family (U4/U5 + mandate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("U4",),
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, deterministic keeper (min id)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register("q_llm_dedup_near", oracle=None, tags=("U5",))
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (64 hashes, 16 bands) with
+    estimated Jaccard ≥ 0.5. Approximate by design → rows-only."""
+    t = Tables(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(t.documents, "text", "doc_id")
+    return pairs.filter(F.col("est_jaccard") >= 0.5)
+
+
+@register("q_llm_dedup_ngram_jaccard", oracle=None, tags=("U5",))
+def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over the LSH candidate set only
+    (the scalable verify step — never all-pairs)."""
+    t = Tables(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(t.documents, "text", "doc_id")
+    return dedup.ngram_jaccard_verify(cands, t.documents, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+@register("q_llm_dedup_simhash", oracle=None, tags=("U5",))
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, prefix-bucket candidates,
+    Hamming distance ≤ 6."""
+    t = Tables(spark, sf_dir)
+    return dedup.simhash_candidates(t.documents, "text", "doc_id").filter(F.col("hamming") <= 6)
+
+
+@register("q_llm_dedup_embedding", oracle=None, tags=("U5", "U6"))
+def q_llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets."""
+    t = Tables(spark, sf_dir)
+    return similarity.cosine_near_dup_pairs(
+        t.embeddings, "embedding", "vec_id", dim=64, threshold=0.9
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (U6)
+# --------------------------------------------------------------------------
+
+
+def _query_vec() -> list[float]:
+    """Fixed 64-dim query vector (engine-independent constant — both the
+    Spark query and the DuckDB oracle embed the identical literal)."""
+    import math
+
+    return [round(math.sin(j + 1), 6) for j in range(64)]
+
+
+_QUERY_VEC_SQL = "[" + ", ".join(repr(x) for x in _query_vec()) + "]"
+
+
+@register(
+    "q_llm_knn_cosine",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST({_QUERY_VEC_SQL} AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("U6",),
+)
+def q_llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 vs a fixed query vector —
+    JVM-side fold, TakeOrderedAndProject (no global sort)."""
+    t = Tables(spark, sf_dir)
+    return similarity.cosine_topk(t.embeddings, "embedding", "vec_id", _query_vec(), k=10)
+
+
+@register("q_llm_knn_ivf", oracle=None, tags=("U6",))
+def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (16 centroids, nprobe=4): the scan
+    touches ~nprobe/16 of the corpus. Approximate → rows-only."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    centroid_rows = (
+        emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in centroid_rows]
+    return similarity.ivf_topk(
+        emb, "embedding", "vec_id", centroids, _query_vec(), k=10, nprobe=4
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (U7 + mandate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+    FROM documents
+    """,
+    tags=("U7",),
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization stats (counts oracle-checked)."""
+    t = Tables(spark, sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    return t.documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.round(F.length("text").cast("double") / n_tok, 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("U7",),
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (alpha runs / digit runs /
+    single punctuation)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+@register("q_llm_lang_id", oracle=None, tags=("U7",))
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column (rows-only: the
+    heuristic itself is the operator under test, not a SQL rewrite)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred")
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_llm_quality_score",
+    oracle=None,  # composite heuristic — rows-only; components are oracle-checked via text_stats
+    tags=("U7",),
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/word-shape composite in [0,1]."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        text.quality_score(F.col("text")).alias("quality"),
+        F.round(text.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        F.round(text.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+    )
+
+
+@register("q_llm_fingerprint", oracle=None, tags=("U7", "F10"))
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints; identical texts collide, and the
+    distinct-fingerprint count matches the exact-dedup distinct-text count
+    (asserted in tests)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", text.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (U8)
+# --------------------------------------------------------------------------
+
+
+@register("q_mm_features", oracle=None, tags=("U8",))
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas feature extraction (stubbed decode,
+    real Arrow plumbing). Metadata-only reads prune the payload column."""
+    t = Tables(spark, sf_dir)
+    media = multimodal.synthesize_media(t.documents)
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "checksum")

@@ -1,0 +1,208 @@
+"""S-family: sources / scans / sinks (SURVEY §2.1).
+
+The reference's lake is hive-partitioned JSONL on S3
+(reference: src/lambda_processor/processor_stock_quotes.py:64-83); the
+engine's native format is parquet with the same partition discipline.
+Derived JSONL/partitioned copies are materialized once per scale factor
+under ``.cache/`` (inside the repo) so scan queries are reproducible and
+cheap on re-run.
+
+Scale notes (100 TB): every query here is a pure scan→filter→agg pipeline;
+correctness of the *plan* matters more than the code — filters must reach
+the parquet reader (PushedFilters), projection must prune columns
+(ReadSchema), and partition filters must prune directories before any task
+launches. All three are verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fineventstream_spark.catalog import Tables, load_table
+from fineventstream_spark.registry import register
+
+_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache")
+
+# Spark's default JSON timestamp format truncates to millis; the lake keeps
+# microseconds, so pin a micro-preserving format on both write and read.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _cache_dir(sf_dir: str, name: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_CACHE_ROOT, sf_name, name)
+
+
+def _events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as JSONL once (S7-style sink), return the path."""
+    path = _cache_dir(sf_dir, "events_jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.write.mode("overwrite")
+            .option("timestampFormat", _TS_FMT)
+            .json(path)
+        )
+    return path
+
+
+def _events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events under year=/month=/day= hive partitions (S6/S7).
+
+    Mirrors the reference's arrival-hour partition layout
+    (processor_stock_quotes.py:68-73) but keyed on *event* time, which is
+    what an analytics lake wants for pruning.
+    """
+    path = _cache_dir(sf_dir, "events_partitioned")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("year", F.year("ts"))
+            .withColumn("month", F.month("ts"))
+            .withColumn("day", F.dayofmonth("ts"))
+            .write.mode("overwrite")
+            .partitionBy("year", "month", "day")
+            .parquet(path)
+        )
+    return path
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
+    """,
+    tags=("S5",),
+    doc="Columnar scan with predicate pushdown + column pruning.",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp")) & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "q_scan_json",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+    tags=("S4",),
+    doc="JSONL lake scan with explicit schema (no inference pass) — lossless roundtrip.",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _events_jsonl_path(spark, sf_dir)
+    return (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("timestampFormat", _TS_FMT)
+        .json(path)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+
+@register(
+    "q_source_decode_json",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tags=("S3", "F1", "F2"),
+    doc=(
+        "Kinesis-envelope decode re-expressed: base64(json) payloads → "
+        "unbase64 → from_json → typed columns "
+        "(reference: processor_stock_quotes.py:32-62)."
+    ),
+)
+def q_source_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # encode exactly like the producer (json.dumps → bytes → base64,
+    # reference producer_stock_quotes.py:132 / Kinesis envelope), then run
+    # the engine's decode path.
+    enveloped = t.events.select(
+        F.col("user_id").cast("string").alias("partition_key"),
+        F.base64(
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")).cast("binary")
+        ).alias("data"),
+    )
+    decoded = enveloped.select(
+        F.from_json(F.unbase64(F.col("data")).cast("string"), payload_schema).alias("rec")
+    )
+    return decoded.select("rec.event_id", "rec.user_id", "rec.event_type", "rec.value").filter(
+        F.col("event_id").isNotNull()
+    )
+
+
+@register(
+    "q_scan_partition_prune",
+    oracle="""
+    SELECT CAST(year(ts) AS INTEGER) AS year,
+           CAST(month(ts) AS INTEGER) AS month,
+           CAST(day(ts) AS INTEGER) AS day,
+           count(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE day(ts) <= 10
+    GROUP BY 1, 2, 3
+    """,
+    tags=("S6",),
+    doc="Hive-partitioned scan; the day<=10 filter prunes directories before any task runs.",
+)
+def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _events_partitioned_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("day") <= 10)
+        .groupBy(
+            F.col("year").cast("int").alias("year"),
+            F.col("month").cast("int").alias("month"),
+            F.col("day").cast("int").alias("day"),
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "q_sink_partitioned_write",
+    oracle=None,  # rows-only: JSON double round-trip is not bit-stable enough to hash
+    tags=("S7", "T7"),
+    doc=(
+        "Partitioned JSONL sink + re-scan (reference sink: "
+        "processor_stock_quotes.py:64-83). Returns per-partition file counts."
+    ),
+)
+def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    path = _cache_dir(sf_dir, "lineitem_jsonl_by_flag")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            t.lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .json(path)
+        )
+    back = spark.read.schema("l_orderkey long, l_quantity double, l_returnflag string").json(path)
+    return back.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))

@@ -1,0 +1,134 @@
+"""T-family batch twins: the streaming operators' batch-checkable forms
+(SURVEY §2.8). The live Structured Streaming versions of these live in
+``fineventstream_spark/streaming/`` and are exercised by pytest; these
+batch formulations exist so the DuckDB oracle can hash-check the same
+semantics.
+
+Scale: tumbling/sliding window aggs are plain groupBys on a derived
+window-start key — partial aggregation applies, so a 100 TB stream history
+aggregates with one small shuffle. The sliding window materializes
+windows-per-event (×2 here) *before* the agg — acceptable because the
+expansion factor is size/slide, a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineventstream_spark.catalog import Tables
+from fineventstream_spark.registry import register
+
+
+@register(
+    "q_dedup_highwater",
+    oracle="""
+    WITH refetched AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events WHERE event_id % 3 = 0  -- overlapping re-fetch window
+    )
+    SELECT DISTINCT event_id, ts, user_id, event_type, value FROM refetched
+    """,
+    tags=("T2",),
+)
+def q_dedup_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the reference's stateful per-key dedup
+    (producer_company_news.py:128-141): the 2-day lookback re-fetches
+    overlapping windows; duplicates are suppressed on (key, id). Streaming
+    twin: streaming/state.py::highwater_dedup."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "ts", "user_id", "event_type", "value")
+    refetched = ev.unionByName(ev.filter(F.col("event_id") % 3 == 0))
+    return refetched.dropDuplicates(["event_id"])
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("T4",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (OHLC-bar shape). Identical code
+    runs under readStream + withWatermark — see streaming/pipelines.py."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value", "min_value", "max_value")
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - off.o) * 1000000) AS window_start,
+           count(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    CROSS JOIN (VALUES (0), (1800)) AS off(o)
+    GROUP BY 1
+    """,
+    tags=("T5",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h size, 30 min slide): each event lands in 2 windows.
+    Oracle reproduces Spark's epoch-aligned window starts arithmetically."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "q_session_window",
+    oracle=None,  # gap-based sessions have no simple closed-form SQL twin → rows-only
+    tags=("T6",),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: 30-minute inactivity gap per user."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "q_repartition_sorted",
+    oracle=None,  # physical-layout operator → rows-only
+    tags=("T8",),
+)
+def q_repartition_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ordered delivery (the Kinesis partition-key contract,
+    producer_stock_quotes.py:126-129): hash-partition by key, sort within
+    partitions by event time."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.repartition("user_id")
+        .sortWithinPartitions("ts")
+        .select("event_id", "user_id", "ts", "event_type")
+    )

@@ -1,0 +1,151 @@
+"""W-family: window functions (SURVEY §2.5).
+
+Planned Athena surface (README.md:31); W2's lag() recomputes in-engine the
+``change``/``percent_change`` fields the reference carries as raw API
+values (producer_stock_quotes.py:104-105).
+
+Scale: every window here partitions by a real key (user_id / event_type /
+suppkey) — one shuffle on the key, then a per-partition sort. No global
+windows (a Window.orderBy without partitionBy collapses to one task; the
+sort queries that need one cap their input first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fineventstream_spark.catalog import Tables
+from fineventstream_spark.registry import register
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    tags=("W1",),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a keyed, totally-ordered window."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           ROUND(value - COALESCE(lag(value) OVER w, value), 4) AS change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    tags=("W2",),
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: recompute the reference's change-vs-previous-quote in-engine."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("value").over(w)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(prev, F.col("value")), 4).alias("change"),
+    )
+
+
+@register(
+    "q_win_frame_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+    FROM events
+    """,
+    tags=("W3",),
+)
+def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: sliding 4-row sum/avg + running sum."""
+    t = Tables(spark, sf_dir)
+    ob = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sliding = ob.rowsBetween(-3, 0)
+    running = ob.rowsBetween(Window.unboundedPreceding, 0)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(sliding), 4).alias("moving_sum"),
+        F.round(F.avg("value").over(sliding), 4).alias("moving_avg"),
+        F.round(F.sum("value").over(running), 4).alias("running_sum"),
+    )
+
+
+@register(
+    "q_win_frame_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_nearby,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 4) AS sum_nearby
+    FROM events
+    """,
+    tags=("W3",),
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on a numeric ordering column (tie-insensitive by construction)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id")).rangeBetween(-100, 0)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_nearby"),
+        F.round(F.sum("value").over(w), 4).alias("sum_nearby"),
+    )
+
+
+@register(
+    "q_win_topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, value
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        FROM events
+    )
+    WHERE rn <= 5
+    """,
+    tags=("W4",),
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number filter (Spark optimizes to a per-group heap with rank limit pushdown)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "value")
+    )
