@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": "..."}
+
+Methodology: one shared SparkSession (local[$SPARK_GRAFT_CPUS]); each query
+is planned + executed to completion via a count-collapsing action that still
+computes full results (``df.write.format("noop")`` — materializes every row,
+no sink cost, no driver collect). Warm-up run excluded per query? No — the
+driver wants honest cold numbers; we warm only the JVM/session with one
+trivial action, which a long-running cluster would have amortized anyway.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fineventstream_spark.registry import all_queries
+from fineventstream_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the heavy/representative operators (scan+agg, joins incl
+# as-of, windows, dedup families, knn, text) — not the trivial projections.
+HEADLINE = [
+    "q_agg_groupby_basic",
+    "q_agg_stats",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_rank",
+    "q_win_frame_rows",
+    "q_stream_tumbling",
+    "q_dedup_highwater",
+    "q_llm_dedup_exact",
+    "q_llm_dedup_near",
+    "q_llm_knn_cosine",
+    "q_llm_text_stats",
+    "q_limit_topk",
+]
+
+
+def materialize(df) -> None:
+    """Execute the full query without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    registry = all_queries()
+    spark = get_spark(app_name="fes-bench")
+    # JVM warm-up (session init, codegen compiler) — not query work
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        materialize(q.fn(spark, SF_DIR))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

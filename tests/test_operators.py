@@ -1,0 +1,164 @@
+"""Operator unit + property tests (SURVEY §5.4): as-of edges, dedup
+idempotence, fingerprint/dedup consistency, IVF vs brute-force recall,
+multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fineventstream_spark.operators.asof import asof_join
+from fineventstream_spark.operators.dedup import exact_dedup, minhash_lsh_candidates
+from fineventstream_spark.operators.multimodal import extract_features, synthesize_media
+from fineventstream_spark.operators.similarity import cosine_topk, ivf_topk
+from fineventstream_spark.operators.text import doc_fingerprint
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01T10:00:00"), 100.0),
+            (2, "A", _ts("2024-01-01T11:00:00"), 110.0),
+            (3, "B", _ts("2024-01-01T10:30:00"), 200.0),
+            (4, "C", _ts("2024-01-01T09:00:00"), 300.0),  # no right rows for C
+        ],
+        "id long, sym string, ts timestamp, val double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T09:59:00"), 1.0, 11),
+            ("A", _ts("2024-01-01T10:00:00"), 2.0, 12),  # tie with left id=1
+            ("A", _ts("2024-01-01T10:00:00"), 3.0, 13),  # same-ts: larger tiebreak wins
+            ("A", _ts("2024-01-01T10:59:59"), 4.0, 14),
+            ("B", _ts("2024-01-01T10:31:00"), 9.0, 15),  # after left B row → no match
+        ],
+        "sym string, ts timestamp, quote double, qid long",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_with_ties(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, on="sym", left_ts="ts", right_ts="ts",
+        right_values=["quote"], right_tiebreak="qid",
+    )
+    got = {r.id: r.quote_asof for r in out.collect()}
+    assert got[1] == 3.0  # tie at 10:00 → inclusive; qid=13 beats qid=12
+    assert got[2] == 4.0  # latest before 11:00
+    assert got[3] is None  # only right row for B is after left ts
+    assert got[4] is None  # key with no right rows at all
+    assert out.count() == left.count()  # as-of never duplicates left rows
+
+
+def test_asof_empty_right(spark, asof_frames):
+    left, _ = asof_frames
+    empty = spark.createDataFrame([], "sym string, ts timestamp, quote double, qid long")
+    out = asof_join(left, empty, on="sym", left_ts="ts", right_ts="ts",
+                    right_values=["quote"], right_tiebreak="qid")
+    assert out.count() == left.count()
+    assert all(r.quote_asof is None for r in out.collect())
+
+
+def test_exact_dedup_deterministic_keeper(spark):
+    df = spark.createDataFrame(
+        [(5, "x"), (3, "x"), (9, "x"), (1, "y")], "doc_id long, text string"
+    )
+    out = exact_dedup(df, "text", "doc_id")
+    got = {r.text: r.doc_id for r in out.collect()}
+    assert got == {"x": 3, "y": 1}  # min id wins, always
+
+
+def test_dedup_idempotence(spark, sf_dir):
+    """Property: f(f(x)) == f(x) for exact dedup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    once = exact_dedup(docs, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    assert once.count() == twice.count()
+    assert once.subtract(twice).count() == 0
+
+
+def test_fingerprint_consistent_with_exact_dedup(spark, sf_dir):
+    """Distinct fingerprints == distinct texts (no false merges on the
+    fixture corpus; collisions are 1/2^31-scale)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_texts = docs.select("text").distinct().count()
+    n_fp = docs.select(doc_fingerprint(F.col("text")).alias("fp")).distinct().count()
+    assert n_fp == n_texts
+
+
+def test_minhash_finds_exact_dupes(spark, sf_dir):
+    """Exact duplicate texts must appear as LSH candidates with est≈1."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dupes = (
+        docs.groupBy("text").agg(F.count("*").alias("n"), F.min("doc_id").alias("a"),
+                                 F.max("doc_id").alias("b"))
+        .filter(F.col("n") >= 2)
+    )
+    n_dupe_groups = dupes.count()
+    if n_dupe_groups == 0:
+        pytest.skip("fixture has no exact dupes at this sf")
+    cands = minhash_lsh_candidates(docs, "text", "doc_id")
+    perfect = cands.filter(F.col("est_jaccard") >= 0.999)
+    expected = {(r.a, r.b) for r in dupes.collect()}
+    found = {(r.id_a, r.id_b) for r in perfect.collect()}
+    missing = expected - found
+    assert not missing, f"exact dupes missed by LSH: {missing}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF top-10 must overlap heavily with exact brute force (same query)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import math
+
+    q = [round(math.sin(j + 1), 6) for j in range(64)]
+    exact = [r[0] for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    ]
+    approx = [r[0] for r in ivf_topk(emb, "embedding", "vec_id", centroids, q, k=10, nprobe=8).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3, f"IVF recall too low: {overlap}/10 (exact={exact}, ivf={approx})"
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    """Binary payload column → mapInPandas features: schema and determinism."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = synthesize_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    r0 = rows[0]
+    assert len(r0.feat) == 8
+    assert r0.n_bytes > 0
+    # determinism: second run identical
+    rows2 = extract_features(media).collect()
+    assert sorted((r.media_id, r.checksum) for r in rows) == sorted(
+        (r.media_id, r.checksum) for r in rows2
+    )
+
+
+def test_multimodal_unknown_kind_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
+    media = synthesize_media(docs, kind="hologram")
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        extract_features(media).collect()
+
+
+def test_union_rowcount_conservation(spark, sf_dir):
+    """Property: |A union all B| == |A| + |B|."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.filter(F.col("o_totalprice") > 100)
+    b = orders.filter(F.col("o_totalprice") <= 100)
+    assert a.unionByName(b).count() == orders.count()
