@@ -80,3 +80,14 @@ def test_asof_join_is_single_shuffle_no_explosion(spark, sf_dir):
 def test_narrow_transforms_have_no_shuffle(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "Exchange" not in plan, f"{name} should be shuffle-free"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketed co-located join: both sides pre-bucketed on the key →
+    SortMergeJoin with ZERO Exchange (the 100 TB fact-join pattern)."""
+    from fineventstream_spark.operators.bucketed import bucketed_join_lineitem_orders
+
+    df = bucketed_join_lineitem_orders(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert df.count() > 0

@@ -1,0 +1,130 @@
+"""J8 stream-stream join + S1/S2 polling source coverage."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fineventstream_spark.sources.polling import fake_quote_fetcher, poll_quotes_stream
+from fineventstream_spark.streaming.pipelines import filter_valid_quotes, project_quote
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fes_stream2_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _wait_for(query, cond, timeout_s: int = 60) -> None:
+    """The rate source is unbounded — processAllAvailable() would never
+    return; poll until the sink observed data, then stop the query."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline and not cond():
+        time.sleep(0.5)
+    query.stop()
+    assert cond(), "polling stream produced nothing before timeout"
+
+
+def _write_jsonl(path: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(path, name))
+
+
+def test_stream_stream_join_with_watermarks(spark, tmpdir):
+    """J8: quotes-stream ⋈ news-stream on (symbol, time-range) with
+    watermarks on both sides — the streaming form of the as-of workload."""
+    qsrc = os.path.join(tmpdir, "quotes")
+    nsrc = os.path.join(tmpdir, "news")
+    _write_jsonl(qsrc, "q1.jsonl", [
+        {"symbol": "AAPL", "qts": "2024-01-01 10:00:00", "price": 190.0},
+        {"symbol": "AAPL", "qts": "2024-01-01 10:30:00", "price": 191.0},
+        {"symbol": "MSFT", "qts": "2024-01-01 10:00:00", "price": 400.0},
+    ])
+    _write_jsonl(nsrc, "n1.jsonl", [
+        {"symbol": "AAPL", "nts": "2024-01-01 10:05:00", "headline": "a"},
+        {"symbol": "MSFT", "nts": "2024-01-01 11:30:00", "headline": "b"},  # outside 1h range
+    ])
+    quotes = (
+        spark.readStream.schema("symbol string, qts timestamp, price double").json(qsrc)
+        .withWatermark("qts", "1 hour")
+    )
+    news = (
+        spark.readStream.schema("symbol string, nts timestamp, headline string").json(nsrc)
+        .withWatermark("nts", "1 hour")
+    )
+    joined = news.alias("news").join(
+        quotes.alias("quotes"),
+        F.expr(
+            "news.symbol = quotes.symbol AND quotes.qts >= news.nts - INTERVAL 1 HOUR AND quotes.qts <= news.nts"
+        ),
+        "inner",
+    )
+    q = (
+        joined.select("news.symbol", "headline", "price", "qts", "nts")
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.symbol, r.headline, r.price) for r in spark.sql("SELECT * FROM ssj").collect()}
+    # AAPL news at 10:05 joins the 10:00 quote (within the hour); the 10:30
+    # quote is after the news → excluded; MSFT news at 11:30 has no quote
+    # within [10:30, 11:30]
+    assert rows == {("AAPL", "a", 190.0)}
+
+
+def test_polling_source_cadence_and_projection(spark, tmpdir):
+    """S1: rate-driven polling with an injected deterministic fetcher,
+    feeding the quote projection chain; per-symbol keyed records land."""
+    collected = []
+
+    def sink(df, batch_id):
+        out = project_quote(filter_valid_quotes(df))
+        collected.extend(out.collect())
+
+    q = poll_quotes_stream(
+        spark,
+        sink,
+        fetcher=fake_quote_fetcher,
+        symbols=["AAPL", "MSFT"],
+        poll_seconds=1,
+        checkpoint=os.path.join(tmpdir, "ckpt"),
+    )
+    _wait_for(q, lambda: collected)
+    assert collected, "no polled records landed"
+    symbols = {r.symbol for r in collected}
+    assert symbols <= {"AAPL", "MSFT"}
+    r = collected[0]
+    assert r.current_price > 0 and r.quote_timestamp_utc is not None
+
+
+def test_polling_source_drops_invalid_fetch(spark, tmpdir):
+    """P4 at the source: fetcher returning None (API failure) is skipped."""
+    collected = []
+
+    def broken_fetcher(symbol, batch_id):
+        return None if symbol == "AAPL" else fake_quote_fetcher(symbol, batch_id)
+
+    def sink(df, batch_id):
+        collected.extend(filter_valid_quotes(df).collect())
+
+    q = poll_quotes_stream(
+        spark, sink, fetcher=broken_fetcher, symbols=["AAPL", "MSFT"], poll_seconds=1
+    )
+    _wait_for(q, lambda: collected)
+    assert collected and all(r.symbol == "MSFT" for r in collected)
