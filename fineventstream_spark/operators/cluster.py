@@ -1,0 +1,87 @@
+"""Duplicate clustering: near-dup pairs → connected components → keeper.
+
+A dedup pipeline isn't finished at pair detection: overlapping pairs
+(a,b), (b,c) must collapse into one cluster {a,b,c} with a single
+canonical survivor. This is connected components, computed by iterative
+min-label propagation over the pair edges:
+
+    label(v) ← min(label(v), min(label(u) for u adjacent to v))
+
+repeated until fixpoint. Each iteration is two hash joins + a groupBy —
+all shuffle-partitioned by vertex id, no driver-side graph. Convergence
+needs at most diameter(G) iterations; dup clusters are near-cliques
+(diameter ≤ ~3 via LSH transitivity), so the loop exits after 2-3 rounds
+in practice. A hard cap bounds adversarial chains; at 100 TB each round is
+one co-partitioned join over the (tiny) edge set, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Min-label propagation over undirected edges (id_a, id_b).
+
+    Returns (id, component) for every id that appears in at least one
+    pair; ``component`` is the smallest id reachable from it.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keepers(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iterations: int = 10
+) -> DataFrame:
+    """Collapse near-dup clusters: every row keeps a ``keeper_id`` column —
+    the minimum id of its duplicate cluster (its own id when unique).
+
+    Downstream a training pipeline filters ``id == keeper_id`` to retain
+    one representative per cluster.
+    """
+    comps = connected_components(pairs, max_iterations)
+    out = df.join(comps, df[id_col] == comps.id, "left").select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("component"), df[id_col]).alias("keeper_id"),
+    )
+    return out

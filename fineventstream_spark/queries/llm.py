@@ -289,3 +289,61 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_media(t.documents)
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "kind", "n_bytes", "checksum")
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering (pairs → components → canonical keeper)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_dedup_cluster",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY text) AS keeper_id
+    FROM documents
+    """,
+    tags=("U4", "U5"),
+)
+def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster duplicate documents (connected components over dup-pair
+    edges) and assign each row its cluster keeper. Edges here are exact-
+    text matches so the result is oracle-checkable; the same operator
+    consumes MinHash/SimHash candidate pairs unchanged
+    (operators/cluster.py)."""
+    from fineventstream_spark.operators.cluster import dedup_keepers
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = (
+        a.join(b, F.col("ta") == F.col("tb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return dedup_keepers(docs, pairs, "doc_id").select("doc_id", "keeper_id")
+
+
+@register("q_udtf_chunk", oracle=None, tags=("U3",))
+def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): chunk each document into fixed-size
+    word windows — the row-expanding API surface beyond explode
+    (Spark 3.5+ ``@udtf``). Used by training pipelines to split long
+    documents into context-window-sized samples."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_words int")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):
+            words = (text or "").split()
+            for i in range(0, len(words), size):
+                chunk = words[i : i + size]
+                yield i // size, " ".join(chunk), len(chunk)
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") < 100)
+    chunker = ChunkDoc
+    return docs.lateralJoin(
+        chunker(F.col("text").outer(), lit(20))
+    ).select("doc_id", "chunk_idx", "chunk", "n_words")

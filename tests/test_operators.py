@@ -162,3 +162,23 @@ def test_union_rowcount_conservation(spark, sf_dir):
     a = orders.filter(F.col("o_totalprice") > 100)
     b = orders.filter(F.col("o_totalprice") <= 100)
     assert a.unionByName(b).count() == orders.count()
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 plus isolated pair (10,11): all chain members label 1."""
+    from fineventstream_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keepers_unique_rows_keep_self(spark):
+    from fineventstream_spark.operators.cluster import dedup_keepers
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    got = {r.doc_id: r.keeper_id for r in dedup_keepers(df, pairs, "doc_id").collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
