@@ -51,6 +51,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register every lake table as a temp view — the engine's `spark.sql`
+    entry point (the Athena-style surface the reference planned,
+    README.md:31). After this, ``spark.sql("SELECT ... FROM lineitem")``
+    works; Catalyst produces the same plans as the DataFrame API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
 class Tables:
     """Lazy per-(session, sf_dir) table accessor used by query callables.
 

@@ -32,6 +32,17 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
     catalog (idempotent per session). Returns the catalog table name."""
     name = _bucketed_name(table, sf_dir)
     if not spark.catalog.tableExists(name):
+        # the in-memory catalog is session-scoped but the managed-table
+        # location is not: clear a stale dir left by a previous session
+        # (Spark refuses to create a managed table over an existing path)
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+            "file:"
+        )
+        stale = os.path.join(warehouse, name.lower())
+        if os.path.exists(stale):
+            shutil.rmtree(stale, ignore_errors=True)
         df = load_table(spark, sf_dir, table)
         (
             df.write.mode("overwrite")

@@ -1,0 +1,62 @@
+"""Skew mitigation: salted joins and salted aggregation.
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime;
+explicit salting is the deterministic fallback for the pathological case —
+one key holding a double-digit percentage of a 100 TB fact table — and for
+aggregations, where AQE does not split hot groups.
+
+Salting trades one extra small-side replication (×``n_salts``) for an even
+distribution of the hot key's rows across ``n_salts`` reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    Result is identical to ``big.join(small, key, how)``; the physical
+    difference is that each hot key's rows spread over ``n_salts``
+    partitions instead of one. Supported: inner / left joins (the salt
+    column never changes multiplicity — each big row gets exactly one
+    salt; each small row appears once per salt value).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    big_salted = big.withColumn("__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)))
+    small_replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_salted.join(small_replicated, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_agg_count_sum(
+    df: DataFrame, key: str, value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase aggregation for hot groups: pre-aggregate on (key, salt),
+    then merge per key. Shuffle #1 carries one row per (partition, key,
+    salt); shuffle #2 one row per (key, salt) — the hot key never lands on
+    a single reducer with raw rows.
+
+    (Spark's partial aggregation already gives this for algebraic
+    aggregates; the explicit form exists for buffer-heavy aggregates —
+    collect_list, percentile, UDAFs — where partial buffers on a hot key
+    can exceed executor memory.)
+    """
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)))
+    pre = salted.groupBy(key, "__salt").agg(
+        F.count("*").alias("__n"), F.sum(value_col).alias("__s")
+    )
+    return pre.groupBy(key).agg(
+        F.sum("__n").alias("n"), F.round(F.sum("__s"), 4).alias("total")
+    )

@@ -235,3 +235,39 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 4))
     )
     return pivoted
+
+
+@register(
+    "q_agg_approx_percentile",
+    oracle=None,  # approximate by design → rows-only
+    tags=("A4", "A7"),
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest style, single-pass, mergeable) — the
+    100 TB percentile path; the exact form is oracle-checked in
+    q_agg_stats."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("iqr_approx"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, ROUND(SUM(l_quantity), 4) AS total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A1",),
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately hot key (3 groups
+    for the whole table) — result identical to the plain groupBy, physical
+    distribution skew-proof (operators/skew.py)."""
+    from fineventstream_spark.operators.skew import salted_agg_count_sum
+
+    t = Tables(spark, sf_dir)
+    return salted_agg_count_sum(t.lineitem, "l_returnflag", "l_quantity")

@@ -206,3 +206,56 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     back = spark.read.schema("l_orderkey long, l_quantity double, l_returnflag string").json(path)
     return back.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "q_scan_csv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    """,
+    tags=("S4",),
+    doc="CSV lake scan with explicit schema — lossless roundtrip vs the parquet source.",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _cache_dir(sf_dir, "orders_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(path)  # o_orderdate is ms-precision: default format is lossless
+        )
+    return (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+@register(
+    "q_sql_api",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_customers, ROUND(SUM(c.c_acctbal), 4) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("P7", "J1"),
+    doc="spark.sql() over registered lake views — the Athena-style SQL entry point.",
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fineventstream_spark.catalog import register_views
+
+    register_views(spark, sf_dir, names=("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, count(*) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 4) AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

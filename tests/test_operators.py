@@ -182,3 +182,57 @@ def test_dedup_keepers_unique_rows_keep_self(spark):
     pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
     got = {r.doc_id: r.keeper_id for r in dedup_keepers(df, pairs, "doc_id").collect()}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_asof_join_matches_python_reference(spark, seed):
+    """Property: asof_join == brute-force python as-of on random frames
+    (random keys, duplicate timestamps, keys missing on either side)."""
+    import random
+
+    rng = random.Random(seed)
+    keys = ["A", "B", "C", "D"]
+    left = [
+        (i, rng.choice(keys), dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randint(0, 500)))
+        for i in range(80)
+    ]
+    right = [
+        (100 + j, rng.choice(keys + ["E"]),
+         dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randint(0, 500)),
+         round(rng.uniform(0, 100), 2))
+        for j in range(60)
+    ]
+    ldf = spark.createDataFrame(left, "lid long, k string, ts timestamp")
+    rdf = spark.createDataFrame(right, "rid long, k string, ts timestamp, v double")
+
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+            right_values=["v"], right_tiebreak="rid",
+        ).collect()
+    }
+
+    def brute(lid, k, ts):
+        cands = [(rts, rid, v) for rid, rk, rts, v in right if rk == k and rts <= ts]
+        if not cands:
+            return None
+        return max(cands)[2]  # latest ts, then largest rid (tiebreak)
+
+    expected = {lid: brute(lid, k, ts) for lid, k, ts in left}
+    assert got == expected
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted join must be result-identical to the plain join."""
+    from fineventstream_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], "o_orderstatus string, label string"
+    )
+    plain = orders.join(dim, "o_orderstatus", "inner").select("o_orderkey", "label")
+    salted = salted_join(orders, dim, "o_orderstatus", n_salts=8).select("o_orderkey", "label")
+    assert plain.count() == salted.count()
+    assert plain.subtract(salted).count() == 0
+    assert salted.subtract(plain).count() == 0
