@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
     shaped for, via the union+window single-shuffle formulation."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     return _registry()["q_join_asof"].fn(spark, SF_SMOKE)
 
 
@@ -45,6 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # defensive: the driver may hand us a session without our configs
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # AQE coalescing: a default 200-partition session otherwise runs
+            # 200-400 near-empty tasks per shuffle at oracle scale
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
             return fn(spark, sf_dir)
 
         return run
