@@ -251,7 +251,29 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_quality_score",
-    oracle=None,  # composite heuristic — rows-only; components are oracle-checked via text_stats
+    oracle="""
+    WITH parts AS (
+        SELECT doc_id,
+               length(text) AS n,
+               string_split(lower(text), ' ') AS w,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+        FROM documents
+    ), derived AS (
+        SELECT doc_id, n, n_punct,
+               LEAST(CAST(n AS DOUBLE) / 500.0, 1.0) AS len_score,
+               LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n, 1) * 5, 1.0) AS punct_penalty,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / GREATEST(len(w), 1) AS mwl,
+               CAST(len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','on'], x))) AS DOUBLE)
+                   / GREATEST(len(w), 1) AS sw_ratio
+        FROM parts
+    )
+    SELECT doc_id,
+           ROUND(0.5*len_score + 0.3*(1 - punct_penalty)
+                 + 0.2*(CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END), 4) AS quality,
+           ROUND(sw_ratio, 4) AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n, 1), 4) AS punct_ratio
+    FROM derived
+    """,
     tags=("U7",),
 )
 def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +347,18 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keepers(docs, pairs, "doc_id").select("doc_id", "keeper_id")
 
 
-@register("q_udtf_chunk", oracle=None, tags=("U3",))
+@register(
+    "q_udtf_chunk",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(t.i AS INTEGER) AS chunk_idx,
+           array_to_string(d.words[t.i*20+1 : t.i*20+20], ' ') AS chunk,
+           CAST(LEAST(20, len(d.words) - t.i*20) AS INTEGER) AS n_words
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 100) d
+    CROSS JOIN LATERAL unnest(range(CAST(ceil(len(d.words)/20.0) AS BIGINT))) AS t(i)
+    """,
+    tags=("U3",),
+)
 def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function): chunk each document into fixed-size
     word windows — the row-expanding API surface beyond explode

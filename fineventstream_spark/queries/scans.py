@@ -187,7 +187,12 @@ def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sink_partitioned_write",
-    oracle=None,  # rows-only: JSON double round-trip is not bit-stable enough to hash
+    # the sink+rescan is internal; the observable result (per-partition
+    # counts) has an exact relational twin
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("S7", "T7"),
     doc=(
         "Partitioned JSONL sink + re-scan (reference sink: "

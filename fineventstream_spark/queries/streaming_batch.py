@@ -98,7 +98,28 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_session_window",
-    oracle=None,  # gap-based sessions have no simple closed-form SQL twin → rows-only
+    # gap-flag + cumulative-sum formulation: new session when the gap from
+    # the previous event is >= 30 min (Spark merges strictly-smaller gaps;
+    # session end = last event + gap)
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessioned AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessioned GROUP BY user_id, sid
+    """,
     tags=("T6",),
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
