@@ -235,10 +235,40 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_lang_id", oracle=None, tags=("U7",))
+@register(
+    "q_llm_lang_id",
+    # the argmax with earliest-language-wins-ties == the first language (in
+    # en,de,es,fr order) whose marker score equals the maximum
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               regexp_matches(text, '[一-鿿]') AS cjk,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains(['the','and','of','to','in'], x))) AS s_en,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains(['el','la','los','que','de'], x))) AS s_es,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains(['le','les','des','est','une'], x))) AS s_fr
+        FROM documents
+    ), predicted AS (
+        SELECT lang,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    )
+    SELECT lang, lang_pred, count(*) AS n
+    FROM predicted GROUP BY lang, lang_pred
+    """,
+    tags=("U7",),
+)
 def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID vs the labeled lang column (rows-only: the
-    heuristic itself is the operator under test, not a SQL rewrite)."""
+    """Heuristic language ID vs the labeled lang column (confusion counts)."""
     t = Tables(spark, sf_dir)
     return (
         t.documents.select(
