@@ -181,18 +181,24 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/corr + exact percentiles.
 
-    Spark ``percentile`` (exact, linear interpolation) == DuckDB
-    ``quantile_cont``. At 100 TB prefer ``percentile_approx`` (t-digest,
-    single-pass mergeable) — exposed in q_agg_approx_distinct's family.
+    Percentiles use the sort-based formulation (operators/percentiles.py) —
+    result identical to built-in ``percentile`` / DuckDB ``quantile_cont``,
+    ~2× faster and spillable. At 100 TB prefer ``percentile_approx``
+    (mergeable sketch) — see q_agg_approx_percentile.
     """
+    from fineventstream_spark.operators.percentiles import exact_percentiles
+
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
+    moments = t.lineitem.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
     )
+    pcts = exact_percentiles(
+        t.lineitem, "l_returnflag", "l_extendedprice", [0.5, 0.9],
+        aliases=["median_price", "p90_price"],
+    )
+    return moments.join(pcts, "l_returnflag")
 
 
 @register(
