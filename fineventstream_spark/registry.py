@@ -64,6 +64,7 @@ def all_queries() -> dict[str, Query]:
         scans,
         sorts,
         streaming_batch,
+        subqueries,
         windows,
     )
 
