@@ -1,0 +1,64 @@
+"""Stream-static join + lake compaction coverage."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fineventstream_spark.streaming.maintenance import compact_partition
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fes_maint_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_join(spark, tmpdir):
+    """J8 variant: streaming quotes enriched against a static dim table."""
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b.jsonl"), "w") as f:
+        for sym, px in [("AAPL", 190.0), ("MSFT", 400.0), ("ZZZZ", 1.0)]:
+            f.write(json.dumps({"symbol": sym, "price": px}) + "\n")
+
+    dim = spark.createDataFrame(
+        [("AAPL", "Apple"), ("MSFT", "Microsoft")], "symbol string, company string"
+    )
+    stream = spark.readStream.schema("symbol string, price double").json(src)
+    enriched = stream.join(F.broadcast(dim), "symbol", "inner")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {(r.symbol, r.company) for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {("AAPL", "Apple"), ("MSFT", "Microsoft")}  # no dim row → dropped
+
+
+def test_compaction_preserves_data(spark, tmpdir):
+    """Compaction: many tiny files → few files, identical contents."""
+    path = os.path.join(tmpdir, "part")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2.0)
+    df.repartition(64).write.mode("overwrite").parquet(path)  # 64 tiny files
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 32
+
+    before = df.collect()
+    n_files = compact_partition(spark, path, target_file_bytes=10 * 1024 * 1024)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == n_files <= 4
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == sum(r.v for r in before)
