@@ -128,3 +128,51 @@ def test_polling_source_drops_invalid_fetch(spark, tmpdir):
     )
     _wait_for(q, lambda: collected)
     assert collected and all(r.symbol == "MSFT" for r in collected)
+
+
+def test_streaming_session_window(spark, tmpdir):
+    """T6 live: session_window aggregation under readStream."""
+    src = os.path.join(tmpdir, "sess_src")
+    _write_jsonl(src, "b1.jsonl", [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01 10:10:00", "user_id": 1, "value": 2.0},  # same session
+        {"ts": "2024-01-01 11:30:00", "user_id": 1, "value": 3.0},  # gap > 30min → new
+        {"ts": "2024-01-01 10:00:00", "user_id": 2, "value": 9.0},
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double").json(src)
+        .withWatermark("ts", "1 day")
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "user_id", "n", "total")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sessions")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {(str(r.ws), r.user_id): (r.n, r.total) for r in spark.sql("SELECT * FROM sessions").collect()}
+    assert got == {
+        ("2024-01-01 10:00:00", 1): (2, 3.0),
+        ("2024-01-01 11:30:00", 1): (1, 3.0),
+        ("2024-01-01 10:00:00", 2): (1, 9.0),
+    }
+
+
+def test_multimodal_payload_column_pruned(spark, tmpdir):
+    """U8 scale contract: a metadata-only query over a media parquet table
+    must NOT read the binary payload column (ReadSchema excludes it)."""
+    from fineventstream_spark.operators.multimodal import synthesize_media
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    path = os.path.join(tmpdir, "media")
+    synthesize_media(docs).write.mode("overwrite").parquet(path)
+
+    media = spark.read.parquet(path)
+    meta_only = media.select("media_id", "kind", F.col("meta.n_bytes").alias("n_bytes"))
+    plan = spark._jvm.PythonSQLUtils.explainString(meta_only._jdf.queryExecution(), "formatted")
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "payload" not in read_schema, f"binary column not pruned:\n{read_schema[:300]}"
+    assert meta_only.count() == 100
