@@ -27,16 +27,22 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     Returns (id, component) for every id that appears in at least one
     pair; ``component`` is the smallest id reachable from it.
     """
+    # pin parallelism to cores: the iterative joins would otherwise run at
+    # the session's shuffle.partitions (200 default) per iteration, paying
+    # scheduler overhead on a tiny edge set
+    n = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .repartition(n, "dst")
         .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .repartition(n, "id")
         .persist()
     )
     for _ in range(max_iterations):
