@@ -410,3 +410,36 @@ def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(
         chunker(F.col("text").outer(), lit(20))
     ).select("doc_id", "chunk_idx", "chunk", "n_words")
+
+
+@register(
+    "q_llm_train_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 1) < 'd' THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+    tags=("U7",),
+)
+def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/eval split (~81/19 at first hex
+    digit < 'd') — reproducible across engines and runs, and exact dups
+    always land in the same split (no train/eval leakage)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.when(F.substring(F.md5("text"), 1, 1) < "d", "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+
+
+@register("q_llm_kmeans", oracle=None, tags=("U6",))
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over embeddings (5 Lloyd iterations, k=8):
+    cluster cardinalities. Iterative algorithm → rows-only."""
+    from fineventstream_spark.operators.kmeans import kmeans_fit
+
+    t = Tables(spark, sf_dir)
+    _, assigned = kmeans_fit(t.embeddings, "embedding", "vec_id", k=8, iterations=5)
+    return assigned.groupBy("cluster").agg(F.count("*").alias("n"))

@@ -236,3 +236,16 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert plain.count() == salted.count()
     assert plain.subtract(salted).count() == 0
     assert salted.subtract(plain).count() == 0
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    """Lloyd's algorithm must not increase inertia with more iterations."""
+    from fineventstream_spark.operators.kmeans import kmeans_fit, kmeans_inertia
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1, a1 = kmeans_fit(emb, "embedding", "vec_id", k=4, iterations=1)
+    c5, a5 = kmeans_fit(emb, "embedding", "vec_id", k=4, iterations=5)
+    j1 = kmeans_inertia(emb, "embedding", c1)
+    j5 = kmeans_inertia(emb, "embedding", c5)
+    assert j5 <= j1 + 1e-9, f"inertia rose: {j1} -> {j5}"
+    assert a5.count() == emb.count()
