@@ -46,6 +46,9 @@ HEADLINE = [
     "q_llm_knn_cosine",
     "q_llm_text_stats",
     "q_limit_topk",
+    "q_llm_dedup_cluster",
+    "q_subquery_correlated",
+    "q_scan_partition_prune",
 ]
 
 

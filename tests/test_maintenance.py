@@ -62,3 +62,27 @@ def test_compaction_preserves_data(spark, tmpdir):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).first()[0] == sum(r.v for r in before)
+
+
+def test_dynamic_partition_overwrite_reprocess(spark, tmpdir):
+    """Idempotent partition reprocessing: dynamic partitionOverwriteMode
+    replaces only the partitions present in the new batch — the backfill /
+    late-data reprocess pattern for a 100 TB lake."""
+    path = os.path.join(tmpdir, "lake")
+    day1 = spark.createDataFrame([(1, "2024-01-01"), (2, "2024-01-01")], "id long, day string")
+    day2 = spark.createDataFrame([(3, "2024-01-02")], "id long, day string")
+    day1.write.partitionBy("day").mode("overwrite").parquet(path)
+    day2.write.partitionBy("day").mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 3
+
+    # reprocess day1 only (corrected data); day2 must survive
+    fixed = spark.createDataFrame([(10, "2024-01-01")], "id long, day string")
+    (
+        fixed.write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    # partition-column type inference reads day= values back as dates
+    rows = {(r.id, str(r.day)) for r in spark.read.parquet(path).collect()}
+    assert rows == {(10, "2024-01-01"), (3, "2024-01-02")}
