@@ -185,3 +185,26 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.customer.select(F.col("c_nationkey").alias("nationkey"))
         .subtract(t.supplier.select(F.col("s_nationkey").alias("nationkey")))
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    tags=("A9",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns → long (metric, val) rows — the
+    inverse of pivot; pure row expansion, no shuffle."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )

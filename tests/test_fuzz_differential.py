@@ -19,7 +19,7 @@ STRING_COLS = ["l_returnflag", "l_linestatus"]
 STRING_VALUES = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}
 CMP = ["<", "<=", ">", ">=", "=", "<>"]
 
-N_CASES = 25
+N_CASES = 40
 
 
 def _gen_case(rng: random.Random) -> str:
