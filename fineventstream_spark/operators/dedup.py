@@ -60,12 +60,6 @@ def _affine_params(k: int) -> tuple[int, int]:
     return a, b
 
 
-def base_shingle_hashes(shingle_col):
-    """Hash each shingle string once into [0, 2^31): the only string-hash
-    pass; every minhash function derives from these by arithmetic."""
-    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MOD)))
-
-
 def text_to_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, bands: int = 0):
     """Fused tokenize→shingle→hash→MinHash(→LSH band buckets) kernel — one
     Arrow stage end to end.
