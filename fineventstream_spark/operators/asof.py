@@ -47,12 +47,20 @@ def asof_join(
     # Tag and align the two sides: left rows carry null right-values;
     # right rows carry null left-payloads. After the union, a window sorted
     # by (ts, side) lets last(ignorenulls) propagate right values forward.
+    # Right values travel inside a struct {present, value}: the struct is
+    # non-null for every right row even when the value itself is NULL, so a
+    # present-but-NULL right value correctly shadows older rows instead of
+    # being skipped by ignorenulls (latest-at-or-before semantics).
+    rdtypes = dict(right.dtypes)
     l = left.select(
         *[F.col(c) for c in left_cols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # left sorts after right on ts ties → inclusive match
         F.lit(None).cast("long").alias("__rtb"),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__rv_{v}") for v in right_values],
+        *[
+            F.lit(None).cast(f"struct<v:{rdtypes[v]}>").alias(f"__rv_{v}")
+            for v in right_values
+        ],
     )
     rtb = F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0).cast("long")
     r = right.select(
@@ -61,7 +69,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         rtb.alias("__rtb"),
-        *[F.col(v).alias(f"__rv_{v}") for v in right_values],
+        *[F.struct(F.col(v).alias("v")).alias(f"__rv_{v}") for v in right_values],
     ).select(*l.columns)  # align column order for unionByName-safety
 
     unioned = l.unionByName(r)
@@ -73,7 +81,7 @@ def asof_join(
     filled = unioned.select(
         *unioned.columns,
         *[
-            F.last(f"__rv_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            F.last(f"__rv_{v}", ignorenulls=True).over(w).getField("v").alias(f"{v}{suffix}")
             for v in right_values
         ],
     )

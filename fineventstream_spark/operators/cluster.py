@@ -45,6 +45,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         .repartition(n, "id")
         .persist()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -71,8 +72,22 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # One hop per iteration ⇒ a component with diameter > max_iterations
+        # would silently split into several clusters (multiple keepers for
+        # one true cluster). Surface it instead of returning quietly.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; some components may be split. Raise max_iterations "
+            "(diameter bound) for long duplicate chains.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

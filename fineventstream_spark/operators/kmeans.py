@@ -35,7 +35,6 @@ def kmeans_fit(
         [float(x) for x in r[0]]
         for r in df.orderBy(id_col).select(vec_col).limit(k).collect()
     ]
-    assigned = None
     for _ in range(iterations):
         assigned = df.withColumn("cluster", nearest_centroid_udf(centroids)(F.col(vec_col)))
         means = (
@@ -52,6 +51,10 @@ def kmeans_fit(
         for c, vec in acc.items():
             new[c] = vec
         centroids = new
+    # Recompute assignments against the *final* centroids so the returned
+    # (centroids, assignments) pair is mutually consistent — inside the loop
+    # `assigned` reflects the centroids from the start of the last round.
+    assigned = df.withColumn("cluster", nearest_centroid_udf(centroids)(F.col(vec_col)))
     return centroids, assigned.select(id_col, "cluster")
 
 

@@ -53,7 +53,14 @@ def salted_agg_count_sum(
     collect_list, percentile, UDAFs — where partial buffers on a hot key
     can exceed executor memory.)
     """
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)))
+    # Salt must be uncorrelated with the data: hashing the *value* maps a
+    # constant/low-cardinality hot group onto one salt and defeats the
+    # spread. A hash of the unique row id distributes uniformly no matter
+    # the value distribution (any salt assignment yields the same final
+    # aggregate, so nondeterminism across retries is harmless).
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
     pre = salted.groupBy(key, "__salt").agg(
         F.count("*").alias("__n"), F.sum(value_col).alias("__s")
     )

@@ -253,9 +253,14 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB percentile path; the exact form is oracle-checked in
     q_agg_stats."""
     t = Tables(spark, sf_dir)
+    # The quartile sketch is computed once as an array but surfaced as
+    # scalar columns: the driver's canonicalizer hashes cell values and
+    # cannot handle array cells.
+    iqr = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
     return t.lineitem.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("iqr_approx"),
+        F.element_at(iqr, 1).alias("p25_approx"),
+        F.element_at(iqr, 2).alias("p75_approx"),
         F.count("*").alias("n"),
     )
 

@@ -223,6 +223,76 @@ def test_asof_join_matches_python_reference(spark, seed):
     assert got == expected
 
 
+def test_asof_present_null_value_shadows_older(spark):
+    """A right row whose value is genuinely NULL must win over an older
+    non-null row (latest-at-or-before semantics), not be skipped."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T12:00:00"))], "id long, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 5.0, 1),
+            ("A", _ts("2024-01-01T11:00:00"), None, 2),  # newer, NULL value
+        ],
+        "sym string, ts timestamp, quote double, qid long",
+    )
+    out = asof_join(
+        left, right, on="sym", left_ts="ts", right_ts="ts",
+        right_values=["quote"], right_tiebreak="qid",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].quote_asof is None  # NOT 5.0 — the NULL row is the latest
+
+
+def test_exact_percentiles_match_builtin(spark, sf_dir):
+    """Range-bucketed exact percentiles == Spark built-in percentile()."""
+    from fineventstream_spark.operators.percentiles import exact_percentiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in exact_percentiles(
+            li, "l_returnflag", "l_extendedprice", [0.5, 0.9], n_buckets=7
+        ).collect()
+    }
+    ref = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_exact_percentiles_single_value_group(spark):
+    """Degenerate group (all values equal → zero-width bucket range)."""
+    from fineventstream_spark.operators.percentiles import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 7.0)] * 5 + [("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    got = {r.g: r.p50 for r in exact_percentiles(df, "g", "v", [0.5]).collect()}
+    assert got == {"a": 7.0, "b": 1.5}
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """A chain longer than max_iterations must surface a warning."""
+    import warnings
+
+    from fineventstream_spark.operators.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iterations=2).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salted join must be result-identical to the plain join."""
     from fineventstream_spark.operators.skew import salted_join
@@ -249,3 +319,19 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
     j5 = kmeans_inertia(emb, "embedding", c5)
     assert j5 <= j1 + 1e-9, f"inertia rose: {j1} -> {j5}"
     assert a5.count() == emb.count()
+
+
+def test_kmeans_assignments_match_returned_centroids(spark, sf_dir):
+    """(centroids, assignments) must be mutually consistent: re-assigning
+    with the returned centroids reproduces the returned assignments."""
+    from fineventstream_spark.operators.kmeans import kmeans_fit
+    from fineventstream_spark.operators.similarity import nearest_centroid_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    centroids, assigned = kmeans_fit(emb, "embedding", "vec_id", k=4, iterations=2)
+    reassigned = emb.select(
+        "vec_id", nearest_centroid_udf(centroids)(F.col("embedding")).alias("cluster")
+    )
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    ref = {r.vec_id: r.cluster for r in reassigned.collect()}
+    assert got == ref
