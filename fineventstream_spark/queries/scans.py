@@ -243,6 +243,45 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_news_lookback",
+    oracle="""
+    WITH bounds AS (SELECT MAX(ts) AS hi FROM events)
+    SELECT user_id,
+           count(*) AS n_articles,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen
+    FROM events, bounds
+    WHERE ts >= hi - INTERVAL 2 DAY AND ts <= hi
+    GROUP BY user_id
+    """,
+    tags=("S2", "F3"),
+    doc=(
+        "The news producer's date-ranged lookback re-expressed: compute the "
+        "[end - 2 days, end] fetch window (reference "
+        "producer_company_news.py:213-217), keep only records inside it, "
+        "aggregate per key. Streaming twin: sources/polling.py::poll_news_stream."
+    ),
+)
+def q_news_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # scalar "today" bound as a 1-row broadcast (no collect on the driver)
+    bounds = t.events.agg(F.max("ts").alias("hi"))
+    ev = t.events.crossJoin(F.broadcast(bounds))
+    return (
+        ev.filter(
+            (F.col("ts") >= F.col("hi") - F.expr("INTERVAL 2 DAYS"))
+            & (F.col("ts") <= F.col("hi"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_articles"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+    )
+
+
+@register(
     "q_sql_api",
     oracle="""
     SELECT n.n_name AS nation, count(*) AS n_customers, ROUND(SUM(c.c_acctbal), 4) AS total_balance

@@ -66,6 +66,22 @@ RAW_QUOTE_SCHEMA = T.StructType(
     ]
 )
 
+# Raw Finnhub company-news article shape (one element of the response
+# array) pre-projection: producer_company_news.py:76-79,152-164
+RAW_NEWS_SCHEMA = T.StructType(
+    [
+        T.StructField("category", T.StringType()),
+        T.StructField("datetime", T.LongType()),  # epoch seconds published
+        T.StructField("headline", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("image", T.StringType()),
+        T.StructField("related", T.StringType()),  # the symbol
+        T.StructField("source", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
 # Kinesis-style envelope: (partition_key, base64 payload) —
 # processor_stock_quotes.py:32-44
 ENVELOPE_SCHEMA = T.StructType(

@@ -30,16 +30,24 @@ def _dedup_group(
 ) -> Iterator[pd.DataFrame]:
     """Per-key (symbol) group: emit rows with id > high-water mark, then
     commit the new max — state advances only at epoch end, matching the
-    reference's post-batch commit ordering (producer_company_news.py:169-171)."""
+    reference's post-batch commit ordering (producer_company_news.py:169-171).
+
+    Within a batch the rows are sorted by id first (the reference sorts
+    each fetch by (datetime, id) before the monotone pass,
+    producer_company_news.py:107-120) and duplicate ids are collapsed —
+    a micro-batch may pack several overlapping poll files, so the same
+    article can appear twice inside one epoch."""
     (max_id,) = state.get if state.exists else (None,)
     hwm = max_id if max_id is not None else -1
-    new_hwm = hwm
-    for pdf in batches:
-        keep = pdf[pdf["news_id"] > hwm]
+    pdfs = list(batches)
+    if pdfs:
+        merged = pd.concat(pdfs, ignore_index=True)
+        merged = merged.sort_values("news_id").drop_duplicates("news_id")
+        keep = merged[merged["news_id"] > hwm]
         if len(keep):
-            new_hwm = max(new_hwm, int(keep["news_id"].max()))
+            hwm = int(keep["news_id"].max())
             yield keep
-    state.update((new_hwm,))
+    state.update((hwm,))
 
 
 def highwater_dedup(

@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fineventstream_spark.operators.asof import asof_join
-from fineventstream_spark.schemas import ENVELOPE_SCHEMA
+from fineventstream_spark.schemas import ENVELOPE_SCHEMA, RAW_NEWS_SCHEMA
+from fineventstream_spark.sources.polling import (
+    fake_news_fetcher,
+    fake_quote_fetcher,
+    poll_news_stream,
+    poll_quotes_stream,
+    project_news,
+)
 from fineventstream_spark.streaming.pipelines import quote_pipeline_batch
 from fineventstream_spark.streaming.sink import write_partitioned_stream
 from fineventstream_spark.streaming.state import highwater_dedup
@@ -134,3 +141,99 @@ def test_full_pipeline_quotes_news_asof(spark, tmpdir):
     # a100 published T0+300 → quote at T0 (190.0); a101 at T0+900 → quote at
     # T0+600 (191.0); m500 at T0+200 → quote at T0 (400.0)
     assert got == {100: 190.0, 101: 191.0, 500: 400.0}
+
+
+def test_full_pipeline_from_polling_sources(spark, tmpdir):
+    """Producers→lake for BOTH topics starting at the polling sources:
+    quotes (S1) are envelope-encoded and decoded downstream; news (S2)
+    re-fetches an overlapping 2-day lookback window each poll and the
+    high-water dedup collapses the duplicate article ids."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    T0 = 1_704_103_200  # 2024-01-01 10:00:00 UTC
+    qsrc = os.path.join(tmpdir, "quotes_env_src")
+    nstage = os.path.join(tmpdir, "news_staging")
+    os.makedirs(qsrc, exist_ok=True)
+    os.makedirs(nstage, exist_ok=True)
+
+    # -- producer side: quote poll → keyed envelope (send_to_kinesis
+    #    re-expression, producer_stock_quotes.py:113-145)
+    def quote_sink(df, batch_id):
+        env = df.select(
+            F.col("symbol").alias("partition_key"),
+            F.base64(F.to_json(F.struct(*df.columns)).cast("binary")).alias("data"),
+        )
+        env.coalesce(1).write.mode("append").json(qsrc)
+
+    # -- producer side: news poll with a clock jumping 6 h per batch, so
+    #    each poll re-fetches most of the previous window (dup ids) plus
+    #    one new 6-hour slot per symbol
+    def news_sink(df, batch_id):
+        df.coalesce(1).write.mode("append").json(nstage)
+
+    q_poll = poll_quotes_stream(
+        spark, quote_sink, fetcher=fake_quote_fetcher,
+        symbols=["AAPL", "MSFT"], poll_seconds=1,
+    )
+    n_poll = poll_news_stream(
+        spark, news_sink, fetcher=fake_news_fetcher,
+        symbols=["AAPL", "MSFT"], poll_seconds=1, lookback_days=2,
+        now_fn=lambda batch_id: T0 + batch_id * 6 * 3600,
+    )
+    deadline = time.time() + 60
+    def _json_files(d):
+        return [f for f in os.listdir(d) if f.endswith(".json")]
+    while time.time() < deadline and (
+        len(_json_files(qsrc)) < 2 or len(_json_files(nstage)) < 2
+    ):
+        time.sleep(0.5)
+    q_poll.stop()
+    n_poll.stop()
+    assert len(_json_files(qsrc)) >= 2, "quote poller produced <2 batches"
+    assert len(_json_files(nstage)) >= 2, "news poller produced <2 batches"
+
+    # -- consumer side: quotes decode→validate→project → partitioned lake
+    quotes_lake = os.path.join(tmpdir, "lake", "stock_quotes")
+    q1 = write_partitioned_stream(
+        quote_pipeline_batch(spark.readStream.schema(ENVELOPE_SCHEMA).json(qsrc)),
+        quotes_lake,
+        os.path.join(tmpdir, "ckpt_q2"),
+        fmt="parquet",
+        trigger_seconds=1,
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    # -- consumer side: news project → exact high-water dedup → lake
+    news_lake = os.path.join(tmpdir, "lake", "company_news")
+    staged = spark.readStream.schema(RAW_NEWS_SCHEMA).json(nstage)
+    projected = project_news(staged).drop("fetch_timestamp_utc")  # nondeterministic col
+    out_schema = (
+        "symbol string, news_id long, article_published_unix long, "
+        "article_published_utc timestamp, category string, headline string, "
+        "summary string, source string, url string, image_url string"
+    )
+    q2 = (
+        highwater_dedup(projected, out_schema)
+        .writeStream.format("parquet")
+        .option("path", news_lake)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_n2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    quotes = spark.read.parquet(quotes_lake)
+    assert quotes.count() >= 4  # ≥2 batches × 2 symbols, all valid
+    assert {r.symbol for r in quotes.select("symbol").distinct().collect()} == {"AAPL", "MSFT"}
+    assert quotes.filter(F.col("current_price").isNull()).count() == 0
+
+    staged_rows = spark.read.schema(RAW_NEWS_SCHEMA).json(nstage)
+    news = spark.read.parquet(news_lake)
+    # overlap re-fetch produced duplicate ids in staging; the lake has none
+    assert staged_rows.count() > staged_rows.select("id").distinct().count()
+    assert news.count() == news.select("news_id").distinct().count()
+    assert news.count() == staged_rows.select("id").distinct().count()

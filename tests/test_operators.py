@@ -293,6 +293,59 @@ def test_connected_components_warns_on_nonconvergence(spark):
     assert any("did not converge" in str(x.message) for x in w)
 
 
+def test_expect_row_split_and_rule_names(spark):
+    """expect(): clean/violation split with per-row failed-rule names."""
+    from fineventstream_spark.operators.quality import (
+        expect,
+        in_range,
+        in_set,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "A", -5.0),   # out of range
+            (2, "B", 20.0),   # duplicate id
+            (3, "Z", None),   # bad status + null value
+        ],
+        "id long, status string, amount double",
+    )
+    rules = [
+        not_null("amount"),
+        in_range("amount", 0.0, 100.0),
+        in_set("status", ("A", "B")),
+        unique("id"),
+    ]
+    clean, viol = expect(df, rules)
+    assert [r.id for r in clean.collect()] == [1]
+    got = {
+        (r.id, r.status): set(r.violated_rules) for r in viol.collect()
+    }
+    assert got[(2, "A")] == {"amount_in_range", "id_unique"}
+    assert got[(2, "B")] == {"id_unique"}
+    assert got[(3, "Z")] == {"amount_not_null", "status_in_set"}
+    # NULL passes in_range (three-valued logic): not flagged as range viol
+    assert "amount_in_range" not in got[(3, "Z")]
+
+
+def test_expectation_summary_counts(spark):
+    from fineventstream_spark.operators.quality import (
+        expectation_summary,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (2, 200.0), (3, 5.0)], "id long, amount double"
+    )
+    rules = [not_null("amount"), in_range("amount", 0.0, 100.0), unique("id")]
+    got = {r.rule: r.n_viol for r in expectation_summary(df, rules).collect()}
+    assert got == {"amount_not_null": 1, "amount_in_range": 1, "id_unique": 1}
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salted join must be result-identical to the plain join."""
     from fineventstream_spark.operators.skew import salted_join
