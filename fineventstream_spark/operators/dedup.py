@@ -272,9 +272,21 @@ def with_simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> Da
     return df.repartition(n_cores).withColumn(out_col, text_to_simhash_udf()(F.col(text_col)))
 
 
-def simhash_candidates(df: DataFrame, text_col: str, id_col: str, prefix_bits: int = 16) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix_bits: int = 16,
+    max_bucket: int = 50,
+) -> DataFrame:
     """Near-dup candidates: equal SimHash prefix buckets (4 rotations so any
-    pair within Hamming distance ~3 shares at least one bucket w.h.p.)."""
+    pair within Hamming distance ~3 shares at least one bucket w.h.p.).
+
+    Buckets larger than ``max_bucket`` are dropped, same as
+    :func:`minhash_lsh_candidates`: boilerplate-heavy corpora collapse into
+    one prefix bucket, and an uncapped a×b join there is a quadratic pair
+    explosion on one executor. (Exact duplicates dropped with a hot bucket
+    are still caught by :func:`exact_dedup` upstream.)"""
     sh = with_simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash")
     rotations = [0, 16, 32, 48]
     bucketed = sh.select(
@@ -298,8 +310,13 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str, prefix_bits: i
             )
         ).alias("rb"),
     ).select("id", "simhash", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"))
-    a = bucketed.select("rot", "bucket", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = bucketed.select("rot", "bucket", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    bucket_counts = bucketed.groupBy("rot", "bucket").agg(F.count("*").alias("bsz"))
+    capped = bucketed.join(
+        F.broadcast(bucket_counts.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))),
+        ["rot", "bucket"],
+    )
+    a = capped.select("rot", "bucket", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = capped.select("rot", "bucket", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         a.join(b, ["rot", "bucket"])

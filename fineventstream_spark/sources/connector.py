@@ -1,0 +1,66 @@
+"""Broker-connector adapter (SURVEY §2.1 S3/S9): one entry point that
+yields the keyed-envelope stream whatever the physical broker is.
+
+The reference consumes Kinesis micro-batches of (partition key, opaque
+bytes) records (processor_stock_quotes.py:32-44; put side
+producer_stock_quotes.py:126-138). The engine's decode path
+(streaming/pipelines.py) is written against that logical envelope —
+``ENVELOPE_SCHEMA`` = (partition_key string, data base64-string) — so
+swapping brokers is a config change, not a pipeline change:
+
+- ``file``/``json``: JSONL directory of envelope rows — what the container
+  and tests use (no broker available here).
+- ``kafka``: Structured Streaming's Kafka source; the binary key/value
+  columns are mapped onto the envelope (value → base64) so the downstream
+  ``unbase64 → from_json`` decode runs unchanged. Requires the
+  spark-sql-kafka package on the cluster.
+- ``rate``: synthetic envelope stream (throughput smoke tests).
+
+At 100 TB/day the adapter choice sets only source parallelism (Kafka
+partitions ↔ Spark tasks); everything downstream — decode, dedup, windowed
+aggs, partitioned sink — is broker-agnostic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineventstream_spark.schemas import ENVELOPE_SCHEMA
+
+
+def read_envelope_stream(
+    spark: SparkSession,
+    source_format: str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Return a streaming DataFrame with ENVELOPE_SCHEMA columns
+    (partition_key, data) from the named source format."""
+    options = dict(options or {})
+    if source_format in ("file", "json"):
+        path = options.pop("path")
+        return (
+            spark.readStream.schema(ENVELOPE_SCHEMA)
+            .options(**options)
+            .json(path)
+            .select("partition_key", "data")
+        )
+    if source_format == "kafka":
+        raw = spark.readStream.format("kafka").options(**options).load()
+        # Kafka carries raw payload bytes; the envelope contract carries
+        # base64 text (the Kinesis→Lambda event shape the decode path
+        # expects) — encode on ingest so decode_envelope is unchanged.
+        return raw.select(
+            F.col("key").cast("string").alias("partition_key"),
+            F.base64(F.col("value")).alias("data"),
+        )
+    if source_format == "rate":
+        raw = spark.readStream.format("rate").options(**options).load()
+        return raw.select(
+            (F.col("value") % 8).cast("string").alias("partition_key"),
+            F.base64(F.to_json(F.struct("timestamp", "value")).cast("binary")).alias("data"),
+        )
+    raise ValueError(
+        f"unknown envelope source format {source_format!r}; "
+        "expected file|json|kafka|rate"
+    )

@@ -194,10 +194,14 @@ def test_full_pipeline_from_polling_sources(spark, tmpdir):
     assert len(_json_files(qsrc)) >= 2, "quote poller produced <2 batches"
     assert len(_json_files(nstage)) >= 2, "news poller produced <2 batches"
 
-    # -- consumer side: quotes decode→validate→project → partitioned lake
+    # -- consumer side: quotes decode→validate→project → partitioned lake,
+    #    reading through the broker-agnostic envelope adapter (a real
+    #    deployment changes only source_format + options here)
+    from fineventstream_spark.sources.connector import read_envelope_stream
+
     quotes_lake = os.path.join(tmpdir, "lake", "stock_quotes")
     q1 = write_partitioned_stream(
-        quote_pipeline_batch(spark.readStream.schema(ENVELOPE_SCHEMA).json(qsrc)),
+        quote_pipeline_batch(read_envelope_stream(spark, "json", {"path": qsrc})),
         quotes_lake,
         os.path.join(tmpdir, "ckpt_q2"),
         fmt="parquet",

@@ -115,6 +115,81 @@ def test_minhash_finds_exact_dupes(spark, sf_dir):
     assert not missing, f"exact dupes missed by LSH: {missing}"
 
 
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    """Docs with a one-word edit must surface as SimHash candidates with a
+    small Hamming distance (planted ground truth — the fixture corpus alone
+    proves nothing because it has no near-dups at threshold)."""
+    from fineventstream_spark.operators.dedup import simhash_candidates
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40).collect()
+    rows = [(r.doc_id, r.text) for r in base]
+    planted = [(1_000_000 + r.doc_id, r.text + " zzyzx") for r in base[:5]]
+    df = spark.createDataFrame(rows + planted, "doc_id long, text string")
+    cands = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(df, "text", "doc_id").collect()}
+    expected = {(r.doc_id, 1_000_000 + r.doc_id) for r in base[:5]}
+    missing = expected - set(cands)
+    assert not missing, f"planted near-dups missed by SimHash: {missing}"
+    assert all(cands[p] <= 8 for p in expected), f"hamming too large: {[cands[p] for p in expected]}"
+
+
+def test_simhash_bucket_cap_bounds_pairs(spark):
+    """200 identical-prefix (boilerplate) docs collapse into hot buckets
+    that must be dropped, not exploded into ~20k pairs; a small planted
+    triple below the cap still surfaces."""
+    from fineventstream_spark.operators.dedup import simhash_candidates
+
+    boiler = [(i, "lorem ipsum dolor sit amet boilerplate common header footer")
+              for i in range(200)]
+    trio = [(1000 + i, "a genuinely unique sentence about sparks and rivers")
+            for i in range(3)]
+    df = spark.createDataFrame(boiler + trio, "doc_id long, text string")
+    pairs = simhash_candidates(df, "text", "doc_id").collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert found == {(1000, 1001), (1000, 1002), (1001, 1002)}, (
+        f"expected only the capped-out boilerplate dropped and the trio kept, got {len(found)} pairs"
+    )
+
+
+def test_ngram_jaccard_verify_planted(spark):
+    """Exact Jaccard on planted candidates: hand-computed overlap values."""
+    from fineventstream_spark.operators.dedup import ngram_jaccard_verify
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_verify(cands, df, "text", "doc_id").collect()
+    }
+    # 3-shingles: doc1 {abc,bcd,cde} vs doc2 {abc,bcd,cdf} → 2/4; doc3 disjoint
+    assert got == {(1, 2): 0.5, (1, 3): 0.0}
+
+
+def test_embedding_near_dup_planted(spark, sf_dir):
+    """Vector + tiny noise must surface as an embedding near-dup pair (the
+    fixture corpus has no ≥0.9-cosine pairs, so only planting validates
+    recall)."""
+    import math
+
+    from fineventstream_spark.operators.similarity import cosine_near_dup_pairs
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50).collect()
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in base]
+    planted = [
+        (1_000_000 + r.vec_id,
+         [float(x) + 0.001 * math.sin(j + r.vec_id) for j, x in enumerate(r.embedding)])
+        for r in base[:5]
+    ]
+    df = spark.createDataFrame(rows + planted, "vec_id long, embedding array<float>")
+    pairs = cosine_near_dup_pairs(df, "embedding", "vec_id", dim=64)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.vec_id, 1_000_000 + r.vec_id) for r in base[:5]}
+    missing = expected - found
+    assert not missing, f"planted embedding near-dups missed: {missing}"
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF top-10 must overlap heavily with exact brute force (same query)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -88,6 +88,33 @@ def test_stream_stream_join_with_watermarks(spark, tmpdir):
     assert rows == {("AAPL", "a", 190.0)}
 
 
+def test_envelope_adapter_rate_and_unknown_format(spark):
+    """S3/S9 adapter: every source format yields the same envelope schema
+    (partition_key string, data base64 string); unknown formats fail fast."""
+    from fineventstream_spark.sources.connector import read_envelope_stream
+
+    env = read_envelope_stream(spark, "rate", {"rowsPerSecond": "10"})
+    assert env.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in env.schema.fields] == [
+        ("partition_key", "string"),
+        ("data", "string"),
+    ]
+    rows = []
+    q = (
+        env.writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    _wait_for(q, lambda: rows)
+    import base64
+
+    decoded = json.loads(base64.b64decode(rows[0].data))
+    assert "value" in decoded and rows[0].partition_key is not None
+
+    with pytest.raises(ValueError, match="unknown envelope source format"):
+        read_envelope_stream(spark, "carrier-pigeon", {})
+
+
 def test_polling_source_cadence_and_projection(spark, tmpdir):
     """S1: rate-driven polling with an injected deterministic fetcher,
     feeding the quote projection chain; per-symbol keyed records land."""
