@@ -128,6 +128,7 @@ def all_queries() -> dict[str, Query]:
         functions,
         joins,
         llm,
+        pipeline,
         projection,
         scans,
         sorts,
