@@ -1,0 +1,79 @@
+"""Distributed global rank: total-order row numbering without the
+single-task sort.
+
+``Window.orderBy(...)`` with no ``partitionBy`` is the classic Spark
+scale trap: every row moves to ONE reducer for the sort. This operator
+produces the identical rank column with the sort spread over
+``n_buckets`` reducers:
+
+1. one partial-agg pass computes global (min, max) of a numeric
+   *bucket key* that is monotone non-decreasing along the requested
+   total order (e.g. the leading sort column, direction-normalized);
+2. ``width_bucket`` assigns each row a range bucket — pure JVM codegen;
+   because the key is monotone along the order, every row in bucket b
+   sorts before every row in bucket b+1, and ties (equal keys) always
+   share a bucket;
+3. per-bucket counts (tiny: one row per bucket) → broadcast cumulative
+   offsets;
+4. ``row_number`` within each bucket over the FULL order spec, plus the
+   bucket offset, equals the global ``row_number`` over the total order.
+
+Same machinery as operators/percentiles.py step 3-4, factored for reuse
+by any "materialize a total order" query. Value-skew makes buckets
+uneven but never wrong; at 100 TB raise ``n_buckets`` (the offsets
+frame stays one row per bucket). NULL keys: pass ``null_bucket`` to
+place them in a dedicated first/last bucket to mirror NULLS FIRST/LAST.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    bucket_key: Column,
+    order_cols: list[Column],
+    rank_col: str = "pos",
+    n_buckets: int = 64,
+    null_bucket: str | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = row_number() over the total order given by
+    ``order_cols`` (must include a unique tiebreak), distributed via
+    range-bucketing on ``bucket_key``.
+
+    ``bucket_key`` must be numeric and monotone non-decreasing along
+    ``order_cols``'s leading key (negate for DESC). ``null_bucket``
+    ('first' | 'last' | None) places NULL bucket keys; with None a NULL
+    key is an error in the caller's contract.
+    """
+    src = df.withColumn("__bk", bucket_key.cast("double"))
+
+    stats = src.select(
+        F.min("__bk").alias("__mn"), F.max("__bk").alias("__mx")
+    )
+    bucketed = src.crossJoin(F.broadcast(stats)).withColumn(
+        "__b",
+        F.when(F.col("__bk").isNull(), F.lit(0 if null_bucket == "first" else n_buckets + 1))
+        .when(F.col("__mx") == F.col("__mn"), F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets),
+                F.width_bucket(F.col("__bk"), F.col("__mn"), F.col("__mx"), F.lit(n_buckets)),
+            )
+        ),
+    )
+
+    bucket_counts = bucketed.groupBy("__b").agg(F.count("*").alias("__bc"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_counts.select(
+        "__b", F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__off")
+    )
+
+    w_local = Window.partitionBy("__b").orderBy(*order_cols)
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn(rank_col, (F.row_number().over(w_local) + F.col("__off")).cast("bigint"))
+        .drop("__b", "__bk", "__mn", "__mx", "__off")
+    )

@@ -6,9 +6,9 @@ null→0 defaulting before stateful processing (producer_company_news.py:107-120
 Determinism: the driver's value hash is order-insensitive, so pure sorts
 would not actually be validated; each sort query therefore materializes its
 order as a rank column computed over the *total* order (unique tiebreak).
-Scale note: a global rank needs a global sort — fine for reporting-sized
-results, wrong for 100 TB intermediates; at scale rank within partitions
-(Window.partitionBy) instead, which these queries use where possible.
+Scale note: the rank is computed with operators/rank.py's range-bucketed
+global_rank — NOT a bare ``Window.orderBy`` (which would concentrate the
+whole sort in one task); the sort shuffle spreads over n_buckets reducers.
 """
 
 from __future__ import annotations
@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
+from fineventstream_spark.operators.rank import global_rank
 from fineventstream_spark.registry import register
 
 
@@ -49,8 +50,11 @@ def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(nulled_ts, F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("sort_ts"),
         )
     )
-    w = Window.orderBy(F.col("sort_ts").asc(), F.col("event_id").asc())
-    return base.withColumn("pos", F.row_number().over(w).cast("bigint"))
+    return global_rank(
+        base,
+        bucket_key=F.unix_micros(F.col("sort_ts")),
+        order_cols=[F.col("sort_ts").asc(), F.col("event_id").asc()],
+    )
 
 
 @register(
@@ -76,8 +80,12 @@ def q_sort_desc_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("maybe_value"),
     )
-    w = Window.orderBy(F.col("maybe_value").desc_nulls_last(), F.col("event_id").asc())
-    return base.withColumn("pos", F.row_number().over(w).cast("bigint"))
+    return global_rank(
+        base,
+        bucket_key=-F.col("maybe_value"),
+        order_cols=[F.col("maybe_value").desc_nulls_last(), F.col("event_id").asc()],
+        null_bucket="last",
+    )
 
 
 @register(

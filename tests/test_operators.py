@@ -463,3 +463,35 @@ def test_kmeans_assignments_match_returned_centroids(spark, sf_dir):
     got = {r.vec_id: r.cluster for r in assigned.collect()}
     ref = {r.vec_id: r.cluster for r in reassigned.collect()}
     assert got == ref
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_global_rank_matches_brute_force(spark, seed):
+    import random
+
+    from pyspark.sql import Window
+
+    from fineventstream_spark.operators.rank import global_rank
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.choice([None, rng.uniform(-5, 5), 1.0]))  # nulls + heavy ties
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.col("v").desc_nulls_last(), F.col("id").asc()]
+
+    got = global_rank(df, bucket_key=-F.col("v"), order_cols=order,
+                      null_bucket="last", n_buckets=7)
+    brute = df.withColumn("pos", F.row_number().over(Window.orderBy(*order)).cast("bigint"))
+    assert sorted(got.select("id", "v", "pos").collect()) == sorted(
+        brute.select("id", "v", "pos").collect()
+    )
+
+
+def test_global_rank_single_value(spark):
+    from fineventstream_spark.operators.rank import global_rank
+
+    df = spark.createDataFrame([(i, 42.0) for i in range(10)], "id long, v double")
+    out = global_rank(df, bucket_key=F.col("v"), order_cols=[F.col("v").asc(), F.col("id").asc()])
+    assert [r.pos for r in out.orderBy("id").collect()] == list(range(1, 11))
