@@ -242,3 +242,195 @@ def q_llm_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_tile") == 1)
         .drop("q_tile")
     )
+
+
+@register(
+    "q_llm_repetition",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+    ), shagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_gd
+        FROM sh GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           ROUND(CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w), 6) AS ttr,
+           ROUND(CAST(COALESCE(s.n_g, 0) - COALESCE(s.n_gd, 0) AS DOUBLE)
+                 / GREATEST(COALESCE(s.n_g, 0), 1), 6) AS dup_trigram_frac
+    FROM words w LEFT JOIN shagg s USING (doc_id)
+    """,
+    tags=("PL6", "U7"),
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style): type-token ratio and the
+    duplicated word-trigram fraction per document. Everything is array
+    built-ins inside one projection — no explode, no shuffle at all; the
+    plan is a pure map stage over the scan, so it runs at I/O speed on
+    100 TB."""
+    t = Tables(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    g = word_shingles(F.col("text"), k=3)
+    n_g = F.size(g)
+    n_gd = F.size(F.array_distinct(g))
+    return t.documents.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 6).alias("ttr"),
+        F.round(
+            (n_g - n_gd).cast("double") / F.greatest(n_g, F.lit(1)), 6
+        ).alias("dup_trigram_frac"),
+    )
+
+
+@register(
+    "q_llm_idf",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+              FROM documents)
+        GROUP BY term
+    )
+    SELECT term, df,
+           ROUND(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / (df + 1), 6) AS idf_w
+    FROM df ORDER BY df DESC, term ASC LIMIT 50
+    """,
+    tags=("PL7",),
+)
+def q_llm_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency table with a log-free IDF weight
+    ((N+1)/(df+1) — monotone in the usual log formulation, but exactly
+    reproducible across engines; no libm in the ranking). array_distinct
+    BEFORE explode keeps the shuffle at one row per (doc, distinct term);
+    the corpus size joins in as a broadcast scalar. Top-50 is
+    TakeOrderedAndProject — no global sort."""
+    t = Tables(spark, sf_dir)
+    n = t.documents.agg(F.count("*").alias("n_docs"))
+    df = (
+        t.documents.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        df.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            F.round((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1), 6).alias("idf_w"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "q_llm_tfidf_top",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * (CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / (df.df + 1)), 6) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / (df.df + 1)) DESC,
+                            tf.term ASC
+               ) AS rn
+        FROM tf JOIN df USING (term)
+    ) WHERE rn <= 3
+    """,
+    tags=("PL8", "W4"),
+)
+def q_llm_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf (log-free idf
+    weight, integer-derived doubles → bit-identical ranking across
+    engines; ties broken by term). Two aggregations share the exploded
+    frame's (doc, term) partitioning; the per-term df table is small
+    (vocabulary-sized) and broadcasts back."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    n = t.documents.agg(F.count("*").alias("n_docs"))
+    tf = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf") * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round(score, 6).alias("tfidf"))
+    )
+
+
+@register(
+    "q_llm_embed_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                        1e-12) AS mx
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(v, x -> x*x))), 6) AS l2_norm,
+           ROUND(127.0 / mx, 6) AS scale,
+           ROUND(list_sum(list_transform(v, x ->
+                 pow(x - floor(x * (127.0/mx) + 0.5) / (127.0/mx), 2))) / len(v), 8) AS mse
+    FROM s
+    """,
+    tags=("PL9", "U6"),
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage/bandwidth step
+    before ANN at scale): per-vector scale = 127/max|x|, quantize via
+    floor(x·scale + 0.5) (identical rounding in every engine, unlike
+    banker's-rounding round()), report L2 norm and reconstruction MSE.
+    One fused Arrow kernel — float32 matrix in, three float64 columns
+    out; no per-element Python, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def quant_stats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mx = np.maximum(np.abs(v).max(axis=1), 1e-12)
+            scale = 127.0 / mx
+            q = np.floor(v * scale[:, None] + 0.5)
+            err = v - q / scale[:, None]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "l2_norm": np.round(np.sqrt((v * v).sum(axis=1)), 6),
+                    "scale": np.round(scale, 6),
+                    "mse": np.round((err * err).mean(axis=1), 8),
+                }
+            )
+
+    t = Tables(spark, sf_dir)
+    return t.embeddings.select("vec_id", "embedding").mapInPandas(
+        quant_stats, "vec_id bigint, l2_norm double, scale double, mse double"
+    )

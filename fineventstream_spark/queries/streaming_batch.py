@@ -153,3 +153,40 @@ def q_repartition_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("ts")
         .select("event_id", "user_id", "ts", "event_type")
     )
+
+
+@register(
+    "q_upsert_latest",
+    oracle="""
+    WITH merged AS (
+        SELECT * FROM events WHERE event_id < 8000
+        UNION ALL BY NAME
+        SELECT * FROM events WHERE event_id >= 8000
+    )
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM merged)
+    WHERE rn = 1
+    """,
+    tags=("T9",),
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert / latest-snapshot merge: a base snapshot plus an update
+    batch collapse to one row per key — newest (ts, event_id) wins. This
+    is the batch twin of the foreachBatch-MERGE sink pattern (Structured
+    Streaming upserting into a keyed lake table). One shuffle on the key;
+    per-key groups are bounded (a key's history, not the corpus), so the
+    window never concentrates — the scale-safe opposite of a global sort."""
+    t = Tables(spark, sf_dir)
+    base = t.events.filter(F.col("event_id") < 8000)
+    updates = t.events.filter(F.col("event_id") >= 8000)
+    merged = base.unionByName(updates)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
