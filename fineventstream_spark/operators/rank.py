@@ -77,3 +77,59 @@ def global_rank(
         .withColumn(rank_col, (F.row_number().over(w_local) + F.col("__off")).cast("bigint"))
         .drop("__b", "__bk", "__mn", "__mx", "__off")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    bucket_key: Column,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "prefix",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Append ``out_col`` = EXCLUSIVE running sum of ``value_col`` over the
+    total order given by ``order_cols`` (row's own value not included) —
+    the distributed twin of ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``, which in naive form is a single-task
+    sort.
+
+    Same two-pass range-bucket scheme as :func:`global_rank`: per-bucket
+    value sums (one row per bucket) roll into broadcast cumulative
+    offsets, and the within-bucket exclusive cumsum runs in parallel
+    across buckets. ``bucket_key`` must be numeric, non-NULL, and
+    monotone non-decreasing along ``order_cols``'s leading key.
+    """
+    src = df.withColumn("__bk", bucket_key.cast("double"))
+
+    stats = src.select(F.min("__bk").alias("__mn"), F.max("__bk").alias("__mx"))
+    bucketed = src.crossJoin(F.broadcast(stats)).withColumn(
+        "__b",
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(1)).otherwise(
+            F.least(
+                F.lit(n_buckets),
+                F.width_bucket(F.col("__bk"), F.col("__mn"), F.col("__mx"), F.lit(n_buckets)),
+            )
+        ),
+    )
+
+    bucket_sums = bucketed.groupBy("__b").agg(F.sum(value_col).alias("__bs"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_sums.select(
+        "__b", F.coalesce(F.sum("__bs").over(w_off), F.lit(0)).alias("__off")
+    )
+
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.sum(value_col).over(w_local), F.lit(0)) + F.col("__off")).cast(
+                "bigint"
+            ),
+        )
+        .drop("__b", "__bk", "__mn", "__mx", "__off")
+    )

@@ -434,3 +434,133 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.embeddings.select("vec_id", "embedding").mapInPandas(
         quant_stats, "vec_id bigint, l2_norm double, scale double, mse double"
     )
+
+
+@register(
+    "q_llm_pii_redact",
+    oracle=r"""
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(c_name, '\d{4,}')) AS BIGINT) AS n_ids,
+           regexp_replace(c_name, '\d{4,}', '[ID]', 'g') AS redacted,
+           md5(regexp_replace(c_name, '\d{4,}', '[ID]', 'g')) AS redacted_md5
+    FROM customer
+    """,
+    tags=("PL10", "F4"),
+)
+def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style identifier scrubbing: detect long digit runs (account /
+    record numbers) in a text column, count them, and emit the redacted
+    text plus its md5 (the md5 twin proves byte-identical redaction
+    across engines — the property a compliance pipeline actually needs).
+    Pure map stage — regexp_count / regexp_replace are JVM codegen; at
+    100 TB this runs at scan speed with zero shuffle. Real PII rulesets
+    are just more patterns in the same projection (emails, phones,
+    SSNs); the digit-run rule is the one this corpus exercises
+    non-vacuously."""
+    t = Tables(spark, sf_dir)
+    pat = r"\d{4,}"
+    red = F.regexp_replace(F.col("c_name"), pat, "[ID]")
+    return t.customer.select(
+        "c_custkey",
+        F.regexp_count(F.col("c_name"), F.lit(pat)).cast("bigint").alias("n_ids"),
+        red.alias("redacted"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+@register(
+    "q_llm_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), pre AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM toks
+    )
+    SELECT CAST(prefix // 512 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM pre GROUP BY 1
+    """,
+    tags=("PL11", "W3"),
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: stream documents in doc_id order
+    into contiguous ~512-token bins (bin = exclusive-prefix-token-count
+    div budget — the deterministic chunking a dataloader shards on).
+    The naive formulation is SUM() OVER (ORDER BY doc_id) — a
+    single-task global sort. Here the exclusive prefix sum is computed
+    distributed (operators/rank.py:global_prefix_sum): range-bucket on
+    doc_id, per-bucket sums → broadcast offsets, within-bucket window —
+    the sort spreads over 64 reducers and the only global state is one
+    64-row offsets frame. Output is the per-bin manifest."""
+    from fineventstream_spark.operators.rank import global_prefix_sum
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    pre = global_prefix_sum(
+        toks,
+        bucket_key=F.col("doc_id"),
+        order_cols=[F.col("doc_id")],
+        value_col="n_tokens",
+        out_col="prefix",
+    )
+    return (
+        pre.withColumn("bin_id", (F.col("prefix") / F.lit(512)).cast("bigint"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "q_llm_stopword_filter",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN term IN ('a', 'the', 'of', 'to', 'and')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+           CAST(SUM(CASE WHEN term IN ('a', 'the', 'of', 'to', 'and')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM tok GROUP BY doc_id
+    """,
+    tags=("PL12", "U7"),
+)
+def q_llm_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword accounting via the broadcast-dictionary pattern: explode
+    to a token stream, LEFT join the (tiny, broadcast) stopword dim,
+    re-aggregate per document. This is the scale shape for any
+    token-level dictionary op (stopwords, blocklists, vocab lookups) —
+    the dictionary broadcasts however big the corpus is, and the
+    re-aggregation partially aggregates map-side. Array higher-order
+    alternatives (filter/exists) are CodegenFallback — interpreted
+    per-element — so the explode+join form is also the faster one."""
+    t = Tables(spark, sf_dir)
+    stopwords = spark.createDataFrame(
+        [("a",), ("the",), ("of",), ("to",), ("and",)], ["term"]
+    ).withColumn("is_stop", F.lit(1))
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        tok.join(F.broadcast(stopwords), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("is_stop"), F.lit(0))).cast("bigint").alias("n_stop"),
+            F.sum(F.when(F.col("is_stop").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

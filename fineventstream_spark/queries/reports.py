@@ -1,0 +1,157 @@
+"""R-family: multi-join analytical reports (TPC-H classic shapes).
+
+The reference's analytics story stops at "query the S3 lake with Athena"
+(/root/reference/README.md:16) — the warehouse queries its two-topic
+schema is shaped for are never shipped. This module supplies the
+canonical warehouse workload shapes over the same lake: snowflake joins
+(fact ⋈ fact ⋈ dims), EXISTS-style semi-join aggregation, and top-k
+customer reports — each one a composition of operators the engine
+already exposes individually (J1-J7, A1-A9, O3).
+
+Scale notes (100 TB):
+- nation/region are O(10²) rows forever → explicit ``broadcast()``;
+  customer/supplier/orders grow with SF → left to Catalyst + AQE
+  (sort-merge or shuffled-hash by stats; never a hinted broadcast that
+  would OOM the driver at SF 100k).
+- Q4's EXISTS compiles to a LEFT SEMI join — one shuffle on orderkey,
+  no row explosion, no correlated per-row subquery execution.
+- Q10's top-20 ends in TakeOrderedAndProject (no global sort): the
+  per-customer aggregate is the only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineventstream_spark.catalog import Tables
+from fineventstream_spark.registry import register
+
+
+@register(
+    "q_report_nation_volume",
+    oracle="""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("R1", "J1", "J4", "A1"),
+)
+def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue shipped by suppliers in
+    the ordering customer's own nation, per nation. Six-table snowflake:
+    two facts (orders, lineitem) plus customer/supplier and the
+    broadcast-sized nation/region chain. The c_nationkey = s_nationkey
+    equality rides the supplier join (no extra shuffle); the date filter
+    is pushed to the orders scan."""
+    t = Tables(spark, sf_dir)
+    dims = F.broadcast(
+        t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
+    )
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return (
+        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_report_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'A'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("R2", "O3", "A1"),
+)
+def q_report_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    on returned lines. The returnflag filter prunes lineitem at the
+    scan; one aggregate shuffle on custkey; the final top-20 is
+    TakeOrderedAndProject (heap per partition + driver merge of 20-row
+    heads — no global sort at any SF). c_custkey tiebreak keeps the
+    limit deterministic."""
+    t = Tables(spark, sf_dir)
+    returned = t.lineitem.filter(F.col("l_returnflag") == "A")
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(returned, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_report_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("R3", "J3", "A1"),
+)
+def q_report_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders in a window that had at
+    least one line shipped after the order date, counted per priority.
+    The EXISTS is a LEFT SEMI join on orderkey — the correlated
+    l_shipdate > o_orderdate predicate rides the join condition, so no
+    row from lineitem survives the join (no dedup needed, no
+    explosion). One semi-join shuffle + one 5-group aggregate."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        orders.join(
+            t.lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

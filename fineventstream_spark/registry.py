@@ -130,6 +130,7 @@ def all_queries() -> dict[str, Query]:
         llm,
         pipeline,
         projection,
+        reports,
         scans,
         sorts,
         streaming_batch,
