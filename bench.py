@@ -55,6 +55,11 @@ HEADLINE = [
     "q_subquery_correlated",
     "q_dq_violations",
     "q_news_lookback",
+    "q_report_nation_volume",
+    "q_report_order_priority",
+    "q_event_ohlc_bars",
+    "q_llm_pack_sequences",
+    "q_upsert_latest",
 ]
 
 

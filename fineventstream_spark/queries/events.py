@@ -1,0 +1,170 @@
+"""E-family: event-stream analytics (the workload the reference's lake
+is FOR).
+
+The reference lands quote/news events in S3 "for analysis with Athena"
+(/root/reference/README.md:16) but ships no analytics. These are the
+canonical event-table queries a user of that lake runs: OHLC bar
+resampling (the quote-pipeline headline, producer_stock_quotes.py's
+price field rolled up to bars), value histograms, per-group z-score
+outliers, and funnel conversion. All single-fact-table shapes: one scan,
+one (or zero) shuffle, partial aggregation everywhere.
+
+Determinism notes: OHLC open/close use min_by/max_by with a zero-padded
+``(epoch_us, event_id)`` string key — a total order, so ties are
+impossible and the oracle (DuckDB arg_min/arg_max on the same key)
+agrees bit-for-bit. The histogram bucket formula is written with the
+identical expression tree on both engines (floor((v-mn)*B/(mx-mn)))
+because min/max are exact; IEEE doubles then agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineventstream_spark.catalog import Tables
+from fineventstream_spark.registry import register
+
+
+def _tick_key() -> F.Column:
+    """Zero-padded (epoch_us, event_id) string — a lexicographic total
+    order over ticks that both Spark and DuckDB compare identically."""
+    return F.format_string("%020d|%012d", F.unix_micros(F.col("ts")), F.col("event_id"))
+
+
+@register(
+    "q_event_ohlc_bars",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts,
+           arg_min(value, printf('%020d|%012d', epoch_us(ts), event_id)) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           ROUND(SUM(value), 4) AS volume
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("E1", "A1", "T4"),
+)
+def q_event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling: per (symbol, day) open/high/low/close +
+    tick count + volume. open/close are min_by/max_by over the total
+    tick order — ONE aggregation pass (no self-join, no window), so the
+    whole query is a single partial-aggregated shuffle on the bar key.
+    This is the resample that turns the reference's raw quote stream
+    into the bars its Athena users chart."""
+    t = Tables(spark, sf_dir)
+    key = _tick_key()
+    return (
+        t.events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("bar_ts")
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_ticks"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+    )
+
+
+@register(
+    "q_event_histogram",
+    oracle="""
+    WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
+    SELECT CAST(LEAST(floor((value - mn) * 20 / (mx - mn)), 19) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, s GROUP BY 1
+    """,
+    tags=("E2", "A1"),
+)
+def q_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event values. Two passes over
+    the fact: a 1-row min/max aggregate broadcast back, then a
+    20-group count — both fully partial-aggregated; the broadcast is
+    one row whatever the SF. The bucket expression is written with the
+    same tree as the oracle so IEEE doubles agree exactly (min/max are
+    exact values, not sums)."""
+    t = Tables(spark, sf_dir)
+    stats = t.events.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) * 20 / (F.col("mx") - F.col("mn"))),
+        F.lit(19),
+    ).cast("bigint")
+    return (
+        t.events.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_event_outliers",
+    oracle="""
+    WITH s AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+               FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, ROUND((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS((e.value - s.mu) / s.sd) > 2.5
+    """,
+    tags=("E3", "A7", "DQ1"),
+)
+def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (|z| > 2.5): the distributed
+    anomaly-detection primitive. Group moments are a tiny aggregate
+    (one row per event_type) broadcast back onto the fact — the fact
+    table itself never shuffles. The 2.5 cut sits ≫ float-noise away
+    from every fixture z-value, so the Spark/DuckDB row sets agree
+    despite summation-order differences in AVG."""
+    t = Tables(spark, sf_dir)
+    moments = t.events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        t.events.join(F.broadcast(moments), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH a AS (SELECT user_id, MIN(ts) AS ta FROM events
+               WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT user_id, MIN(ts) AS tb FROM events
+               WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_entered,
+           CAST(SUM(CASE WHEN b.tb > a.ta THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(SUM(CASE WHEN b.tb > a.ta THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS conv_rate
+    FROM a LEFT JOIN b USING (user_id)
+    """,
+    tags=("E4", "J2", "A1"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel conversion: of users who clicked, how many later
+    purchased. First-touch times are per-user MIN aggregates (partial,
+    one row per user) and the step join is per-user too — the raw event
+    rows never pairwise join (the naive event-self-join explodes
+    quadratically per user at scale). Ends in a 1-row global
+    aggregate."""
+    t = Tables(spark, sf_dir)
+    a = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    b = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    conv = F.when(F.col("tb") > F.col("ta"), 1).otherwise(0)
+    return a.join(b, "user_id", "left").agg(
+        F.count("*").alias("n_entered"),
+        F.sum(conv).cast("bigint").alias("n_converted"),
+        F.round(F.sum(conv) / F.count("*"), 6).alias("conv_rate"),
+    )

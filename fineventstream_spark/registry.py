@@ -125,6 +125,7 @@ def all_queries() -> dict[str, Query]:
     from fineventstream_spark.queries import (  # noqa: F401
         aggregates,
         dataquality,
+        events,
         functions,
         joins,
         llm,

@@ -91,3 +91,49 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
     assert df.count() > 0
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    """EXISTS must become one LEFT SEMI join — not a per-row subquery,
+    not an inner join + dedup (row explosion)."""
+    plan = _plan(spark, sf_dir, "q_report_order_priority")
+    assert "LeftSemi" in plan, f"EXISTS did not compile to a semi join:\n{plan}"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q10_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_report_returned_items")
+    assert "TakeOrderedAndProject" in plan, "top-20 report should not global-sort"
+
+
+def test_q5_broadcasts_dim_chain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_report_nation_volume")
+    assert "BroadcastHashJoin" in plan
+    # date range must reach the orders scan
+    pushed = plan.split("orders.parquet")[0]
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter not pushed to scan"
+
+
+def test_pack_sequences_prefix_sum_is_distributed(spark, sf_dir):
+    """The cumulative sum must be range-bucketed: the only unpartitioned
+    window may be over the tiny per-bucket offsets frame (≤ n_buckets
+    rows), never over the full document table."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import Tables
+
+    plan = _plan(spark, sf_dir, "q_llm_pack_sequences")
+    # full-table window is partitioned by the bucket column
+    assert "__b" in plan, plan
+    df = REGISTRY["q_llm_pack_sequences"].fn(spark, sf_dir)
+    total_docs = df.agg(F.sum("n_docs")).collect()[0][0]
+    assert total_docs == Tables(spark, sf_dir).documents.count()
+
+
+def test_event_analytics_single_fact_no_fact_shuffle(spark, sf_dir):
+    """Outlier flagging joins 5-row broadcast moments onto the fact: the
+    fact table itself must not shuffle (no Exchange hashpartitioning on
+    the fact side; the only exchanges are the tiny aggregate's)."""
+    plan = _plan(spark, sf_dir, "q_event_outliers")
+    assert "BroadcastHashJoin" in plan, "moments join must broadcast"
+    assert "SortMergeJoin" not in plan
