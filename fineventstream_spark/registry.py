@@ -38,15 +38,19 @@ REGISTRY: dict[str, Query] = {}
 # observed in round 1) records only the first 50 entries. Round 1's
 # module-import order left the projection/scan/sort/window/subquery/
 # streaming-batch families entirely outside that window. This list
-# front-loads (a) every query that had no driver row in round 1 —
-# interleaved breadth-first across SURVEY §2 families so even a smaller
-# window still covers each family, (b) queries whose implementation
-# changed this round and must be re-checked, and (c) new round-2 queries.
-# Names not present in REGISTRY are skipped, so the list may reference
-# queries introduced later in the round. Everything else (already
-# driver-green in CORRECTNESS_r01) registers after the window.
+# front-loads, breadth-first across SURVEY §2 families, (a) queries that
+# had no driver row in round 1, (b) queries whose implementation changed
+# this round and must be re-checked, and (c) new round-2 queries — so
+# every family (including the §2.11 report/event/curation families) gets
+# at least one hard driver row. Where a family has several near-identical
+# siblings (union all/distinct, intersect/except, frame rows/range, the
+# scan formats), one sibling takes the in-window slot and the rest queue
+# immediately after it — they stay covered by the local differential
+# suite at the same compare strictness. Names not present in REGISTRY are
+# skipped. Everything already driver-green in CORRECTNESS_r01 registers
+# after the window.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) no driver row in round 1 — breadth-first across families
+    # no driver row in round 1 — breadth-first across families
     "q_project_rename",
     "q_scan_parquet",
     "q_sort_multikey",
@@ -73,7 +77,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_distinct",
     "q_session_window",
     "q_cte",
-    "q_win_frame_range",
     "q_llm_kmeans",
     "q_filter_malformed",
     "q_sink_partitioned_write",
@@ -82,23 +85,48 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     "q_win_topk_per_group",
     "q_filter_boolean",
-    "q_scan_csv",
-    "q_union_distinct",
     "q_null_safe_eq",
-    "q_filter_in_between_like",
     "q_sql_api",
     "q_intersect",
-    "q_coalesce_default",
-    "q_except",
     "q_unpivot",
-    # (b) implementation changed in round 2 — needs a fresh driver row
+    # implementation changed in round 2 — needs a fresh driver row
     "q_agg_approx_percentile",
     "q_agg_stats",
     "q_join_asof",
     "q_agg_salted",
-    # (c) new in round 2
+    # new in round 2 — one hard row per §2.11 family
     "q_dq_violations",
     "q_news_lookback",
+    "q_report_nation_volume",
+    "q_event_ohlc_bars",
+    "q_event_funnel",
+    "q_llm_decontaminate",
+    "q_llm_pack_sequences",
+    "q_upsert_latest",
+    # --- expected driver-window boundary (~50) ---
+    # displaced siblings: same operator family as an in-window query,
+    # still oracle-checked by the local differential suite
+    "q_win_frame_range",
+    "q_scan_csv",
+    "q_union_distinct",
+    "q_filter_in_between_like",
+    "q_coalesce_default",
+    "q_except",
+    # remaining round-2 queries, highest-signal first
+    "q_report_returned_items",
+    "q_report_order_priority",
+    "q_event_histogram",
+    "q_event_outliers",
+    "q_llm_sample_hash",
+    "q_llm_sample_stratified",
+    "q_llm_domain_mix",
+    "q_llm_quality_quantile",
+    "q_llm_repetition",
+    "q_llm_idf",
+    "q_llm_tfidf_top",
+    "q_llm_embed_quantize",
+    "q_llm_pii_redact",
+    "q_llm_stopword_filter",
 )
 
 
