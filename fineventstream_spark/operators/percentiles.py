@@ -1,37 +1,109 @@
-"""Exact percentiles via range-bucketed rank + interpolation.
+"""Exact percentiles via histogram refinement (bucket-count pruning).
 
 Naive exact percentiles (``Window.partitionBy(group).orderBy(value)``)
 concentrate each group's entire sort in ONE task — with 3 groups over a
 100 TB fact table that is 3 straggler tasks and an OOM. Spark's built-in
 ``percentile`` aggregate buffers every (value, count) of a group in one
-aggregation buffer — same concentration, different operator.
+aggregation buffer — same concentration, different operator. Even a
+range-bucketed global rank (assign value-range buckets, row_number within
+bucket + broadcast offsets) still shuffles and sorts EVERY row to learn a
+rank that matters for only ~2 rows per requested percentile.
 
-This formulation spreads the work over ``n_groups × n_buckets`` tasks:
+This formulation never ranks the full table. Three passes, each a plain
+scan + tiny aggregate — the only shuffle carries the bracketing buckets:
 
-1. one partial-agg pass computes per-group (min, max, count);
-2. each row is assigned a uniform value-range bucket (``width_bucket`` —
-   pure JVM codegen, no sampling pass);
-3. per-(group, bucket) counts → cumulative offsets (tiny: one row per
-   bucket) tell each bucket how many rows precede it;
-4. ``row_number`` within (group, bucket) + the broadcast offset yields the
-   *global* rank of every row — the sort shuffle now lands on
-   ``n_groups × n_buckets`` reducers instead of ``n_groups``;
-5. only the two rows bracketing each requested rank contribute
-   ``(1-frac)·v_lo + frac·v_hi`` (linear interpolation), summed by a
-   map-side-combined groupBy.
+1. per-group (min, max, count) — partial-agg pass, k rows out;
+2. per-(group, value-range-bucket) counts (``width_bucket`` — pure JVM
+   codegen) — partial-agg pass, ≤ k × n_buckets rows out;
+3. the driver turns the bucket histogram into cumulative offsets and
+   computes, for each requested percentile, WHICH bucket holds each
+   bracketing global rank and the rank's offset within that bucket
+   (both collects are k-bounded: k groups, k × n_buckets counts —
+   same driver footprint class as k-means centroids);
+4. a final pass filters to ONLY the bracketing (group, bucket) pairs —
+   ~1/n_buckets of each group — sorts those few rows per bucket, and
+   interpolates ``(1-frac)·v_lo + frac·v_hi``.
+
+For few groups (the operator's target case: percentiles over a handful of
+hot segments) every per-group lookup — extent for bucketing, which
+buckets to keep, which (bucket, local-rank) rows carry weight — is
+inlined as a literal map/CASE expression: the whole refinement runs with
+ZERO broadcast joins, entirely inside WholeStageCodegen. Past
+``LITERAL_MAX_GROUPS`` the same passes run with broadcast-join lookups
+instead (expression size must stay bounded); the plan shape is otherwise
+identical.
 
 Result is identical to built-in ``percentile`` / DuckDB ``quantile_cont``.
-Skewed *value* distributions make buckets uneven but never wrong; a
+Skewed value distributions make buckets uneven but never wrong; a
 pathological single-value group collapses to one bucket whose "sort" is
-trivial. At 100 TB with truly continuous hot groups, raise ``n_buckets``
-or use ``percentile_approx`` (mergeable sketch, see
-q_agg_approx_percentile) — this is the fast *exact* option.
+trivial because every row equals the answer. At 100 TB, if one bracketing
+bucket is still too big to sort in its tasks, raise ``n_buckets`` (the
+histogram pass cost is flat) or recurse — or use ``percentile_approx``
+(mergeable sketch, see q_agg_approx_percentile). This is the fast *exact*
+option.
 """
 
 from __future__ import annotations
 
+import math
+from itertools import chain
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+LITERAL_MAX_GROUPS = 64
+
+
+def _bucket_expr(
+    value_col: str, n_buckets: int, mn: F.Column, mx: F.Column
+) -> F.Column:
+    """Uniform value-range bucket in [1, n_buckets]; degenerate (constant)
+    groups collapse to bucket 1. ``width_bucket`` returns n_buckets+1 for
+    v == max, clamped."""
+    return F.when(mx == mn, F.lit(1)).otherwise(
+        F.least(
+            F.lit(n_buckets),
+            F.width_bucket(F.col(value_col), mn, mx, F.lit(n_buckets)),
+        )
+    )
+
+
+def _plan_targets(
+    stats: dict, hist: dict, ps: list[float], aliases: list[str]
+) -> list[tuple[object, int, int, float, str]]:
+    """Driver-side refinement plan: (group, bucket, local_rank, weight,
+    alias) for every row that contributes to an interpolated percentile."""
+    need: list[tuple[object, int, int, float, str]] = []
+    for g, buckets in hist.items():
+        buckets.sort()
+        cum: list[tuple[int, int]] = []  # (bucket, rows before it)
+        off = 0
+        for b, bc in buckets:
+            cum.append((b, off))
+            off += bc
+        n = stats[g][2]
+
+        def locate(rank: int) -> tuple[int, int]:
+            lo_b, lo_off = cum[0]
+            for b, boff in cum:
+                if boff < rank:
+                    lo_b, lo_off = b, boff
+                else:
+                    break
+            return lo_b, rank - lo_off
+
+        for p, alias in zip(ps, aliases):
+            pos = (n - 1) * float(p)
+            lo = math.floor(pos)
+            frac = pos - lo
+            if frac == 0.0:
+                targets = [(lo + 1, 1.0)]
+            else:
+                targets = [(lo + 1, 1.0 - frac), (lo + 2, frac)]
+            for rank, w in targets:
+                b, local = locate(rank)
+                need.append((g, b, local, w, alias))
+    return need
 
 
 def exact_percentiles(
@@ -47,53 +119,145 @@ def exact_percentiles(
     DuckDB ``quantile_cont`` semantics), one output row per group with one
     column per requested percentile."""
     aliases = aliases or [f"p{int(p * 100)}" for p in ps]
+    spark = df.sparkSession
     src = df.select(group_col, value_col).filter(F.col(value_col).isNotNull())
 
-    stats = src.groupBy(group_col).agg(
-        F.min(value_col).alias("__mn"),
-        F.max(value_col).alias("__mx"),
-        F.count("*").alias("__n"),
-    )
-    b = src.join(F.broadcast(stats), group_col).withColumn(
-        "__b",
-        F.when(F.col("__mx") == F.col("__mn"), F.lit(1)).otherwise(
-            F.least(
-                F.lit(n_buckets),
-                F.width_bucket(
-                    F.col(value_col), F.col("__mn"), F.col("__mx"), F.lit(n_buckets)
-                ),
-            )
-        ),
-    )
-
-    # rows preceding each (group, bucket): one row per bucket — tiny
-    bucket_counts = b.groupBy(group_col, "__b").agg(F.count("*").alias("__bc"))
-    w_off = (
-        Window.partitionBy(group_col)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bucket_counts.select(
-        group_col, "__b", F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).alias("__off")
-    )
-
-    # local rank within the bucket + offset = global rank; the window's
-    # shuffle spreads each group's sort over n_buckets reducers
-    w_local = Window.partitionBy(group_col, "__b").orderBy(F.col(value_col))
-    ranked = b.join(F.broadcast(offsets), [group_col, "__b"]).withColumn(
-        "__rn", F.row_number().over(w_local) + F.col("__off")
-    )
-
-    aggs = []
-    for p, alias in zip(ps, aliases):
-        pos = (F.col("__n") - 1) * F.lit(float(p))
-        lo = F.floor(pos)
-        frac = pos - lo
-        contrib = (
-            F.when((F.col("__rn") - 1 == lo) & (frac == 0), F.col(value_col))
-            .when(F.col("__rn") - 1 == lo, (1 - frac) * F.col(value_col))
-            .when(F.col("__rn") - 1 == lo + 1, frac * F.col(value_col))
-            .otherwise(F.lit(0.0))
+    # pass 1: per-group extent + count (k rows — driver-safe collect)
+    stats = {
+        r[0]: (r[1], r[2], r[3])
+        for r in src.groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("__mn"),
+            F.max(value_col).alias("__mx"),
+            F.count("*").alias("__n"),
         )
-        aggs.append(F.round(F.sum(contrib), decimals).alias(alias))
-    return ranked.groupBy(group_col).agg(*aggs)
+        .collect()
+    }
+    if not stats:
+        return src.groupBy(group_col).agg(
+            *[F.lit(None).cast("double").alias(a) for a in aliases]
+        )
+    if len(stats) <= LITERAL_MAX_GROUPS:
+        return _refine_literal(
+            spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats
+        )
+    return _refine_joined(
+        spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats
+    )
+
+
+def _refine_literal(
+    spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats
+):
+    """Few-groups path: per-group lookups inlined as literal map/CASE
+    expressions — no broadcast exchange anywhere, pure codegen."""
+    g = F.col(group_col)
+    mn_map = F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v[0])) for k, v in stats.items())
+    )
+    mx_map = F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v[1])) for k, v in stats.items())
+    )
+    bucket = _bucket_expr(
+        value_col, n_buckets, F.element_at(mn_map, g), F.element_at(mx_map, g)
+    )
+
+    # pass 2: bucket histogram (≤ k × n_buckets rows — driver-safe collect)
+    hist_rows = (
+        src.withColumn("__b", bucket).groupBy(group_col, "__b")
+        .agg(F.count("*").alias("__bc"))
+        .collect()
+    )
+    hist: dict[object, list[tuple[int, int]]] = {}
+    for r in hist_rows:
+        hist.setdefault(r[0], []).append((r[1], r[2]))
+    need = _plan_targets(stats, hist, ps, aliases)
+
+    keep: dict[object, list[int]] = {}
+    for grp, b, _, _, _ in need:
+        if b not in keep.setdefault(grp, []):
+            keep[grp].append(b)
+    keep_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.array(*[F.lit(b) for b in sorted(v)]))
+            for k, v in keep.items()
+        )
+    )
+
+    # pass 3: bracketing buckets only; weights applied via literal CASE
+    picked = (
+        src.withColumn("__b", bucket)
+        .filter(F.array_contains(F.element_at(keep_map, g), F.col("__b")))
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy(group_col, "__b").orderBy(F.col(value_col))
+            ),
+        )
+    )
+    aggs = []
+    for alias in aliases:
+        expr = F.lit(None).cast("double")
+        for grp, b, lr, w, a in need:
+            if a != alias:
+                continue
+            hit = (g == F.lit(grp)) & (F.col("__b") == b) & (F.col("__lr") == lr)
+            expr = F.when(hit, F.lit(w) * F.col(value_col)).otherwise(expr)
+        aggs.append(F.round(F.sum(expr), decimals).alias(alias))
+    return picked.groupBy(group_col).agg(*aggs)
+
+
+def _refine_joined(
+    spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats
+):
+    """High-cardinality-groups path: same three passes with broadcast-join
+    lookups (k-bounded small tables) instead of literal expressions."""
+    stats_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in stats.items()],
+            [group_col, "__mn", "__mx"],
+        )
+    )
+    bucket = _bucket_expr(value_col, n_buckets, F.col("__mn"), F.col("__mx"))
+
+    hist_rows = (
+        src.join(stats_df, group_col)
+        .withColumn("__b", bucket)
+        .groupBy(group_col, "__b")
+        .agg(F.count("*").alias("__bc"))
+        .collect()
+    )
+    hist: dict[object, list[tuple[int, int]]] = {}
+    for r in hist_rows:
+        hist.setdefault(r[0], []).append((r[1], r[2]))
+    need = _plan_targets(stats, hist, ps, aliases)
+
+    need_df = F.broadcast(
+        spark.createDataFrame(need, [group_col, "__b", "__lr", "__w", "__alias"])
+    )
+    keys_df = F.broadcast(
+        spark.createDataFrame(
+            sorted({(grp, b) for grp, b, _, _, _ in need}), [group_col, "__b"]
+        )
+    )
+    picked = (
+        src.join(stats_df, group_col)
+        .withColumn("__b", bucket)
+        .join(keys_df, [group_col, "__b"], "left_semi")
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy(group_col, "__b").orderBy(F.col(value_col))
+            ),
+        )
+        .join(need_df, [group_col, "__b", "__lr"])
+    )
+    return picked.groupBy(group_col).agg(
+        *[
+            F.round(
+                F.sum(F.when(F.col("__alias") == a, F.col("__w") * F.col(value_col))),
+                decimals,
+            ).alias(a)
+            for a in aliases
+        ]
+    )

@@ -353,6 +353,32 @@ def test_exact_percentiles_single_value_group(spark):
     assert got == {"a": 7.0, "b": 1.5}
 
 
+def test_exact_percentiles_joined_fallback_path(spark):
+    """Above LITERAL_MAX_GROUPS the broadcast-join path runs; results must
+    match the built-in percentile() exactly, same as the literal path."""
+    from fineventstream_spark.operators.percentiles import (
+        LITERAL_MAX_GROUPS,
+        exact_percentiles,
+    )
+
+    n_groups = LITERAL_MAX_GROUPS + 10
+    df = (
+        spark.range(n_groups * 9)
+        .select(
+            (F.col("id") % n_groups).cast("string").alias("g"),
+            (F.xxhash64("id") % 1000).cast("double").alias("v"),
+        )
+    )
+    got = {r.g: r.p50 for r in exact_percentiles(df, "g", "v", [0.5]).collect()}
+    ref = {
+        r.g: r.p50
+        for r in df.groupBy("g")
+        .agg(F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50"))
+        .collect()
+    }
+    assert got == ref
+
+
 def test_connected_components_warns_on_nonconvergence(spark):
     """A chain longer than max_iterations must surface a warning."""
     import warnings
