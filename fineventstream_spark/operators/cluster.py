@@ -45,6 +45,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         .repartition(n, "id")
         .persist()
     )
+    cached = labels  # the frame actually holding the cache, for unpersist
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -52,10 +53,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # carry the pre-update component so the convergence check reads it
+        # off this same frame — no extra join against the old labels
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
@@ -63,14 +67,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
             .persist()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("component") != F.col("__prev")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("id", "component")
         if changed == 0:
             converged = True
             break

@@ -137,3 +137,62 @@ def test_event_analytics_single_fact_no_fact_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_event_outliers")
     assert "BroadcastHashJoin" in plan, "moments join must broadcast"
     assert "SortMergeJoin" not in plan
+
+
+def test_q1_pricing_summary_partial_agg_and_pushdown(spark, sf_dir):
+    """TPC-H Q1: map-side partial agg before one tiny shuffle; the date
+    bound and 7-column projection must reach the parquet scan."""
+    plan = _plan(spark, sf_dir, "q_report_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, "no map-side partial aggregation"
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate bound not pushed"
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "l_partkey" not in read_schema, "scan reads columns Q1 never uses"
+
+
+def test_q6_forecast_pushes_all_range_predicates(spark, sf_dir):
+    """TPC-H Q6: every conjunct is a pushable primitive range — all four
+    bounds must appear in PushedFilters (row-group skipping at scale)."""
+    plan = _plan(spark, sf_dir, "q_report_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:600]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} range not pushed to the scan:\n{pushed}"
+
+
+def test_q3_shipping_priority_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_report_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, "top-10 report should not global-sort"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_dir):
+    """TPC-H Q18: the big-order keyset must semi-join (keys only — no row
+    explosion, no post-join dedup) and the report must end in partial
+    heaps, not a global sort."""
+    plan = _plan(spark, sf_dir, "q_report_large_orders")
+    assert "LeftSemi" in plan, f"keyset filter did not compile to semi join:\n{plan}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_factors_push_to_both_scans(spark, sf_dir):
+    """TPC-H Q19: Catalyst must extract the OR-branches' common factors
+    per side — brand IN-list to the part scan, quantity range to the
+    lineitem scan — and broadcast part."""
+    plan = _plan(spark, sf_dir, "q_report_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    # each scan node's PushedFilters must carry its side's factored branch
+    li_pushed = [
+        seg.split("ReadSchema")[0]
+        for seg in plan.split("Scan parquet")
+        if "lineitem.parquet" in seg
+    ][0]
+    part_pushed = [
+        seg.split("ReadSchema")[0]
+        for seg in plan.split("Scan parquet")
+        if "part.parquet" in seg
+    ][0]
+    assert "GreaterThanOrEqual(l_quantity" in li_pushed, (
+        "quantity ranges not factored down to the lineitem scan"
+    )
+    assert "EqualTo(p_brand" in part_pushed, (
+        "brand equalities not factored down to the part scan"
+    )
