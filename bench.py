@@ -60,6 +60,8 @@ HEADLINE = [
     "q_event_ohlc_bars",
     "q_llm_pack_sequences",
     "q_upsert_latest",
+    "q_report_pricing_summary",
+    "q_report_shipping_priority",
 ]
 
 
@@ -99,21 +101,22 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         q = registry[name]
-        # best-of-2 (adaptive 3rd rep): the first run includes plan
-        # compilation (amortized on any long-lived cluster) and this host
-        # shows transient co-tenant contention spikes that can span both
-        # reps (observed: 6.8 s best-of-2 vs 1.9 s steady state on the
-        # same query minutes apart). If the two reps disagree badly the
-        # spike likely hit both measurements' window — take one more.
+        # Adaptive repetition: the first run includes plan compilation
+        # (amortized on any long-lived cluster) and this host shows
+        # sustained co-tenant contention windows that can span several
+        # reps (observed: 9.1 s recorded vs 1.9 s steady state on the
+        # same query minutes apart). Keep sampling until the two fastest
+        # reps agree within 30% — a recorded time then has two concordant
+        # witnesses — capped at 4 reps.
         runs = []
-        for _ in range(2):
+        while True:
             t0 = time.perf_counter()
             materialize(q.fn(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
-        if abs(runs[0] - runs[1]) > 0.5 * min(runs):
-            t0 = time.perf_counter()
-            materialize(q.fn(spark, SF_DIR))
-            runs.append(time.perf_counter() - t0)
+            if len(runs) >= 2:
+                lo, lo2 = sorted(runs)[:2]
+                if lo2 <= 1.3 * lo or len(runs) >= 4:
+                    break
         best = min(runs)
         dt = round(best, 3)
         timings[name] = dt
