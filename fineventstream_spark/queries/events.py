@@ -19,7 +19,7 @@ because min/max are exact; IEEE doubles then agree exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
@@ -167,4 +167,98 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_entered"),
         F.sum(conv).cast("bigint").alias("n_converted"),
         F.round(F.sum(conv) / F.count("*"), 6).alias("conv_rate"),
+    )
+
+
+@register(
+    "q_event_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, new_sess,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(sess_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, sess_no
+    """,
+    tags=("E5", "W2", "T6"),
+)
+def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a 30-minute inactivity gap starts a new
+    session; sessions are numbered per user by a running sum of the gap
+    flags. This is the exact-SQL twin of the built-in session_window
+    (q_session_window, rows-only): same segmentation, but expressed with
+    lag + cumulative sum so DuckDB can hash-check it. Both windows
+    partition by user_id — thousands of users spread over all reducers,
+    no global sort; (ts, event_id) is a total order so numbering is
+    deterministic."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_new = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800
+    )
+    flagged = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.lag("ts").over(w).isNull() | gap_new, 1).otherwise(0).alias(
+            "new_sess"
+        ),
+    )
+    sess = flagged.withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(
+        "user_id", F.col("sess_no").cast("bigint").alias("session_no")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q_event_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_week, CAST(date_trunc('week', e.ts) AS DATE) AS active_week,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("E6", "A3", "J1"),
+)
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    every week they were active. The cohort table is one row per user
+    (a partial-aggregated groupBy), and the join back to events is on
+    user_id — the same key the cohort aggregate shuffled on, so AQE
+    reuses the exchange; no event-row explosion. The final distinct
+    count shuffles (cohort_week, active_week, user_id) triples —
+    bounded by active users per week, not raw events."""
+    t = Tables(spark, sf_dir)
+    cohorts = t.events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).cast("date").alias("cohort_week")
+    )
+    return (
+        t.events.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
     )
