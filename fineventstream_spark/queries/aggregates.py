@@ -107,6 +107,32 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_sketch_rollup",
+    oracle=None,  # approximate by design → rows-only check
+    tags=("A4", "T4"),
+)
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality rollup: per-day HLL sketches of
+    active users, unioned into weekly estimates WITHOUT rescanning the
+    fact. This is the incremental-distinct pattern at 100 TB — daily
+    sketches are a few KB each and persist alongside the lake, so any
+    coarser rollup (week/month/all-time) is a union over sketches, not
+    a second pass over raw events; exact countDistinct would have to
+    reshuffle every (week, user) pair. Datasketches HLL via
+    hll_sketch_agg / hll_union_agg (Spark 3.5+)."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy(F.date_trunc("week", "day").cast("date").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+    )
+
+
+@register(
     "q_agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -564,3 +564,75 @@ def q_llm_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@register(
+    "q_llm_curation_pipeline",
+    oracle="""
+    WITH parts AS (
+        SELECT doc_id, text, lang,
+               length(text) AS n,
+               string_split(lower(text), ' ') AS w,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+        FROM documents
+    ), derived AS (
+        SELECT doc_id, text, lang,
+               LEAST(CAST(n AS DOUBLE) / 500.0, 1.0) AS len_score,
+               LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n, 1) * 5, 1.0) AS punct_penalty,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / GREATEST(len(w), 1) AS mwl
+        FROM parts
+    ), scored AS (
+        SELECT doc_id, text, lang,
+               ROUND(0.5*len_score + 0.3*(1 - punct_penalty)
+                     + 0.2*(CASE WHEN mwl >= 3 AND mwl <= 10
+                            THEN 1.0 ELSE 0.5 END), 4) AS quality
+        FROM derived
+    ), gated AS (
+        SELECT * FROM scored
+        WHERE lang IN ('en', 'de', 'fr', 'es') AND quality >= 0.7
+    ), kept AS (
+        SELECT doc_id, lang, quality, text,
+               MIN(doc_id) OVER (PARTITION BY text) AS keeper
+        FROM gated
+    )
+    SELECT doc_id, lang, quality,
+           CASE WHEN substr(md5(text), 1, 1) < 'd' THEN 'train' ELSE 'eval' END AS split
+    FROM kept WHERE doc_id = keeper
+    """,
+    tags=("PL13", "U4", "U7"),
+)
+def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation ring composed end-to-end in ONE plan: language gate →
+    quality gate → exact-dedup keeper → leak-free content-hash
+    train/eval split. Each stage is an operator the engine exposes
+    individually (text.quality_score, exact-dedup window, hash split);
+    composing them costs exactly one shuffle — the dedup window on
+    text — because gates are stateless filters fused into the scan stage
+    and the split is a stateless projection. At 100 TB this is the shape
+    of a full curation run: the fact scans once, and everything before
+    the dedup shuffle is codegen."""
+    from fineventstream_spark.operators import text as text_ops
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id",
+        "text",
+        "lang",
+        text_ops.quality_score(F.col("text")).alias("quality"),
+    )
+    gated = scored.filter(
+        F.col("lang").isin("en", "de", "fr", "es") & (F.col("quality") >= 0.7)
+    )
+    kept = gated.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("text"))
+    ).filter(F.col("doc_id") == F.col("keeper"))
+    return kept.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.when(F.substring(F.md5("text"), 1, 1) < "d", "train")
+        .otherwise("eval")
+        .alias("split"),
+    )

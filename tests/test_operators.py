@@ -521,3 +521,39 @@ def test_global_rank_single_value(spark):
     df = spark.createDataFrame([(i, 42.0) for i in range(10)], "id long, v double")
     out = global_rank(df, bucket_key=F.col("v"), order_cols=[F.col("v").asc(), F.col("id").asc()])
     assert [r.pos for r in out.orderBy("id").collect()] == list(range(1, 11))
+
+
+def test_hll_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
+    """Weekly estimates from unioned daily sketches must (a) land within
+    HLL error of the exact weekly distinct counts and (b) equal sketching
+    the raw rows per week directly — the mergeability property the
+    incremental-rollup pattern depends on."""
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.registry import all_queries
+
+    events = Tables(spark, sf_dir).events
+    got = {
+        r.week: r.approx_users
+        for r in all_queries()["q_agg_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.week: r.n
+        for r in events.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for wk, est in got.items():
+        assert abs(est - exact[wk]) <= max(3, 0.05 * exact[wk]), (wk, est, exact[wk])
+
+    direct = {
+        r.week: r.approx_users
+        for r in events.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .collect()
+    }
+    assert got == direct, "sketch-union path diverges from direct sketching"
