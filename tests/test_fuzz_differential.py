@@ -76,3 +76,100 @@ def test_fuzz_case(case_id, spark_lineitem, duck, sf_dir):
         )
 
     assert norm(srows) == norm(drows), f"value mismatch for:\n{sql}"
+
+
+def _gen_join_case(rng: random.Random) -> str:
+    """lineitem ⋈ orders with a random join type, predicate, and
+    aggregate — both dialects parse it identically (ANSI join + WHERE)."""
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    c = rng.choice(NUMERIC_COLS)
+    op = rng.choice(CMP)
+    lit = round(rng.uniform(1, 50), 1) if c == "l_quantity" else round(rng.uniform(0.0, 0.1), 3)
+    if c == "l_extendedprice":
+        lit = round(rng.uniform(1000, 90000), 2)
+    opred = f"o_totalprice {rng.choice(CMP)} {round(rng.uniform(1000, 400000), 2)}"
+    group = rng.choice(["o_orderstatus", "l_returnflag", "o_orderpriority"])
+    agg_col = rng.choice(NUMERIC_COLS)
+    return (
+        f"SELECT {group}, count(*) AS n, ROUND(SUM({agg_col}), 3) AS s, "
+        f"MIN({agg_col}) AS mn "
+        f"FROM orders {how} lineitem ON l_orderkey = o_orderkey "
+        f"WHERE {c} {op} {lit} AND {opred} "
+        f"GROUP BY {group}"
+    )
+
+
+def _gen_window_case(rng: random.Random) -> str:
+    """Ranking + framed-sum windows over a deterministic total order
+    ((order col, l_orderkey, l_linenumber) — the (orderkey, linenumber)
+    pair is a key, so ROW_NUMBER is well-defined on both engines)."""
+    part = rng.choice(STRING_COLS)
+    order = rng.choice(NUMERIC_COLS)
+    frame_lo = rng.choice([1, 3, 5])
+    c = rng.choice(NUMERIC_COLS)
+    lit = {"l_quantity": 25, "l_extendedprice": 30000,
+           "l_discount": 0.05, "l_tax": 0.04}[c]
+    w = f"PARTITION BY {part} ORDER BY {order}, l_orderkey, l_linenumber"
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"ROW_NUMBER() OVER ({w}) AS rn, "
+        f"ROUND(SUM(l_quantity) OVER ({w} "
+        f"ROWS BETWEEN {frame_lo} PRECEDING AND CURRENT ROW), 3) AS ms, "
+        f"LAG({order}, 1) OVER ({w}) AS prev_v "
+        f"FROM lineitem WHERE {c} < {lit}"
+    )
+
+
+def _gen_subquery_case(rng: random.Random) -> str:
+    """IN / NOT IN / EXISTS subqueries — Catalyst decorrelation vs
+    DuckDB's planner on the same ANSI text."""
+    kind = rng.choice(["IN", "NOT IN", "EXISTS"])
+    cutoff = round(rng.uniform(50000, 300000), 2)
+    group = rng.choice(STRING_COLS)
+    if kind == "EXISTS":
+        sub = (f"EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey "
+               f"AND o_totalprice > {cutoff})")
+    else:
+        # NOT IN needs a null-free subquery column for portable semantics
+        sub = (f"l_orderkey {kind} (SELECT o_orderkey FROM orders "
+               f"WHERE o_totalprice > {cutoff} AND o_orderkey IS NOT NULL)")
+    return (
+        f"SELECT {group}, count(*) AS n, ROUND(SUM(l_extendedprice), 3) AS s "
+        f"FROM lineitem WHERE {sub} GROUP BY {group}"
+    )
+
+
+def _run_case(spark_lineitem, duck, sql: str) -> None:
+    srows = [tuple(r) for r in spark_lineitem.sql(sql).collect()]
+    drows = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(srows) == len(drows), f"{sql}\nrowcount {len(srows)} vs {len(drows)}"
+
+    def norm(rows):
+        return sorted(
+            (tuple(round(v, 4) if isinstance(v, float) else v for v in r) for r in rows),
+            key=str,
+        )
+
+    assert norm(srows) == norm(drows), f"value mismatch for:\n{sql}"
+
+
+@pytest.fixture(scope="module")
+def spark_two_tables(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return spark
+
+
+@pytest.mark.parametrize("case_id", range(15))
+def test_fuzz_join_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_case(spark_two_tables, duck, _gen_join_case(random.Random(43_000 + case_id)))
+
+
+@pytest.mark.parametrize("case_id", range(15))
+def test_fuzz_window_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_case(spark_two_tables, duck, _gen_window_case(random.Random(44_000 + case_id)))
+
+
+@pytest.mark.parametrize("case_id", range(10))
+def test_fuzz_subquery_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_case(spark_two_tables, duck, _gen_subquery_case(random.Random(45_000 + case_id)))
