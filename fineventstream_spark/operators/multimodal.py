@@ -109,3 +109,77 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
             F.length("text").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch resize: binary→binary ``mapInPandas`` with the target geometry
+    stamped into ``meta``. The kernel is the stub (a real impl calls
+    PIL.Image.resize / ffmpeg scale here); the plumbing under test is what
+    matters at scale — payloads never leave Arrow batches, output schema
+    equals MEDIA_SCHEMA so resize stages compose/chain, and the transform
+    is narrow (no shuffle: each batch maps 1:1)."""
+    target = width * height
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _resize(b):
+                if b is None:
+                    return None
+                b = bytes(b)
+                # deterministic stand-in for pixel resampling: repeat or
+                # truncate the payload to exactly width*height bytes
+                if len(b) >= target:
+                    return b[:target]
+                reps = (target + len(b) - 1) // max(len(b), 1)
+                return (b * reps)[:target]
+
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(_resize)
+            out["meta"] = out.apply(
+                lambda r: {
+                    "width": width,
+                    "height": height,
+                    "n_bytes": len(r["payload"]) if r["payload"] is not None else 0,
+                },
+                axis=1,
+            )
+            yield out
+
+    return df.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, payload binary, n_bytes long"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: video binary → one row per sampled frame (the
+    row-expanding multimodal op — a real impl seeks keyframes via pyav).
+    The stub slices the payload into ``n_frames`` even chunks;
+    deterministic, so tests pin exact expansion. Expansion happens inside
+    ``mapInPandas`` (narrow, no shuffle) and emits only the sampled
+    frames — at 100 TB the unsampled frames never materialize."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = r["payload"]
+                if b is None:
+                    continue
+                b = bytes(b)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = b[i * step : (i + 1) * step]
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": i,
+                            "payload": frame,
+                            "n_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "payload", "n_bytes"]
+            )
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)

@@ -343,6 +343,17 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "checksum")
 
 
+@register("q_mm_frame_sample", oracle=None, tags=("U8", "U3"))
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per sampled frame via mapInPandas
+    (row-expanding multimodal op; kernel stubbed — a real impl seeks
+    keyframes — plumbing real: only sampled frames materialize)."""
+    t = Tables(spark, sf_dir)
+    media = multimodal.synthesize_media(t.documents, kind="video")
+    frames = multimodal.sample_frames(media, n_frames=4)
+    return frames.select("media_id", "frame_idx", "n_bytes")
+
+
 # --------------------------------------------------------------------------
 # Dedup clustering (pairs → components → canonical keeper)
 # --------------------------------------------------------------------------
