@@ -454,3 +454,41 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     _, assigned = kmeans_fit(t.embeddings, "embedding", "vec_id", k=8, iterations=5)
     return assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_llm_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM documents a
+    JOIN documents b
+      ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 5
+    """,
+    tags=("U5", "F4"),
+)
+def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verify with length blocking: candidate
+    pairs come from an equi-join on exact length (edit distance ≤ k
+    implies length difference ≤ k — the classic blocking key, here k=0
+    per bucket for an exact equi-join; widen with a band join on
+    |len_a − len_b| ≤ k at recall cost 0). The quadratic levenshtein
+    kernel therefore runs only inside length buckets, never all-pairs —
+    the same cap-the-bucket shape as the MinHash/SimHash candidates.
+    JVM levenshtein on both engines (identical classic DP semantics)."""
+    t = Tables(spark, sf_dir)
+    a = t.documents.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("ta"),
+        F.col("n_chars").alias("na"),
+    )
+    b = t.documents.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("tb"),
+        F.col("n_chars").alias("nb"),
+    )
+    return (
+        a.join(b, (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("dist", F.levenshtein("ta", "tb").cast("bigint"))
+        .filter(F.col("dist") <= 5)
+        .select("id_a", "id_b", "dist")
+    )

@@ -149,3 +149,29 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("event_type", "event_id", "value")
     )
+
+
+@register(
+    "q_win_pct_rank",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+    """,
+    tags=("W1",),
+)
+def q_win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (percent_rank / cume_dist) over
+    a keyed, totally-ordered window — per-user value percentiles without
+    any global sort; each user's partition ranks independently across
+    reducers."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -557,3 +557,29 @@ def test_hll_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
         .collect()
     }
     assert got == direct, "sketch-union path diverges from direct sketching"
+
+
+def test_edit_distance_finds_planted_near_dups(spark):
+    """One-character edits (length-preserving) must surface through the
+    length-blocked levenshtein verify — the fixture corpus alone proves
+    nothing because it has no same-length near-dup pairs."""
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.registry import all_queries
+    import tempfile, os
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cog"),  # dist 1 vs 1
+        (3, "a completely unrelated sentence of equal len"),  # same length, far
+        (4, "short text"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "web", len(t)) for i, t in base],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            (r.id_a, r.id_b): r.dist
+            for r in all_queries()["q_llm_edit_distance"].fn(spark, d).collect()
+        }
+    assert out == {(1, 2): 1}, f"expected only the planted pair at dist 1, got {out}"
