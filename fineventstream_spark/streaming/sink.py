@@ -53,3 +53,89 @@ def write_partitioned_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def latest_per_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Collapse to one row per key — newest by ``order_cols`` (desc) wins.
+    One shuffle on the key; per-key groups are a key's history, not the
+    corpus, so the window never concentrates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_stream(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming MERGE/upsert sink: each micro-batch merges into a keyed
+    snapshot table, newest version per key wins (the live form of
+    q_upsert_latest's batch twin).
+
+    A plain parquet directory cannot be read and overwritten in one job,
+    so snapshots are versioned (``path/v=N``) with an atomic ``_CURRENT``
+    pointer (write-tmp + rename) — the same commit shape a table format's
+    transaction log provides; on a real deployment this foreachBatch body
+    is one ``MERGE INTO`` against Delta/Iceberg. Exactly-once comes from
+    the standard foreachBatch recipe: the pointer records the last applied
+    (checkpoint, batchId), and a replayed batch (failure between write and
+    checkpoint commit) is skipped instead of double-merged. Old versions
+    stay until vacuumed (streaming/maintenance.py), so readers never see a
+    half-written snapshot."""
+    import json
+    import os
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(path, exist_ok=True)
+        pointer = os.path.join(path, "_CURRENT")
+        state = {"version": -1, "checkpoint": checkpoint_dir, "last_batch": -1}
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                state = json.load(f)
+        if state["checkpoint"] == checkpoint_dir and batch_id <= state["last_batch"]:
+            return  # replayed batch → idempotent no-op
+        fresh = latest_per_key(batch_df, key_cols, order_cols)
+        if state["version"] >= 0:
+            base = spark.read.parquet(os.path.join(path, f"v={state['version']}"))
+            merged = latest_per_key(
+                base.unionByName(fresh), key_cols, order_cols
+            )
+        else:
+            merged = fresh
+        new_version = state["version"] + 1
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"v={new_version}"))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": new_version, "checkpoint": checkpoint_dir,
+                 "last_batch": batch_id},
+                f,
+            )
+        os.replace(tmp, pointer)
+
+    return (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upsert_snapshot(spark, path: str) -> DataFrame:
+    """Read the current snapshot behind the atomic pointer."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_CURRENT")) as f:
+        state = json.load(f)
+    return spark.read.parquet(os.path.join(path, f"v={state['version']}"))

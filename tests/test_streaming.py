@@ -185,3 +185,48 @@ def test_partitioned_stream_sink_exactly_once(spark, tmpdir):
     # hive partition dirs present
     years = [d for d in os.listdir(out) if d.startswith("year=")]
     assert years, f"no partition dirs in {os.listdir(out)}"
+
+
+def test_upsert_stream_latest_wins_and_replay_is_idempotent(spark):
+    """Streaming MERGE sink: two micro-batch rounds with overlapping keys
+    collapse to newest-version-per-key; re-running the stream over the
+    same source with the same checkpoint applies nothing twice."""
+    from fineventstream_spark.streaming.sink import (
+        read_upsert_snapshot,
+        upsert_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        table = os.path.join(d, "table")
+        ckpt = os.path.join(d, "ckpt")
+        os.makedirs(src)
+
+        def put(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+
+        def run():
+            stream = spark.readStream.schema(
+                "k long, v string, ver long"
+            ).option("maxFilesPerTrigger", "1").json(src)
+            q = upsert_stream(stream, table, ["k"], ["ver"], ckpt)
+            q.awaitTermination(120)
+
+        put("b1.jsonl", [{"k": 1, "v": "a1", "ver": 1}, {"k": 2, "v": "b1", "ver": 1}])
+        put("b2.jsonl", [{"k": 1, "v": "a2", "ver": 2}, {"k": 3, "v": "c1", "ver": 1}])
+        run()
+        got = {r.k: (r.v, r.ver) for r in read_upsert_snapshot(spark, table).collect()}
+        assert got == {1: ("a2", 2), 2: ("b1", 1), 3: ("c1", 1)}
+
+        # replay: same checkpoint, no new files → snapshot version unchanged
+        before = open(os.path.join(table, "_CURRENT")).read()
+        run()
+        assert open(os.path.join(table, "_CURRENT")).read() == before
+
+        # out-of-order late update (older version) must NOT displace newer
+        put("b3.jsonl", [{"k": 1, "v": "a0", "ver": 0}])
+        run()
+        got = {r.k: (r.v, r.ver) for r in read_upsert_snapshot(spark, table).collect()}
+        assert got[1] == ("a2", 2)
