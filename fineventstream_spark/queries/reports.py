@@ -426,3 +426,39 @@ def q_report_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "q_report_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    tags=("R10", "J2", "A1"),
+)
+def q_report_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed k
+    orders, excluding a priority class — the canonical two-level
+    aggregate over a LEFT OUTER join (zero-order customers must appear,
+    so the exclusion predicate rides the JOIN condition, not WHERE).
+    Level 1 shuffles on custkey and collapses orders to one count per
+    customer; level 2 is a ~50-group count whose input is already one
+    row per customer — at 100 TB the second shuffle moves almost
+    nothing."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t.customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))

@@ -43,3 +43,30 @@ def compact_partition(
 
     shutil.rmtree(backup, ignore_errors=True)
     return n_files
+
+
+def vacuum_upsert_versions(path: str, keep: int = 2) -> list[int]:
+    """Drop old snapshot versions of an upsert table (streaming/sink.py
+    ``upsert_stream``), keeping the current one plus ``keep-1`` most
+    recent predecessors for in-flight readers. Never touches the version
+    the ``_CURRENT`` pointer names, whatever ``keep`` says — vacuum can
+    race the writer but never the readers' committed view.
+
+    Returns the versions removed."""
+    import json
+    import shutil
+
+    with open(os.path.join(path, "_CURRENT")) as f:
+        current = json.load(f)["version"]
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and os.path.isdir(os.path.join(path, d))
+    )
+    keep_set = set(versions[-keep:]) | {current}
+    removed = []
+    for v in versions:
+        if v not in keep_set:
+            shutil.rmtree(os.path.join(path, f"v={v}"))
+            removed.append(v)
+    return removed

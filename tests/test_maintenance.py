@@ -86,3 +86,27 @@ def test_dynamic_partition_overwrite_reprocess(spark, tmpdir):
     # partition-column type inference reads day= values back as dates
     rows = {(r.id, str(r.day)) for r in spark.read.parquet(path).collect()}
     assert rows == {(10, "2024-01-01"), (3, "2024-01-02")}
+
+
+def test_vacuum_upsert_keeps_current_and_recent(spark, tmpdir):
+    """Vacuum removes old snapshot versions but never the pointer's
+    current version, and the snapshot read is unaffected."""
+    import json
+    import os
+
+    from fineventstream_spark.streaming.maintenance import vacuum_upsert_versions
+    from fineventstream_spark.streaming.sink import read_upsert_snapshot
+
+    table = os.path.join(tmpdir, "t")
+    os.makedirs(table)
+    for v in range(4):
+        spark.createDataFrame([(1, v)], "k long, ver long").write.parquet(
+            os.path.join(table, f"v={v}")
+        )
+    with open(os.path.join(table, "_CURRENT"), "w") as f:
+        json.dump({"version": 3, "checkpoint": "c", "last_batch": 3}, f)
+
+    removed = vacuum_upsert_versions(table, keep=2)
+    assert removed == [0, 1]
+    assert sorted(os.listdir(table)) == ["_CURRENT", "v=2", "v=3"]
+    assert read_upsert_snapshot(spark, table).collect()[0].ver == 3
