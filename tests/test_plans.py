@@ -196,3 +196,31 @@ def test_q19_disjunction_factors_push_to_both_scans(spark, sf_dir):
     assert "EqualTo(p_brand" in part_pushed, (
         "brand equalities not factored down to the part scan"
     )
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
+    """Q13: the priority exclusion must ride the JOIN (not a post-filter
+    that would drop zero-order customers); two-level agg with partials."""
+    plan = _plan(spark, sf_dir, "q_report_customer_distribution")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
+    from pyspark.sql import functions as F
+
+    n_cust = REGISTRY["q_report_customer_distribution"].fn(spark, sf_dir).agg(
+        F.sum("n_customers")
+    ).collect()[0][0]
+    total = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert n_cust == total, "outer join lost customers"
+
+
+def test_sessionize_windows_are_keyed(spark, sf_dir):
+    """Sessionization must never run an unpartitioned (single-task)
+    window: every window spec in the plan partitions by user_id."""
+    plan = _plan(spark, sf_dir, "q_event_sessionize")
+    n_specs = plan.count("windowspecdefinition(")
+    n_keyed = plan.count("windowspecdefinition(user_id")
+    assert n_specs > 0, f"expected window nodes in the plan:\n{plan}"
+    assert n_specs == n_keyed, (
+        f"{n_specs - n_keyed} window spec(s) lack the user_id partition "
+        f"(single-task global sort at scale):\n{plan}"
+    )
