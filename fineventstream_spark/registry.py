@@ -99,13 +99,17 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_news_lookback",
     "q_report_nation_volume",
     "q_event_ohlc_bars",
-    "q_event_funnel",
+    # sessionization is the session family's ONLY hash-checkable form
+    # (q_session_window is rows-only by design), so it takes the events
+    # family's second in-window slot over the funnel
+    "q_event_sessionize",
     "q_llm_decontaminate",
     "q_llm_pack_sequences",
     "q_upsert_latest",
     # --- expected driver-window boundary (~50) ---
     # displaced siblings: same operator family as an in-window query,
     # still oracle-checked by the local differential suite
+    "q_event_funnel",
     "q_win_frame_range",
     "q_scan_csv",
     "q_union_distinct",
