@@ -492,3 +492,26 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 5)
         .select("id_a", "id_b", "dist")
     )
+
+
+@register("q_llm_near_dedup_pipeline", oracle=None, tags=("U5", "X1"))
+def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup ring composed end-to-end: MinHash-LSH candidates →
+    exact n-gram Jaccard verify (≥ 0.8) → connected components →
+    per-cluster keeper. Approximate by design (LSH recall) → rows-only;
+    recall is pinned by the planted-pair test. Scale shape: candidates
+    only form inside capped LSH buckets, the verify runs only on
+    candidate pairs, and clustering iterates over the (tiny) verified
+    edge set — the corpus itself is touched twice (shingle pass, final
+    keeper join), never pairwise."""
+    from fineventstream_spark.operators.cluster import dedup_keepers
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    cands = dedup.minhash_lsh_candidates(docs, "text", "doc_id")
+    verified = dedup.ngram_jaccard_verify(cands, docs, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.8
+    )
+    return dedup_keepers(docs, verified.select("id_a", "id_b"), "doc_id").select(
+        "doc_id", "keeper_id"
+    )

@@ -583,3 +583,51 @@ def test_edit_distance_finds_planted_near_dups(spark):
             for r in all_queries()["q_llm_edit_distance"].fn(spark, d).collect()
         }
     assert out == {(1, 2): 1}, f"expected only the planted pair at dist 1, got {out}"
+
+
+def test_near_dedup_pipeline_collapses_planted_cluster(spark, sf_dir):
+    """Three planted copies of one document (two exact, one near — a
+    one-word suffix) must collapse to a single keeper through the full
+    minhash → jaccard-verify → components pipeline; unrelated docs keep
+    themselves."""
+    import os
+    import tempfile
+
+    from fineventstream_spark.registry import all_queries
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30).collect()
+    rows = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base]
+    seed = rows[0]
+    planted = [
+        (2_000_001, seed[1], seed[2], seed[3], seed[4]),           # exact copy
+        (2_000_002, seed[1] + " appended", seed[2], seed[3], seed[4]),  # near copy
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows + planted,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r.keeper_id
+            for r in all_queries()["q_llm_near_dedup_pipeline"].fn(spark, d).collect()
+        }
+    assert out[seed[0]] == seed[0]
+    assert out[2_000_001] == seed[0], "exact copy not clustered to the seed"
+    assert out[2_000_002] == seed[0], "near copy not clustered to the seed"
+
+    # No FALSE merges: every non-planted doc that got a foreign keeper
+    # must be a genuine near-dup of it — checked with an independent
+    # pure-Python 3-gram Jaccard (the fixture corpus does contain real
+    # near-dup pairs, which the pipeline is right to merge).
+    texts = {r[0]: r[1] for r in rows}
+
+    def shingles(s):
+        w = s.split(" ")
+        return {tuple(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    for k, v in out.items():
+        if k in (2_000_001, 2_000_002) or k == v:
+            continue
+        a, b = shingles(texts[k]), shingles(texts[v])
+        j = len(a & b) / len(a | b)
+        assert j >= 0.8, f"false merge: {k} -> {v} (true jaccard {j:.3f})"
