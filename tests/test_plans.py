@@ -224,3 +224,17 @@ def test_sessionize_windows_are_keyed(spark, sf_dir):
         f"{n_specs - n_keyed} window spec(s) lack the user_id partition "
         f"(single-task global sort at scale):\n{plan}"
     )
+
+
+def test_curation_pipeline_is_single_shuffle(spark, sf_dir):
+    """The composed curation pipeline's docstring claims one shuffle (the
+    dedup window) with the language gate pushed into the scan — assert
+    both, so the claim can't silently rot."""
+    plan = _plan(spark, sf_dir, "q_llm_curation_pipeline")
+    n_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_exchanges == 1, f"expected exactly one shuffle, got {n_exchanges}:\n{plan}"
+    assert "In(lang" in plan.split("ReadSchema")[0], "lang gate not pushed to the scan"
