@@ -631,3 +631,34 @@ def test_near_dedup_pipeline_collapses_planted_cluster(spark, sf_dir):
         a, b = shingles(texts[k]), shingles(texts[v])
         j = len(a & b) / len(a | b)
         assert j >= 0.8, f"false merge: {k} -> {v} (true jaccard {j:.3f})"
+
+
+def test_ivf_index_prunes_partitions_and_recalls(spark, sf_dir, tmp_path):
+    """Persisted IVF: queries must read only the probed hive partitions
+    (PartitionFilters on ivf_bucket — file-level pruning, the 100 TB
+    win) and still recall most of the brute-force top-10."""
+    import math
+
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, "embedding", "vec_id", idx, n_lists=8, iterations=3)
+
+    query = [round(math.sin(j + 1), 6) for j in range(64)]
+    got = query_ivf_index(spark, idx, "embedding", "vec_id", query, k=10, nprobe=3)
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "ivf_bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:300], f"probe did not prune partitions:\n{plan}"
+
+    approx = {r.vec_id for r in got.collect()}
+    brute = {r.vec_id for r in cosine_topk(emb, "embedding", "vec_id", query, k=10).collect()}
+    assert len(approx & brute) >= 6, f"recall too low: {len(approx & brute)}/10"
