@@ -462,3 +462,331 @@ def q_report_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q_report_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1999-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("R11", "J1", "J4", "A1"),
+)
+def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations per ship-year. The nation-pair predicate is applied to the
+    *broadcast* nation dim BEFORE the fact joins, so supplier and
+    customer shrink to 2/25 of their rows ahead of the big
+    lineitem ⋈ orders shuffle — the OR-of-pairs filter then only has to
+    reject the two same-nation combinations. At 100 TB the only large
+    shuffles are lineitem ⋈ orders (orderkey) and ⋈ customer (custkey);
+    everything nation-shaped is broadcast."""
+    t = Tables(spark, sf_dir)
+    nat = t.nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    sup = t.supplier.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("s_nk"),
+                               F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    cus = t.customer.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("c_nk"),
+                               F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "cust_nation")
+    lines = t.lineitem.filter(
+        F.col("l_shipdate").between("1996-01-01", "1999-12-31")
+    )
+    return (
+        lines.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cus, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_report_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("R12", "J1", "J4", "A1", "F6"),
+)
+def q_report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
+    revenue sold into AMERICA, per order-year. Eight-table snowflake
+    where every dim chain (part filter, customer→nation→region gate,
+    supplier→nation label) is either a broadcast or an early row-count
+    reduction; the share itself is a conditional-sum ratio, one
+    aggregate shuffle on year (~7 groups) — the numerator CASE rides
+    the same pass as the denominator, never a second scan."""
+    t = Tables(spark, sf_dir)
+    parts = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    amer_nat = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_nk"))
+    )
+    cus = t.customer.join(
+        F.broadcast(amer_nat), F.col("c_nationkey") == F.col("cn_nk")
+    ).select("c_custkey")
+    sup = t.supplier.join(
+        F.broadcast(t.nation.select(F.col("n_nationkey").alias("sn_nk"),
+                                    F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_nk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cus, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_report_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("R13", "A2", "J4", "X15"),
+)
+def q_report_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue in
+    a quarter. The quarter's revenue-per-supplier aggregate is computed
+    ONCE and reused for both the scalar max and the equality probe
+    (same logical subtree → Catalyst reuses the exchange); the 1-row
+    max side is broadcast, so no global window sort over suppliers —
+    at 100 TB the supplier aggregate is the only shuffle."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_report_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_size < 25
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("R14", "X15", "A1", "J4"),
+)
+def q_report_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to
+    below-20%-of-average-quantity orders for one brand/size slice.
+    Hand-decorrelated: the per-part average is computed only over parts
+    that survive the brand/size gate (the correlation domain), via a
+    broadcast semi-filter of lineitem THEN one partkey aggregate; the
+    probe join hits the same partkey partitioning, so the cap lookup
+    reuses the aggregate's exchange instead of re-shuffling. The oracle
+    keeps the correlated-subquery spelling — DuckDB and Catalyst both
+    decorrelate it to this exact plan."""
+    t = Tables(spark, sf_dir)
+    parts = (
+        t.part.filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") < 25))
+        .select("p_partkey")
+    )
+    lines = t.lineitem.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    caps = lines.groupBy(F.col("l_partkey").alias("cap_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        lines.join(caps, F.col("l_partkey") == F.col("cap_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_report_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+    tags=("R15", "J3", "A1", "O3"),
+)
+def q_report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), lateness adapted to
+    this lake's columns: a line is late when it ships >60 days after the
+    order date (the fixtures carry no commit/receipt dates —
+    /root/reference has no such fields either). The classic double
+    EXISTS / NOT EXISTS is re-expressed as ONE aggregation over the
+    order's lines: per order, count distinct suppliers and distinct
+    *late* suppliers; a late line waits alone iff n_supp > 1 and
+    n_late_supp = 1. That turns two correlated semi/anti joins (three
+    scans of lineitem) into one orderkey aggregate + one co-partitioned
+    join back — at 100 TB, two orderkey shuffles total, no row
+    explosion. Top-10 via TakeOrderedAndProject with s_name tiebreak."""
+    t = Tables(spark, sf_dir)
+    lo = t.lineitem.join(
+        t.orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    stats = lo.groupBy(F.col("l_orderkey").alias("st_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(stats, F.col("l_orderkey") == F.col("st_ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q_report_sales_opportunity",
+    oracle="""
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 4) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    ) custsale
+    GROUP BY cntrycode
+    """,
+    tags=("R16", "J3", "X15", "A1"),
+)
+def q_report_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers with
+    no recent orders, grouped by country code. Adapted to this lake's
+    columns: the country code is n_nationkey mod 5 (the fixtures carry
+    no c_phone prefix) and "dormant" means no order since 1999 (every
+    sf0.01 customer has SOME order, so the classic no-orders-ever
+    predicate would select nothing). Plan: the positive-balance average
+    is a 1-row broadcast scalar; dormancy is a LEFT ANTI join against
+    the date-pruned orders scan — one custkey shuffle, no correlated
+    per-row execution."""
+    t = Tables(spark, sf_dir)
+    avg_bal = t.customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    recent = t.orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        t.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .withColumn("cntrycode", (F.col("c_nationkey") % 5).cast("int"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

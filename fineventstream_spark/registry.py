@@ -119,6 +119,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # remaining round-2 queries, highest-signal first
     "q_report_returned_items",
     "q_report_order_priority",
+    "q_report_waiting_suppliers",
+    "q_report_market_share",
+    "q_report_volume_shipping",
+    "q_report_small_qty_revenue",
+    "q_report_top_supplier",
+    "q_report_sales_opportunity",
     "q_event_histogram",
     "q_event_outliers",
     "q_llm_sample_hash",

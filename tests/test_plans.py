@@ -238,3 +238,62 @@ def test_curation_pipeline_is_single_shuffle(spark, sf_dir):
     )
     assert n_exchanges == 1, f"expected exactly one shuffle, got {n_exchanges}:\n{plan}"
     assert "In(lang" in plan.split("ReadSchema")[0], "lang gate not pushed to the scan"
+
+
+def test_q7_volume_shipping_filters_dims_before_facts(spark, sf_dir):
+    """TPC-H Q7: the nation-pair predicate must reach the nation scans
+    (broadcast side) so supplier/customer shrink before the fact joins."""
+    plan = _plan(spark, sf_dir, "q_report_volume_shipping")
+    assert "In(n_name, [NATION_1,NATION_2]" in plan, "nation pair not pushed"
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "ship window not pushed"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q8_market_share_gates_pushed_one_agg(spark, sf_dir):
+    """TPC-H Q8: the part-type gate prunes at the scan; the region gate
+    compiles to a semi-join; numerator and denominator share one
+    aggregate pass (a single groupBy, no second scan)."""
+    plan = _plan(spark, sf_dir, "q_report_market_share")
+    assert "EqualTo(p_type,ECONOMY)" in plan, "part filter not pushed"
+    assert "LeftSemi" in plan, "region gate should be a semi join"
+    assert "Cartesian" not in plan
+
+
+def test_q15_top_supplier_no_sort_merge_no_window(spark, sf_dir):
+    """TPC-H Q15: the scalar max rides a 1-row broadcast — no global
+    window over suppliers, no sort-merge join anywhere."""
+    plan = _plan(spark, sf_dir, "q_report_top_supplier")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LessThan(l_shipdate" in plan, "quarter bound not pushed"
+
+
+def test_q17_small_qty_partial_agg_and_part_gate(spark, sf_dir):
+    """TPC-H Q17: the brand/size gate reaches the part scan and the
+    per-part average is a partial+final aggregate (decorrelated), not a
+    per-row subquery."""
+    plan = _plan(spark, sf_dir, "q_report_small_qty_revenue")
+    assert "EqualTo(p_brand,Brand#13)" in plan, "brand gate not pushed"
+    assert plan.count("HashAggregate") >= 2, "no map-side partial aggregation"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q21_waiting_suppliers_aggregated_not_triple_scan(spark, sf_dir):
+    """TPC-H Q21: the EXISTS / NOT EXISTS pair is one orderkey aggregate
+    + a co-partitioned join back — no semi/anti joins, no third lineitem
+    scan, top-10 via partial heaps."""
+    plan = _plan(spark, sf_dir, "q_report_waiting_suppliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan, "status gate not pushed"
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert plan.count("lineitem.parquet") <= 2, "lineitem scanned more than twice"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q22_sales_opportunity_anti_join_pruned_orders(spark, sf_dir):
+    """TPC-H Q22: dormancy is a LEFT ANTI join against a date-pruned
+    orders scan (the date bound must reach the parquet reader); the
+    balance average is a broadcast scalar."""
+    plan = _plan(spark, sf_dir, "q_report_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in plan, "date bound not pushed"
