@@ -262,3 +262,44 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "q_event_rolling_active",
+    oracle="""
+    WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM act)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS active_7d
+    FROM days JOIN act
+      ON act.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+    tags=("E7", "A3", "F3"),
+)
+def q_event_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (WAU curve) — the
+    canonical engagement metric over the reference's event lake.
+    Distinct-over-a-sliding-window is not expressible as a Spark window
+    function (count DISTINCT has no frame form), so the exact plan is:
+    collapse events to distinct (day, user) FIRST — the only fact-sized
+    shuffle — then explode each activity day to the ≤7 window days it
+    contributes to and count distinct users per day. The ×7 expansion
+    happens on the already-collapsed table (bounded by days×users, not
+    by raw event count); the trailing partial windows are clipped by a
+    broadcast semi-join against the observed-day list. At 100 TB, or
+    for wide windows (30/90-day), the mergeable-sketch rollup
+    (q_agg_sketch_rollup, Y22) replaces the exact count: one HLL per
+    day, unions over the window — no expansion at all."""
+    t = Tables(spark, sf_dir)
+    act = t.events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = act.select(F.col("d").alias("day")).distinct()
+    expanded = act.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    return (
+        expanded.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )

@@ -127,6 +127,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_report_sales_opportunity",
     "q_event_histogram",
     "q_event_outliers",
+    "q_event_rolling_active",
     "q_llm_sample_hash",
     "q_llm_sample_stratified",
     "q_llm_domain_mix",

@@ -297,3 +297,19 @@ def test_q22_sales_opportunity_anti_join_pruned_orders(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_report_sales_opportunity")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in plan, "date bound not pushed"
+
+
+def test_rolling_active_collapses_before_exploding(spark, sf_dir):
+    """Rolling 7-day actives: the ×7 day expansion must run on the
+    distinct (day, user) table, never on raw events — the Generate node
+    sits above the distinct aggregate, and the day-list clip is a
+    broadcast semi-join."""
+    plan = _plan(spark, sf_dir, "q_event_rolling_active")
+    gen = plan.index("Generate")
+    assert "explode(sequence" in plan, "no day-window expansion found"
+    # the distinct aggregate feeding Generate appears later in the
+    # formatted details (children print after parents)
+    assert "LeftSemi" in plan, "partial-window clip should be a semi join"
+    assert plan.count("events.parquet") <= 2
+    detail = plan[plan.index("(6) Generate") :] if "(6) Generate" in plan else plan[gen:]
+    assert "HashAggregate" in plan[:gen], "expansion not fed by an aggregate"
