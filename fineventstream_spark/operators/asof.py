@@ -35,12 +35,19 @@ def asof_join(
     right_values: list[str],
     right_tiebreak: str | None = None,
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: attach the latest right_values at-or-before each left row.
 
     Returns ``left`` with one extra column per entry in ``right_values``
     named ``{col}{suffix}`` (null when no right row precedes the left row).
-    """
+
+    ``tolerance`` (an SQL interval string, e.g. ``"1 hour"``) bounds the
+    lookback: a match older than ``left_ts - tolerance`` yields null —
+    pandas ``merge_asof(tolerance=...)`` semantics. Implemented by
+    carrying the matched right row's timestamp through the same window
+    and masking stale values afterwards, so the plan is unchanged: still
+    one shuffle, no extra join."""
     keys = [on] if isinstance(on, str) else list(on)
 
     left_cols = left.columns
@@ -58,7 +65,9 @@ def asof_join(
         F.lit(1).alias("__side"),  # left sorts after right on ts ties → inclusive match
         F.lit(None).cast("long").alias("__rtb"),
         *[
-            F.lit(None).cast(f"struct<v:{rdtypes[v]}>").alias(f"__rv_{v}")
+            F.lit(None)
+            .cast(f"struct<t:{rdtypes[right_ts]},v:{rdtypes[v]}>")
+            .alias(f"__rv_{v}")
             for v in right_values
         ],
     )
@@ -69,7 +78,10 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         rtb.alias("__rtb"),
-        *[F.struct(F.col(v).alias("v")).alias(f"__rv_{v}") for v in right_values],
+        *[
+            F.struct(F.col(right_ts).alias("t"), F.col(v).alias("v")).alias(f"__rv_{v}")
+            for v in right_values
+        ],
     ).select(*l.columns)  # align column order for unionByName-safety
 
     unioned = l.unionByName(r)
@@ -78,12 +90,16 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rtb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    def _value(v: str) -> Column:
+        m = F.last(f"__rv_{v}", ignorenulls=True).over(w)
+        if tolerance is None:
+            return m.getField("v").alias(f"{v}{suffix}")
+        fresh = m.getField("t") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        return F.when(fresh, m.getField("v")).alias(f"{v}{suffix}")
+
     filled = unioned.select(
         *unioned.columns,
-        *[
-            F.last(f"__rv_{v}", ignorenulls=True).over(w).getField("v").alias(f"{v}{suffix}")
-            for v in right_values
-        ],
+        *[_value(v) for v in right_values],
     )
     return filled.filter(F.col("__side") == 1).select(
         *left_cols, *[f"{v}{suffix}" for v in right_values]

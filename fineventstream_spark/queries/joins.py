@@ -252,3 +252,51 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix="_asof",
     )
     return joined.select("event_id", "user_id", "value", "click_value_asof")
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.value,
+           (SELECT c.value
+            FROM events c
+            WHERE c.user_id = p.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 DAY
+            ORDER BY c.ts DESC, c.event_id DESC
+            LIMIT 1) AS click_value_asof
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("J7",),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): the latest click at-or-before each purchase per user,
+    but only if it happened within the last day — older matches become
+    null. Same union+window plan as q_join_asof (one shuffle, no row
+    explosion); the bound is a post-window mask on the matched row's
+    carried timestamp, NOT an extra join — the marginal cost of the
+    tolerance at 100 TB is zero."""
+    t = Tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"), "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_value"],
+        right_tiebreak="event_id",
+        suffix="_asof",
+        tolerance="1 DAY",
+    )
+    return joined.select(
+        "event_id", "user_id", "value", F.col("click_value_asof").alias("click_value_asof")
+    )

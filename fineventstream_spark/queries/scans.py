@@ -303,3 +303,57 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+def _documents_drift_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize two schema generations of documents (S4/S5 drift form).
+
+    Real lakes drift: early producers wrote (doc_id, text, lang); later
+    ones added source. The reference's lake has exactly this property —
+    schemaless JSONL whose field set is producer-version-dependent
+    (processor_company_news.py:37-38 "trusts producer format"). Gen 1 =
+    even doc_ids without the source column, gen 2 = odd doc_ids with it.
+    """
+    path = _cache_dir(sf_dir, "documents_drift")
+    if not os.path.exists(os.path.join(path, "gen=2", "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "gen=1"))
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source"
+        ).write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    return path
+
+
+@register(
+    "q_scan_schema_drift",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(source) AS BIGINT) AS n_with_source
+    FROM (
+      SELECT lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, source FROM documents WHERE doc_id % 2 = 1
+    ) gens
+    GROUP BY lang
+    """,
+    tags=("S4", "S5"),
+)
+def q_scan_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant lake scan: one read over parquet files whose
+    schemas differ (a later producer generation added the ``source``
+    column), via ``mergeSchema`` — missing columns surface as nulls, no
+    backfill rewrite of the old files. Column pruning still applies: the
+    merged scan reads only (lang, source), not text. At 100 TB schema
+    evolution by union-of-footers is the only affordable option — a
+    rewrite of historical partitions is a full-lake write."""
+    path = _documents_drift_path(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("source").alias("n_with_source"),
+        )
+    )

@@ -128,6 +128,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_histogram",
     "q_event_outliers",
     "q_event_rolling_active",
+    "q_join_asof_tolerance",
+    "q_scan_schema_drift",
     "q_llm_sample_hash",
     "q_llm_sample_stratified",
     "q_llm_domain_mix",

@@ -313,3 +313,12 @@ def test_rolling_active_collapses_before_exploding(spark, sf_dir):
     assert plan.count("events.parquet") <= 2
     detail = plan[plan.index("(6) Generate") :] if "(6) Generate" in plan else plan[gen:]
     assert "HashAggregate" in plan[:gen], "expansion not fed by an aggregate"
+
+
+def test_schema_drift_scan_still_prunes_columns(spark, sf_dir):
+    """mergeSchema must not defeat column pruning: the merged scan reads
+    only (lang, source) — never the wide text column."""
+    plan = _plan(spark, sf_dir, "q_scan_schema_drift")
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "source" in read_schema
+    assert "text" not in read_schema, "drifted scan reads the text column it never uses"
