@@ -7,12 +7,15 @@ min-label propagation over the pair edges:
 
     label(v) ← min(label(v), min(label(u) for u adjacent to v))
 
-repeated until fixpoint. Each iteration is two hash joins + a groupBy —
-all shuffle-partitioned by vertex id, no driver-side graph. Convergence
-needs at most diameter(G) iterations; dup clusters are near-cliques
-(diameter ≤ ~3 via LSH transitivity), so the loop exits after 2-3 rounds
-in practice. A hard cap bounds adversarial chains; at 100 TB each round is
-one co-partitioned join over the (tiny) edge set, not the corpus.
+repeated until fixpoint, with pointer doubling each round
+(``label(v) ← label(label(v))``) so label chains collapse exponentially:
+convergence needs O(log diameter) iterations, not O(diameter) — the
+default cap of 10 covers diameters beyond 2^9, so even adversarial
+near-dup chains (transitive LSH pairs over boilerplate) resolve to one
+component. Each iteration is three hash joins + a groupBy over the
+(tiny) edge/label set, never the corpus; all shuffle-partitioned, no
+driver-side graph. Dup clusters are near-cliques (diameter ≤ ~3), so the
+loop still exits after 2-3 rounds in practice.
 """
 
 from __future__ import annotations
@@ -66,26 +69,44 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
             )
             .persist()
         )
-        changed = (
-            stepped.filter(F.col("component") != F.col("__prev")).limit(1).count()
+        # pointer doubling: resolve each label through the label table once
+        # more (label(v) ← label(label(v))), collapsing chains exponentially
+        lbl = stepped.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
         )
+        doubled = (
+            stepped.join(lbl, stepped.component == F.col("__pid"), "left")
+            .select(
+                "id",
+                "__prev",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__pcomp"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            doubled.filter(F.col("component") != F.col("__prev")).limit(1).count()
+        )
+        stepped.unpersist()
         cached.unpersist()
-        cached = stepped
-        labels = stepped.select("id", "component")
+        cached = doubled
+        labels = doubled.select("id", "component")
         if changed == 0:
             converged = True
             break
     edges.unpersist()
     if not converged:
-        # One hop per iteration ⇒ a component with diameter > max_iterations
-        # would silently split into several clusters (multiple keepers for
-        # one true cluster). Surface it instead of returning quietly.
+        # With doubling, non-convergence means diameter beyond ~2^max_iterations
+        # — some components may have split (multiple keepers for one true
+        # cluster). Surface it instead of returning quietly.
         import warnings
 
         warnings.warn(
             f"connected_components did not converge within {max_iterations} "
             "iterations; some components may be split. Raise max_iterations "
-            "(diameter bound) for long duplicate chains.",
+            "for extremely long duplicate chains.",
             RuntimeWarning,
             stacklevel=2,
         )
