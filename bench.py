@@ -77,30 +77,42 @@ def main() -> None:
     # pool (fork + pandas/numpy import per core — a cluster's long-lived
     # executors amortize this; cold-forking 32 workers inside a measured
     # query would charge ~8 s of import time to whichever query runs first)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    from pyspark.sql import functions as F
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        from pyspark.sql import functions as F
 
-    @F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
+        @F.pandas_udf("long")
+        def _warm(s: pd.Series) -> pd.Series:
+            return s
 
-    spark.range(10_000).repartition(64).select(_warm("id")).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    # Warm the OS page cache + parquet footers for every input table: the
-    # first scan of a ~100 MB table otherwise pays cold disk reads that a
-    # long-running cluster never sees, charged to whichever query runs
-    # first (observed: 6.5 s vs 0.5 s steady state on the same query).
-    for tbl in ("lineitem", "orders", "customer", "nation",
-                "events", "documents", "embeddings"):
-        p = os.path.join(SF_DIR, f"{tbl}.parquet")
-        if os.path.exists(p):
-            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+        spark.range(10_000).repartition(64).select(_warm("id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        # Warm the OS page cache + parquet footers for every input table: the
+        # first scan of a ~100 MB table otherwise pays cold disk reads that a
+        # long-running cluster never sees, charged to whichever query runs
+        # first (observed: 6.5 s vs 0.5 s steady state on the same query).
+        for tbl in ("lineitem", "orders", "customer", "nation",
+                    "events", "documents", "embeddings"):
+            p = os.path.join(SF_DIR, f"{tbl}.parquet")
+            if os.path.exists(p):
+                spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        print(f"# warm-up failed (continuing cold): {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
-        q = registry[name]
+        q = registry.get(name)
+        if q is None:
+            failures[name] = "not in registry"
+            continue
+        # Fault isolation (round-2 lesson: ONE failing query aborted the
+        # whole run and the round recorded zero numbers): each query runs
+        # inside its own try/except; a failure is recorded and the loop
+        # continues, so the emitted JSON line always exists.
+        #
         # Adaptive repetition: the first run includes plan compilation
         # (amortized on any long-lived cluster) and this host shows
         # sustained co-tenant contention windows that can span several
@@ -109,31 +121,36 @@ def main() -> None:
         # reps agree within 30% — a recorded time then has two concordant
         # witnesses — capped at 4 reps.
         runs = []
-        while True:
-            t0 = time.perf_counter()
-            materialize(q.fn(spark, SF_DIR))
-            runs.append(time.perf_counter() - t0)
-            if len(runs) >= 2:
-                lo, lo2 = sorted(runs)[:2]
-                if lo2 <= 1.3 * lo or len(runs) >= 4:
-                    break
+        try:
+            while True:
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, SF_DIR))
+                runs.append(time.perf_counter() - t0)
+                if len(runs) >= 2:
+                    lo, lo2 = sorted(runs)[:2]
+                    if lo2 <= 1.3 * lo or len(runs) >= 4:
+                        break
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            msg = f"{type(exc).__name__}: {exc}"
+            failures[name] = msg[:500]
+            print(f"# {name}: FAILED {msg.splitlines()[0][:200]}", file=sys.stderr)
+            continue
         best = min(runs)
         dt = round(best, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": os.path.basename(os.path.normpath(SF_DIR)),
-            }
-        )
-    )
+    result = {
+        "metric": "total_headline_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

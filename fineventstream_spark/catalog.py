@@ -5,10 +5,19 @@ The reference's "catalog" is a directory convention on S3
 ours is a thin loader over the driver's parquet fixtures that also
 normalizes types at the edge (timestamp hygiene — SURVEY §7):
 
-- ``events.ts`` arrives as INT64 TIMESTAMP(NANOS); Spark reads it as a raw
-  long (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
-  microseconds with exact integer division (``ts div 1000``) — identical to
-  DuckDB's nanos→micros truncation, so oracle comparisons are bit-stable.
+- ``events.ts`` has arrived in two fixture flavors across driver rounds:
+  INT64 TIMESTAMP(NANOS) (Spark reads a raw long under
+  ``spark.sql.legacy.parquet.nanosAsLong``; we truncate to microseconds
+  with exact integer division, identical to DuckDB's nanos→micros
+  truncation) and plain ``timestamp[us]`` WITHOUT a zone (Spark reads
+  TIMESTAMP_NTZ). Both normalize to TimestampType here: the session TZ is
+  pinned UTC (session.py), so the NTZ→TIMESTAMP cast is a pure type-tag
+  change — the stored micros are identical and oracle comparisons stay
+  bit-stable. Normalizing at the edge (not per query) means every
+  downstream expression (``unix_micros``, ``cast("long")``, window
+  functions, JSON writers) sees ONE timestamp type whatever the lake
+  wrote — the round-2 lesson: an unnormalized NTZ column crashed two
+  queries and silently nulled a third's JSONL roundtrip.
 
 At 100 TB the same loader would point at a partitioned lake root; partition
 discovery and pruning are Catalyst's job (PruneFileSourcePartitions), not
@@ -41,10 +50,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing event-time to TimestampType UTC."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         # exact integer division: ns → µs without double-precision loss
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dtypes = dict(df.dtypes)
+    # TIMESTAMP_NTZ → TIMESTAMP for every temporal column: session TZ is
+    # pinned UTC so the micros are unchanged; this is a type-tag
+    # normalization that keeps unix_micros/cast("long")/JSON formats valid.
+    ntz_cols = [c for c, t in dtypes.items() if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
+
+
+def schema_fingerprint(df: DataFrame) -> str:
+    """Short stable hash of a DataFrame's (post-normalization) schema.
+
+    Used to key derived ``.cache/`` materializations: if the lake's source
+    schema — or this catalog's normalization — changes, the fingerprint
+    changes and stale derivatives are regenerated instead of silently
+    reused (the round-2 failure mode: a JSONL copy written under old
+    timestamp semantics survived behind a ``_SUCCESS`` check)."""
+    import hashlib
+
+    return hashlib.sha256(df.schema.json().encode()).hexdigest()[:12]
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

@@ -16,6 +16,16 @@ component. Each iteration is three hash joins + a groupBy over the
 (tiny) edge/label set, never the corpus; all shuffle-partitioned, no
 driver-side graph. Dup clusters are near-cliques (diameter ≤ ~3), so the
 loop still exits after 2-3 rounds in practice.
+
+Lineage discipline: every iterative Spark algorithm must TRUNCATE plan
+lineage per round, not just cache data — ``persist()`` keeps the full
+nested logical plan, so after i iterations analysis cost is O(plan^i)
+and the driver dies around iteration 8-9 (round-2 regression, observed
+in this repo's own long-chain test). ``localCheckpoint(eager=True)``
+materializes the iteration AND replaces its logical plan with a leaf
+scan of the checkpointed blocks — analysis stays O(1) per round at any
+chain length. On a shared cluster, swap for reliable ``checkpoint()``
+(HDFS-backed) if executor loss must be survivable mid-computation.
 """
 
 from __future__ import annotations
@@ -46,9 +56,10 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         .distinct()
         .withColumn("component", F.col("id"))
         .repartition(n, "id")
-        .persist()
+        # leaf-ify the starting labels too: iteration 1's plan then reads
+        # a checkpointed scan, not the edge-distinct subtree twice
+        .localCheckpoint(eager=True)
     )
-    cached = labels  # the frame actually holding the cache, for unpersist
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -67,7 +78,6 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
         )
         # pointer doubling: resolve each label through the label table once
         # more (label(v) ← label(label(v))), collapsing chains exponentially
@@ -84,14 +94,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
                     F.coalesce(F.col("__pcomp"), F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+            # materialize AND cut lineage: each iteration's plan is a
+            # constant-depth tree over a leaf scan, whatever the round
+            .localCheckpoint(eager=True)
         )
         changed = (
             doubled.filter(F.col("component") != F.col("__prev")).limit(1).count()
         )
-        stepped.unpersist()
-        cached.unpersist()
-        cached = doubled
         labels = doubled.select("id", "component")
         if changed == 0:
             converged = True

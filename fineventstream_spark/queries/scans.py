@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fineventstream_spark.catalog import Tables, load_table
+from fineventstream_spark.catalog import Tables, load_table, schema_fingerprint
 from fineventstream_spark.registry import register
 
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache")
@@ -43,16 +43,24 @@ EVENTS_JSON_SCHEMA = T.StructType(
 )
 
 
-def _cache_dir(sf_dir: str, name: str) -> str:
+def _cache_dir(sf_dir: str, name: str, fingerprint: str = "") -> str:
+    """Derived-copy cache path, keyed on the SOURCE schema fingerprint.
+
+    The fingerprint keys the directory name so a change in the lake's
+    source schema — or in catalog normalization semantics — regenerates
+    the derivative instead of silently reusing a stale one (round-2
+    lesson: a ``_SUCCESS``-gated JSONL copy outlived a timestamp-type
+    change and poisoned every downstream read)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_CACHE_ROOT, sf_name, name)
+    leaf = f"{name}-{fingerprint}" if fingerprint else name
+    return os.path.join(_CACHE_ROOT, sf_name, leaf)
 
 
 def _events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize events as JSONL once (S7-style sink), return the path."""
-    path = _cache_dir(sf_dir, "events_jsonl")
+    ev = load_table(spark, sf_dir, "events")
+    path = _cache_dir(sf_dir, "events_jsonl", schema_fingerprint(ev))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events")
         (
             ev.write.mode("overwrite")
             .option("timestampFormat", _TS_FMT)
@@ -68,9 +76,9 @@ def _events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     (processor_stock_quotes.py:68-73) but keyed on *event* time, which is
     what an analytics lake wants for pruning.
     """
-    path = _cache_dir(sf_dir, "events_partitioned")
+    ev = load_table(spark, sf_dir, "events")
+    path = _cache_dir(sf_dir, "events_partitioned", schema_fingerprint(ev))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events")
         (
             ev.withColumn("year", F.year("ts"))
             .withColumn("month", F.month("ts"))
@@ -201,7 +209,7 @@ def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    path = _cache_dir(sf_dir, "lineitem_jsonl_by_flag")
+    path = _cache_dir(sf_dir, "lineitem_jsonl_by_flag", schema_fingerprint(t.lineitem))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             t.lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
@@ -223,10 +231,11 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CSV lake scan with explicit schema — lossless roundtrip vs the parquet source.",
 )
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _cache_dir(sf_dir, "orders_csv")
+    orders = load_table(spark, sf_dir, "orders")
+    path = _cache_dir(sf_dir, "orders_csv", schema_fingerprint(orders))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
-            load_table(spark, sf_dir, "orders")
+            orders
             .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
             .write.mode("overwrite")
             .option("header", "true")
@@ -314,9 +323,9 @@ def _documents_drift_path(spark: SparkSession, sf_dir: str) -> str:
     (processor_company_news.py:37-38 "trusts producer format"). Gen 1 =
     even doc_ids without the source column, gen 2 = odd doc_ids with it.
     """
-    path = _cache_dir(sf_dir, "documents_drift")
+    docs = load_table(spark, sf_dir, "documents")
+    path = _cache_dir(sf_dir, "documents_drift", schema_fingerprint(docs))
     if not os.path.exists(os.path.join(path, "gen=2", "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents")
         docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.mode(
             "overwrite"
         ).parquet(os.path.join(path, "gen=1"))
