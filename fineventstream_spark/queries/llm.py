@@ -172,16 +172,29 @@ def q_llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_llm_knn_ivf", oracle=None, tags=("U6",))
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (16 centroids, nprobe=4): the scan
-    touches ~nprobe/16 of the corpus. Approximate → rows-only."""
+    touches ~nprobe/16 of the corpus. Approximate → rows-only, so the
+    result self-certifies: ``recall_at_10`` = |IVF top-10 ∩ exact
+    top-10| / 10, computed in-plan against the brute-force answer — a
+    driver row that "ran" now also proves the probe quality. (At 100 TB
+    the exact pass runs over a sampled query set as an offline audit, not
+    per query; here the corpus is the sample.)"""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     centroid_rows = (
         emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
     )
     centroids = [[float(x) for x in r[0]] for r in centroid_rows]
-    return similarity.ivf_topk(
+    approx = similarity.ivf_topk(
         emb, "embedding", "vec_id", centroids, _query_vec(), k=10, nprobe=4
     )
+    exact_ids = similarity.cosine_topk(
+        emb, "embedding", "vec_id", _query_vec(), k=10
+    ).select("vec_id")
+    recall = (
+        approx.join(exact_ids, "vec_id", "left_semi")
+        .agg((F.count("*") / F.lit(10.0)).alias("recall_at_10"))
+    )
+    return approx.crossJoin(F.broadcast(recall))
 
 
 # --------------------------------------------------------------------------
@@ -498,20 +511,45 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup ring composed end-to-end: MinHash-LSH candidates →
     exact n-gram Jaccard verify (≥ 0.8) → connected components →
-    per-cluster keeper. Approximate by design (LSH recall) → rows-only;
-    recall is pinned by the planted-pair test. Scale shape: candidates
-    only form inside capped LSH buckets, the verify runs only on
-    candidate pairs, and clustering iterates over the (tiny) verified
-    edge set — the corpus itself is touched twice (shingle pass, final
-    keeper join), never pairwise."""
+    per-cluster keeper. Approximate by design (LSH recall) → rows-only,
+    so the result self-certifies: a deterministic ~1% of docs is cloned
+    into the corpus (planted exact duplicates, ids offset by 10^8) and
+    ``planted_recall`` reports the fraction of planted pairs the full
+    pipeline collapsed into one cluster — a driver row that "ran" now
+    also proves signature→bucket→verify→cluster quality end-to-end.
+    Keeper semantics for real docs are unchanged: planted ids are all
+    larger than any real id, so cluster minima stay the real keepers,
+    and planted rows are dropped from the output. Scale shape:
+    candidates only form inside capped LSH buckets, the verify runs only
+    on candidate pairs, clustering iterates over the (tiny) verified
+    edge set — the corpus is touched twice (shingle pass, final keeper
+    join), never pairwise; the planted clones add 1% to the scan."""
     from fineventstream_spark.operators.cluster import dedup_keepers
 
+    offset = 100_000_000
     t = Tables(spark, sf_dir)
     docs = t.documents
-    cands = dedup.minhash_lsh_candidates(docs, "text", "doc_id")
-    verified = dedup.ngram_jaccard_verify(cands, docs, "text", "doc_id").filter(
+    planted = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + offset
+    )
+    corpus = docs.unionByName(planted)
+    cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id")
+    verified = dedup.ngram_jaccard_verify(cands, corpus, "text", "doc_id").filter(
         F.col("jaccard") >= 0.8
     )
-    return dedup_keepers(docs, verified.select("id_a", "id_b"), "doc_id").select(
+    keepers = dedup_keepers(corpus, verified.select("id_a", "id_b"), "doc_id").select(
         "doc_id", "keeper_id"
     )
+    orig = keepers.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < offset)).select(
+        F.col("doc_id").alias("pid"), F.col("keeper_id").alias("orig_keeper")
+    )
+    clone = keepers.filter(F.col("doc_id") >= offset).select(
+        (F.col("doc_id") - offset).alias("pid"), F.col("keeper_id").alias("clone_keeper")
+    )
+    recall = orig.join(clone, "pid").agg(
+        F.count("*").alias("planted_pairs"),
+        F.round(
+            F.avg((F.col("orig_keeper") == F.col("clone_keeper")).cast("double")), 4
+        ).alias("planted_recall"),
+    )
+    return keepers.filter(F.col("doc_id") < offset).crossJoin(F.broadcast(recall))

@@ -14,6 +14,14 @@ swapping brokers is a config change, not a pipeline change:
   columns are mapped onto the envelope (value → base64) so the downstream
   ``unbase64 → from_json`` decode runs unchanged. Requires the
   spark-sql-kafka package on the cluster.
+- ``kinesis``: the reference's native broker. Public Spark Kinesis
+  connectors (e.g. the spark-sql-kinesis line of connectors) expose each
+  record as ``data`` (binary payload) + ``partitionKey`` (string) —
+  exactly the envelope the reference's Lambda consumer receives
+  (processor_stock_quotes.py:32-44), so the mapping is
+  ``partitionKey → partition_key``, ``base64(data) → data``. The format
+  name is configurable (``connector_format`` option) because the
+  connector jar's registered short name varies by distribution.
 - ``rate``: synthetic envelope stream (throughput smoke tests).
 
 At 100 TB/day the adapter choice sets only source parallelism (Kafka
@@ -54,6 +62,16 @@ def read_envelope_stream(
             F.col("key").cast("string").alias("partition_key"),
             F.base64(F.col("value")).alias("data"),
         )
+    if source_format == "kinesis":
+        # The reference's broker (terraform/kinesis.tf, stream name
+        # fineventstream-quotes-stream). A Kinesis connector DataFrame
+        # carries (data: binary, partitionKey: string, sequenceNumber,
+        # approximateArrivalTimestamp, ...); map onto the envelope so
+        # decode_envelope runs unchanged. The shard count ↔ task
+        # parallelism story matches Kafka's partitions.
+        fmt = options.pop("connector_format", "aws-kinesis")
+        raw = spark.readStream.format(fmt).options(**options).load()
+        return map_kinesis_envelope(raw)
     if source_format == "rate":
         raw = spark.readStream.format("rate").options(**options).load()
         return raw.select(
@@ -62,5 +80,22 @@ def read_envelope_stream(
         )
     raise ValueError(
         f"unknown envelope source format {source_format!r}; "
-        "expected file|json|kafka|rate"
+        "expected file|json|kafka|kinesis|rate"
+    )
+
+
+def map_kinesis_envelope(raw: DataFrame) -> DataFrame:
+    """Map a Kinesis-connector record frame onto ENVELOPE_SCHEMA.
+
+    Split out from the stream builder so the column mapping is unit-
+    testable without a broker: any DataFrame (batch or streaming) with
+    Kinesis's ``partitionKey`` (string) + ``data`` (binary payload)
+    columns maps to (partition_key, data-as-base64) — the exact shape the
+    reference's consumer sees after the Kinesis→Lambda event unwrapping
+    (processor_stock_quotes.py:32-44: record["kinesis"]["data"] is
+    base64 text there too).
+    """
+    return raw.select(
+        F.col("partitionKey").cast("string").alias("partition_key"),
+        F.base64(F.col("data")).alias("data"),
     )

@@ -652,6 +652,37 @@ def test_near_dedup_pipeline_collapses_planted_cluster(spark, sf_dir):
         assert j >= 0.8, f"false merge: {k} -> {v} (true jaccard {j:.3f})"
 
 
+def test_near_dedup_pipeline_self_check_recall(spark, sf_dir):
+    """The pipeline's built-in planted-duplicate audit: on the real
+    fixture corpus the in-query exact-copy plants (doc_id % 97) must be
+    recovered end-to-end — recall 1.0, constant across rows. This is the
+    quantitative guarantee the rows-only driver entry certifies."""
+    from fineventstream_spark.registry import all_queries
+
+    rows = all_queries()["q_llm_near_dedup_pipeline"].fn(spark, sf_dir).collect()
+    assert rows, "pipeline returned no rows"
+    recalls = {r.planted_recall for r in rows}
+    pairs = {r.planted_pairs for r in rows}
+    assert len(recalls) == 1 and len(pairs) == 1, "audit columns must be constant"
+    assert pairs.pop() > 0, "fixture corpus should yield planted pairs"
+    assert recalls.pop() >= 0.99, "planted exact duplicates not recovered"
+    # planted clones never leak into the output
+    assert all(r.doc_id < 100_000_000 for r in rows)
+
+
+def test_knn_ivf_self_check_recall(spark, sf_dir):
+    """IVF probe audit: recall@10 vs the in-plan brute-force answer is
+    reported on every row and must clear 0.5 at nprobe=4/16 on the
+    fixture embeddings (observed 1.0 for clustered data)."""
+    from fineventstream_spark.registry import all_queries
+
+    rows = all_queries()["q_llm_knn_ivf"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    recalls = {r.recall_at_10 for r in rows}
+    assert len(recalls) == 1, "audit column must be constant"
+    assert recalls.pop() >= 0.5
+
+
 def test_ivf_index_prunes_partitions_and_recalls(spark, sf_dir, tmp_path):
     """Persisted IVF: queries must read only the probed hive partitions
     (PartitionFilters on ivf_bucket — file-level pruning, the 100 TB

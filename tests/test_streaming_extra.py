@@ -115,6 +115,52 @@ def test_envelope_adapter_rate_and_unknown_format(spark):
         read_envelope_stream(spark, "carrier-pigeon", {})
 
 
+def test_kinesis_envelope_mapping(spark):
+    """S1/S9 Kinesis branch: a connector-shaped record frame
+    (partitionKey string, data binary — the reference's native broker,
+    terraform/kinesis.tf) maps onto ENVELOPE_SCHEMA so the downstream
+    unbase64→from_json decode runs unchanged."""
+    import base64
+
+    from fineventstream_spark.sources.connector import map_kinesis_envelope
+    from fineventstream_spark.streaming.pipelines import decode_envelope
+
+    payload = json.dumps({"symbol": "AAPL", "price": 190.5, "ts": 1700000000}).encode()
+    raw = spark.createDataFrame(
+        [("AAPL", bytearray(payload), "49590338271490256608559692538361571095921575989136588898")],
+        "partitionKey string, data binary, sequenceNumber string",
+    )
+    env = map_kinesis_envelope(raw)
+    assert [(f.name, f.dataType.simpleString()) for f in env.schema.fields] == [
+        ("partition_key", "string"),
+        ("data", "string"),
+    ]
+    row = env.collect()[0]
+    assert row.partition_key == "AAPL"
+    assert base64.b64decode(row.data) == payload
+    # the generic decode path accepts the mapped envelope untouched
+    decoded = decode_envelope(
+        env, "symbol string, price double, ts long"
+    ).collect()[0]
+    assert (decoded.symbol, decoded.price, decoded.ts) == ("AAPL", 190.5, 1700000000)
+
+
+def test_kinesis_stream_dispatch_uses_connector_format(spark):
+    """The kinesis branch dispatches to the configured connector format —
+    verified with Spark's built-in rate format standing in for a real
+    Kinesis connector jar (none is available in this container); the
+    expected failure is the envelope-column mapping, proving dispatch
+    reached the connector load + mapping stage."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from fineventstream_spark.sources.connector import read_envelope_stream
+
+    with pytest.raises(AnalysisException, match="partitionKey"):
+        read_envelope_stream(
+            spark, "kinesis", {"connector_format": "rate", "rowsPerSecond": "1"}
+        )
+
+
 def test_polling_source_cadence_and_projection(spark, tmpdir):
     """S1: rate-driven polling with an injected deterministic fetcher,
     feeding the quote projection chain; per-symbol keyed records land."""
