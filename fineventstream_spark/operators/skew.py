@@ -32,7 +32,12 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    big_salted = big.withColumn("__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)))
+    # Salt from a per-row id, not a hash of every column: on a wide fact
+    # table hashing all columns burns CPU per row for no better spread
+    # (any uniform per-row value works — correctness is salt-independent).
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
     small_replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
