@@ -30,6 +30,26 @@ def test_scan_pushdown_and_pruning(spark, sf_dir):
     assert "l_returnflag" not in read_schema, "scan reads columns the query never uses"
 
 
+def test_ntz_normalization_keeps_pushdown(spark, sf_dir):
+    """The catalog's TIMESTAMP_NTZ→TIMESTAMP cast must not cost pushdown:
+    Catalyst unwraps the cast in binary comparisons, so a filter written
+    against the normalized (TIMESTAMP) column still reaches the parquet
+    reader as an NTZ-typed PushedFilter. If this breaks, every time-range
+    query at 100 TB full-scans the fact table."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.filter(F.col("ts") >= F.lit("2024-06-01").cast("timestamp")).select(
+        "event_id", "ts"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed, f"ts range filter not pushed: {pushed}"
+
+
 def test_partition_pruning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_scan_partition_prune")
     assert "PartitionFilters" in plan
