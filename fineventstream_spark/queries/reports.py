@@ -790,3 +790,371 @@ def q_report_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_report_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(AVG(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT c.l_partkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
+      FROM costs c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name, e.unit_cost
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size < 20 AND p.p_type = 'LARGE'
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
+                         WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("R17", "X15", "J4", "A1", "O3"),
+)
+def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each part in a size/type
+    slice, the European supplier(s) quoting the lowest unit cost.
+    Adapted to this lake's columns: there is no partsupp table, so the
+    part<->supplier offer grid is derived from lineitem history and
+    ps_supplycost is proxied by AVG(l_extendedprice / l_quantity) per
+    (part, supplier). The correlated MIN is hand-decorrelated: the
+    region-filtered offer set is computed once, its per-part minimum is
+    one partkey aggregate joined back on cost equality — same partkey
+    partitioning both sides, so the probe reuses the aggregate's
+    exchange. nation x region is an explicit broadcast (O(10^2) rows
+    forever); the part slice is broadcast after its selective
+    size/type gate. Top-100 via TakeOrderedAndProject on the unique
+    (acctbal DESC, nation, supplier, partkey) key."""
+    t = Tables(spark, sf_dir)
+    dims = F.broadcast(
+        t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("n_nationkey", "n_name")
+    )
+    costs = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    eligible = (
+        costs.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    mins = eligible.groupBy(F.col("l_partkey").alias("mn_pk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    parts = F.broadcast(
+        t.part.filter((F.col("p_size") < 20) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eligible.join(
+            mins,
+            (F.col("l_partkey") == F.col("mn_pk"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_report_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+    tags=("R18", "J1", "J4", "A1"),
+)
+def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit per supplier nation per
+    order year over parts matching a name pattern. Adapted: the
+    fixtures carry no ps_supplycost, so cost is proxied as
+    0.6 * p_retailprice * l_quantity (deterministic, documented). Plan:
+    the part-name gate is the most selective predicate, so the filtered
+    part keyset joins lineitem FIRST (fact rows drop before the wider
+    orders join); nation broadcasts; the orders join carries only
+    (orderkey, orderdate). One fact shuffle per join key, one final
+    group-by shuffle on (nation, year)."""
+    t = Tables(spark, sf_dir)
+    parts = t.part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        t.lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                4,
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q_report_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             ROUND(SUM(l.l_extendedprice * l.l_quantity), 4) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    tags=("R19", "X15", "A1", "J4"),
+)
+def q_report_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose traded
+    value through two nations' suppliers exceeds a fraction of the total.
+    Adapted: no partsupp, so value = SUM(l_extendedprice * l_quantity)
+    over lineitem from those nations' suppliers. Plan: the per-part
+    value aggregate is computed ONCE; the global total is a second tiny
+    aggregate over the SAME subtree (Catalyst reuses the exchange) and
+    broadcasts as a 1-row scalar — the fact is scanned once, shuffled
+    once on partkey, and the threshold probe is shuffle-free."""
+    t = Tables(spark, sf_dir)
+    nations = F.broadcast(
+        t.nation.filter(F.col("n_name").isin("NATION_3", "NATION_7")).select(
+            "n_nationkey"
+        )
+    )
+    supps = F.broadcast(
+        t.supplier.join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        t.lineitem.join(supps, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 4).alias(
+                "part_value"
+            )
+        )
+    )
+    thresh = val.agg((F.sum("part_value") * 0.001).alias("__thresh"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("__thresh"))
+        .select("p_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+    )
+
+
+@register(
+    "q_report_ship_priority_split",
+    oracle="""
+    SELECT ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                  THEN 'FAST'
+                  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90
+                  THEN 'MEDIUM'
+                  ELSE 'SLOW' END AS ship_bucket,
+             o.o_orderpriority
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) x
+    GROUP BY ship_bucket
+    ORDER BY ship_bucket
+    """,
+    tags=("R20", "J1", "A1", "F6"),
+)
+def q_report_ship_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): per shipping-speed
+    class, how many high- vs low-priority orders it carried in a year.
+    Adapted: the fixtures carry no l_shipmode/receiptdate, so the mode
+    is a derived latency bucket — FAST (<30 days order->ship), MEDIUM
+    (<90), SLOW — which preserves Q12's point (does premium cargo get
+    premium handling?). Plan: the year filter is pushed to the lineitem
+    scan, the priority CASE folds into the single orderkey join's
+    projection, and the 3-row output aggregates map-side."""
+    t = Tables(spark, sf_dir)
+    lines = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(
+            t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "ship_bucket",
+            F.when(lag < 30, "FAST").when(lag < 90, "MEDIUM").otherwise("SLOW"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "q_report_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'SMALL'
+      AND p.p_size IN (1, 9, 15, 23, 31, 40, 47, 50)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("R21", "J3", "J4", "A3"),
+)
+def q_report_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many suppliers can
+    furnish each (brand, type, size) combination, excluding one brand,
+    one type family, and suppliers with complaints. Adapted: the offer
+    grid is DISTINCT (partkey, suppkey) from lineitem (no partsupp) and
+    "complaint" suppliers are those with negative account balance (no
+    s_comment column). Plan: the part attribute gate is applied BEFORE
+    the distinct (broadcast part slice prunes the fact scan's pairs), the
+    excluded-supplier set is a broadcast LEFT ANTI (a NOT IN over a
+    null-free key), and the distinct + countDistinct share the same
+    partkey-ish shuffle under AQE."""
+    t = Tables(spark, sf_dir)
+    parts = F.broadcast(
+        t.part.filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "SMALL")
+            & (F.col("p_size").isin(1, 9, 15, 23, 31, 40, 47, 50))
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supps = F.broadcast(
+        t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    pairs = (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supps, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+@register(
+    "q_report_dominant_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM shipped sh
+    JOIN tot t ON t.l_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty > 0.5 * t.total_qty
+    ORDER BY s.s_name, n.n_name
+    """,
+    tags=("R22", "J3", "X15", "A1"),
+)
+def q_report_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers who carried more
+    than half of a year's shipped volume of a part family — the ones a
+    promotion must be negotiated with. Adapted: no ps_availqty, so
+    "holds excess stock" becomes "shipped the majority of the part's
+    annual volume" (sh.qty > 0.5 * part total). Plan: the name-gated
+    partkey set is a broadcast semi-join pruning the date-filtered fact
+    scan; per-(part,supplier) and per-part totals are two aggregates
+    over the same partkey shuffle (exchange reuse); the majority filter
+    joins them co-partitioned, then the supplier/nation dims resolve
+    names on the surviving handful of rows."""
+    t = Tables(spark, sf_dir)
+    family = F.broadcast(
+        t.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    shipped = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(family, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("tt_pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    return (
+        shipped.join(tot, F.col("l_partkey") == F.col("tt_pk"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name", "n_name")
+    )

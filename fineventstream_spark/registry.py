@@ -54,6 +54,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_ohlc_bars",
     "q_event_sessionize",
     "q_llm_dedup_cluster",
+    # new in round 3: TPC-H set completion (Q2/Q9/Q11/Q12/Q16/Q20 adapted)
+    "q_report_min_cost_supplier",
+    "q_report_product_profit",
+    "q_report_important_stock",
+    "q_report_ship_priority_split",
+    "q_report_supplier_part_count",
+    "q_report_dominant_supplier",
     # never driver-checked: one slot each, breadth-first across families
     "q_event_funnel",
     "q_event_histogram",
