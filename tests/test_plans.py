@@ -342,3 +342,78 @@ def test_schema_drift_scan_still_prunes_columns(spark, sf_dir):
     read_schema = plan.split("ReadSchema")[1][:300]
     assert "source" in read_schema
     assert "text" not in read_schema, "drifted scan reads the text column it never uses"
+
+
+def test_q2_min_cost_exchange_reuse_and_broadcasts(spark, sf_dir):
+    """TPC-H Q2 (min-cost supplier): the region-filtered offer set feeds
+    both the per-part MIN and the equality probe from ONE subtree (no
+    second lineitem scan pair beyond the reused aggregate), dims and the
+    gated part slice are broadcast, and top-100 uses partial heaps."""
+    plan = _plan(spark, sf_dir, "q_report_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan, "top-100 should use partial heaps"
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan, "region gate not pushed"
+    assert "LessThan(p_size,20)" in plan, "part size gate not pushed"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q9_product_profit_part_gate_first(spark, sf_dir):
+    """TPC-H Q9: the part-name gate is the selective predicate — it must
+    reach the part scan, nation must broadcast, and the orders side must
+    read only (orderkey, orderdate)."""
+    plan = _plan(spark, sf_dir, "q_report_product_profit")
+    assert "p_name" in plan.split("PushedFilters")[1][:400] or "StringContains(p_name" in plan, (
+        "part name gate not pushed to the part scan"
+    )
+    assert "BroadcastHashJoin" in plan
+    orders_schema = [
+        seg[:300] for seg in plan.split("ReadSchema")[1:] if "o_orderdate" in seg[:300]
+    ]
+    assert orders_schema and all(
+        "o_totalprice" not in seg for seg in orders_schema
+    ), "orders scan reads columns Q9 never uses"
+
+
+def test_q11_important_stock_single_fact_scan(spark, sf_dir):
+    """TPC-H Q11: the threshold is a 1-row broadcast scalar over the SAME
+    per-part aggregate subtree — lineitem is scanned once (AQE exchange
+    reuse), and the supplier gate is a broadcast before the fact join."""
+    plan = _plan(spark, sf_dir, "q_report_important_stock")
+    assert plan.count("lineitem.parquet") <= 2, "fact scanned more than the reused pair"
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q12_ship_split_pushes_year_and_prunes(spark, sf_dir):
+    """TPC-H Q12: the ship-year window reaches the lineitem scan and the
+    lineitem side reads only (orderkey, shipdate)."""
+    plan = _plan(spark, sf_dir, "q_report_ship_priority_split")
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan, "year bound not pushed"
+    li_schema = [
+        seg[:300] for seg in plan.split("ReadSchema")[1:] if "l_shipdate" in seg[:300]
+    ]
+    assert li_schema and all(
+        "l_extendedprice" not in seg for seg in li_schema
+    ), "lineitem scan reads columns Q12 never uses"
+
+
+def test_q16_supplier_count_anti_join_before_distinct(spark, sf_dir):
+    """TPC-H Q16: the complaint-supplier exclusion is a broadcast LEFT
+    ANTI and the part attribute gates reach the part scan — both prune
+    BEFORE the distinct's shuffle."""
+    plan = _plan(spark, sf_dir, "q_report_supplier_part_count")
+    assert "LeftAnti" in plan, "supplier exclusion should be an anti join"
+    assert "Not(EqualTo(p_brand,Brand#13))" in plan, "brand exclusion not pushed"
+    assert "In(p_size, [" in plan, "size IN-list not pushed"
+
+
+def test_q20_dominant_supplier_semi_gate_and_shared_shuffle(spark, sf_dir):
+    """TPC-H Q20: the part-family gate is a broadcast SEMI join pruning
+    the date-filtered fact scan; the per-(part,supplier) and per-part
+    aggregates share the partkey shuffle (co-partitioned join, no extra
+    fact scan)."""
+    plan = _plan(spark, sf_dir, "q_report_dominant_supplier")
+    assert "LeftSemi" in plan, "part family gate should be a semi join"
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan, "year bound not pushed"
+    assert plan.count("lineitem.parquet") <= 2, "fact scanned more than the reused pair"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
