@@ -308,3 +308,45 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     return salted_agg_count_sum(t.lineitem, "l_returnflag", "l_quantity")
+
+
+@register(
+    "q_rollup_incremental",
+    oracle="""
+    SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total,
+           ROUND(MIN(value), 4) AS vmin,
+           ROUND(MAX(value), 4) AS vmax,
+           ROUND(SUM(value) / COUNT(value), 4) AS vavg
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A1", "A2", "T7"),
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py): the per-key
+    summary is kept as MERGEABLE PARTIALS (count/sum/min/max), so a new
+    day's ingest folds in by scanning only the DELTA partition and
+    shuffling rollup-sized — never fact-sized — data. Here the fixture's
+    last week plays the role of "today's ingest": base rollup over
+    ts < 2024-01-24, delta rollup over ts >= 2024-01-24, merged and
+    finalized. The oracle is the from-scratch aggregate over the whole
+    table — the merge algebra must be exact, and avg (not itself
+    mergeable) is derived only at read time. At 100 TB the base rollup is
+    a stored table, so maintenance cost is O(delta + key cardinality);
+    both range predicates push to the parquet reader (at scale: partition
+    pruning on the lake's date prefix, reference
+    processor_stock_quotes.py:68-73)."""
+    from fineventstream_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    t = Tables(spark, sf_dir)
+    split = F.lit("2024-01-24").cast("timestamp")
+    base = partial_rollup(t.events.filter(F.col("ts") < split), ["event_type"], "value")
+    delta = partial_rollup(
+        t.events.filter(F.col("ts") >= split), ["event_type"], "value"
+    )
+    return finalize_rollup(merge_rollups([base, delta], ["event_type"]), ["event_type"])

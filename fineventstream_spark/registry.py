@@ -61,6 +61,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_report_ship_priority_split",
     "q_report_supplier_part_count",
     "q_report_dominant_supplier",
+    "q_rollup_incremental",
     # never driver-checked: one slot each, breadth-first across families
     "q_event_funnel",
     "q_event_histogram",

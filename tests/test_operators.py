@@ -712,3 +712,65 @@ def test_ivf_index_prunes_partitions_and_recalls(spark, sf_dir, tmp_path):
     approx = {r.vec_id for r in got.collect()}
     brute = {r.vec_id for r in cosine_topk(emb, "embedding", "vec_id", query, k=10).collect()}
     assert len(approx & brute) >= 6, f"recall too low: {len(approx & brute)}/10"
+
+
+# ---------------------------------------------------------------- rollup
+
+
+def _rollup_rows(df):
+    return {
+        tuple(r[k] for k in ("event_type", "p_count", "p_sum", "p_min", "p_max"))
+        for r in df.collect()
+    }
+
+
+def test_rollup_merge_is_associative_and_commutative(spark, sf_dir):
+    """merge(merge(a,b),c) == merge(a,b,c) == merge(c,a,b): ingests may
+    fold deltas in any order or re-merge dailies into monthlies."""
+    from fineventstream_spark.operators.rollup import merge_rollups, partial_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    thirds = [
+        partial_rollup(ev.filter(F.dayofmonth("ts") % 3 == i), ["event_type"], "value")
+        for i in range(3)
+    ]
+    nested = merge_rollups([merge_rollups(thirds[:2], ["event_type"]), thirds[2]],
+                           ["event_type"])
+    flat = merge_rollups(thirds, ["event_type"])
+    rotated = merge_rollups([thirds[2], thirds[0], thirds[1]], ["event_type"])
+    a, b, c = _rollup_rows(nested), _rollup_rows(flat), _rollup_rows(rotated)
+    # float sums: compare counts/min/max exactly, sums to 6 dp
+    def canon(rows):
+        return {(t, n, round(s, 6), round(lo, 6), round(hi, 6)) for t, n, s, lo, hi in rows}
+    assert canon(a) == canon(b) == canon(c)
+
+
+def test_rollup_merge_matches_from_scratch(spark, sf_dir):
+    """The maintained rollup must be indistinguishable from a full
+    recompute — the invariant that lets 100 TB ingests never rescan."""
+    from fineventstream_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-15").cast("timestamp")
+    merged = finalize_rollup(
+        merge_rollups(
+            [
+                partial_rollup(ev.filter(F.col("ts") < split), ["event_type"], "value"),
+                partial_rollup(ev.filter(F.col("ts") >= split), ["event_type"], "value"),
+            ],
+            ["event_type"],
+        ),
+        ["event_type"],
+    )
+    scratch = finalize_rollup(
+        partial_rollup(ev, ["event_type"], "value"), ["event_type"]
+    )
+    m = {r["event_type"]: (r["n"], r["total"], r["vmin"], r["vmax"], r["vavg"])
+         for r in merged.collect()}
+    s = {r["event_type"]: (r["n"], r["total"], r["vmin"], r["vmax"], r["vavg"])
+         for r in scratch.collect()}
+    assert m == s

@@ -417,3 +417,15 @@ def test_q20_dominant_supplier_semi_gate_and_shared_shuffle(spark, sf_dir):
     assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan, "year bound not pushed"
     assert plan.count("lineitem.parquet") <= 2, "fact scanned more than the reused pair"
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_rollup_incremental_prunes_delta_scan(spark, sf_dir):
+    """Incremental rollup: both the base and delta scans carry their time
+    bound as a PushedFilter (at scale: partition pruning on the lake's
+    date prefix), and the merge aggregates partials — there must be no
+    join, no window, and no fact-wide shuffle beyond the two groupBys."""
+    plan = _plan(spark, sf_dir, "q_rollup_incremental")
+    assert "GreaterThanOrEqual(ts" in plan, "delta bound not pushed"
+    assert "LessThan(ts" in plan, "base bound not pushed"
+    assert "Join" not in plan, "rollup merge must not join"
+    assert "Window" not in plan
