@@ -54,14 +54,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_ohlc_bars",
     "q_event_sessionize",
     "q_llm_dedup_cluster",
-    # new in round 3: TPC-H set completion (Q2/Q9/Q11/Q12/Q16/Q20 adapted)
-    "q_report_min_cost_supplier",
-    "q_report_product_profit",
-    "q_report_important_stock",
-    "q_report_ship_priority_split",
-    "q_report_supplier_part_count",
-    "q_report_dominant_supplier",
-    "q_rollup_incremental",
     # never driver-checked: one slot each, breadth-first across families
     "q_event_funnel",
     "q_event_histogram",
@@ -107,6 +99,15 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_llm_near_dedup_pipeline",
     "q_agg_sketch_rollup",
     "q_mm_frame_sample",
+    # new in round 3 (never checked by construction): TPC-H completion
+    # (Q2/Q9/Q11/Q12/Q16/Q20 adapted) + incremental rollup maintenance
+    "q_report_min_cost_supplier",
+    "q_report_product_profit",
+    "q_report_important_stock",
+    "q_report_ship_priority_split",
+    "q_report_supplier_part_count",
+    "q_report_dominant_supplier",
+    "q_rollup_incremental",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",
