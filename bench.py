@@ -62,6 +62,14 @@ HEADLINE = [
     "q_upsert_latest",
     "q_report_pricing_summary",
     "q_report_shipping_priority",
+    # round-3 additions: TPC-H completion + incremental rollup
+    "q_report_min_cost_supplier",
+    "q_report_product_profit",
+    "q_report_important_stock",
+    "q_report_ship_priority_split",
+    "q_report_supplier_part_count",
+    "q_report_dominant_supplier",
+    "q_rollup_incremental",
 ]
 
 

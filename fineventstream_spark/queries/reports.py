@@ -830,7 +830,10 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning both sides, so the probe reuses the aggregate's
     exchange. nation x region is an explicit broadcast (O(10^2) rows
     forever); the part slice is broadcast after its selective
-    size/type gate. Top-100 via TakeOrderedAndProject on the unique
+    size/type gate AND pushed as a semi-join BELOW the cost aggregate —
+    only sliced parts can reach the output, and the per-part minimum is
+    untouched by dropping other parts, so the fact shrinks ~16x before
+    the first shuffle. Top-100 via TakeOrderedAndProject on the unique
     (acctbal DESC, nation, supplier, partkey) key."""
     t = Tables(spark, sf_dir)
     dims = F.broadcast(
@@ -838,9 +841,19 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "EUROPE")
         .select("n_nationkey", "n_name")
     )
-    costs = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
+    sliced_keys = F.broadcast(
+        t.part.filter((F.col("p_size") < 20) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    costs = (
+        t.lineitem.join(
+            sliced_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+                "unit_cost"
+            )
         )
     )
     eligible = (

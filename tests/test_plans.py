@@ -354,6 +354,7 @@ def test_q2_min_cost_exchange_reuse_and_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(r_name,EUROPE)" in plan, "region gate not pushed"
     assert "LessThan(p_size,20)" in plan, "part size gate not pushed"
+    assert "LeftSemi" in plan, "part slice must prune the fact below the cost aggregate"
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
