@@ -303,3 +303,96 @@ def q_event_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
+
+
+@register(
+    "q_event_vwap",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts,
+           ROUND(SUM(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                 / SUM(CAST(json_extract_string(props, '$.k') AS DOUBLE)),
+                 4) AS vwap,
+           ROUND(SUM(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+             AS total_volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("E8", "A1", "F1"),
+)
+def q_event_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP bars: volume-weighted average price per (symbol, day), the
+    execution-quality benchmark every quote consumer computes (the
+    reference's envelope carries size in the JSON payload — reference
+    src/producer/producer_stock_quotes.py quotes have price+size; here
+    props.$.k plays the size). Single aggregation pass: the JSON volume
+    extraction folds into the scan projection (JVM get_json_object,
+    codegen), then one partial-aggregated shuffle on the bar key —
+    identical shape to the OHLC rollup, so at 100 TB both bars come from
+    the same exchange when computed together."""
+    t = Tables(spark, sf_dir)
+    vol = F.get_json_object("props", "$.k").cast("double")
+    return (
+        t.events.groupBy("event_type", F.date_trunc("day", "ts").alias("bar_ts"))
+        .agg(
+            F.round(F.sum(F.col("value") * vol) / F.sum(vol), 4).alias("vwap"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "q_event_twap",
+    oracle="""
+    WITH ticks AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts,
+             value,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY epoch_us(ts), event_id
+             ) - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT event_type, bar_ts,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 4) AS twap,
+           CAST(COUNT(dur_us) AS BIGINT) AS n_intervals
+    FROM ticks
+    WHERE dur_us IS NOT NULL
+    GROUP BY event_type, bar_ts
+    """,
+    tags=("E9", "W2", "A1"),
+)
+def q_event_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP bars: time-weighted average price per (symbol, day) — each
+    tick's price holds until the next tick, so its weight is the
+    interval length; the day's last tick carries no interval and drops
+    from both numerator and denominator (consistent in both engines).
+    Plan: ONE keyed window (partitioned by the bar key, ordered by the
+    total tick order) computes the lead-duration, then the same keys
+    aggregate — the sort and the groupBy share one shuffle, and the
+    window partitions by (symbol, day) so no global sort exists at any
+    scale."""
+    t = Tables(spark, sf_dir)
+    # project the bar key ONCE and reference the same attribute in both
+    # the window partitioning and the groupBy: Catalyst then reuses the
+    # window's hash exchange for the aggregate (aliasing date_trunc twice
+    # would make two attributes and force a second shuffle)
+    base = t.events.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("bar_ts"),
+        "value",
+        F.unix_micros("ts").alias("__us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "bar_ts").orderBy("__us", "event_id")
+    dur = (F.lead("__us").over(w) - F.col("__us")).alias("dur_us")
+    return (
+        base.select("event_type", "bar_ts", "value", dur)
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("event_type", "bar_ts")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4).alias(
+                "twap"
+            ),
+            F.count("dur_us").alias("n_intervals"),
+        )
+    )

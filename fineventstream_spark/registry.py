@@ -108,6 +108,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_report_supplier_part_count",
     "q_report_dominant_supplier",
     "q_rollup_incremental",
+    "q_event_vwap",
+    "q_event_twap",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",

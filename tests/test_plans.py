@@ -430,3 +430,19 @@ def test_rollup_incremental_prunes_delta_scan(spark, sf_dir):
     assert "LessThan(ts" in plan, "base bound not pushed"
     assert "Join" not in plan, "rollup merge must not join"
     assert "Window" not in plan
+
+
+def test_vwap_twap_bars_are_single_keyed_shuffle(spark, sf_dir):
+    """VWAP: one partial-aggregated shuffle, volume extraction in the
+    scan projection. TWAP: the lead-window partitions by the bar key
+    (no global sort) and shares its shuffle with the aggregate."""
+    vwap = _plan(spark, sf_dir, "q_event_vwap")
+    # the formatted plan prints each node twice (tree + detail): count
+    # tree lines only
+    assert vwap.count("- Exchange (") == 1, "VWAP should shuffle exactly once"
+    assert "HashAggregate" in vwap
+    twap = _plan(spark, sf_dir, "q_event_twap")
+    assert "Window" in twap
+    assert twap.count("- Exchange (") == 1, "TWAP window+agg should share one shuffle"
+    # keyed window: a global sort would need a rangepartitioning exchange
+    assert "rangepartitioning" not in twap, "TWAP window sort went global"
