@@ -396,3 +396,163 @@ def q_event_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("dur_us").alias("n_intervals"),
         )
     )
+
+
+@register(
+    "q_event_resample_ffill",
+    oracle="""
+    WITH grid AS (
+      SELECT t.event_type, g.grid_ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-30 23:00:00',
+                                      INTERVAL 1 HOUR)) AS grid_ts
+      ) g
+    )
+    SELECT g.event_type, g.grid_ts,
+           ROUND(e.value, 4) AS last_value
+    FROM grid g
+    ASOF LEFT JOIN events e
+      ON g.event_type = e.event_type AND e.ts <= g.grid_ts
+    """,
+    tags=("E10", "J7", "F8"),
+)
+def q_event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + forward-fill: project the irregular tick stream onto an
+    hourly grid, each grid point carrying the last value at-or-before it
+    (null before the first tick) — the standard time-series alignment
+    before any cross-symbol analytics. The grid is generated in-plan
+    (sequence + explode per symbol: ~720 rows/symbol, no driver loop) and
+    the fill is the as-of operator's union+window single-shuffle path
+    (operators/asof.py) — O((grid + ticks) log) per symbol at any scale,
+    no per-grid-point probing. Oracle: DuckDB's native ASOF LEFT JOIN.
+    (event_type, ts) is verified unique in the fixtures, so the match is
+    deterministic without a tiebreak."""
+    from fineventstream_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    grid = (
+        t.events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("grid_ts"),
+        )
+    )
+    joined = asof_join(
+        grid,
+        t.events.select("event_type", "ts", "value"),
+        on="event_type",
+        left_ts="grid_ts",
+        right_ts="ts",
+        right_values=["value"],
+        right_tiebreak=None,
+    )
+    return joined.select(
+        "event_type", "grid_ts", F.round(F.col("value_asof"), 4).alias("last_value")
+    )
+
+
+@register(
+    "q_event_rolling_zscore",
+    oracle="""
+    SELECT event_id, event_type, value,
+           ROUND((value - AVG(value) OVER w) / (STDDEV_SAMP(value) OVER w), 4)
+             AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    QUALIFY COUNT(*) OVER w >= 30
+    """,
+    tags=("E11", "W3", "A7"),
+)
+def q_event_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score per tick: each value standardized against its own
+    trailing 100-tick window (warm-up ticks with <30 observations are
+    suppressed, so early unstable scores never surface). The alerting
+    primitive for live anomaly feeds. Plan: ONE keyed window shuffle
+    computes mean, stddev, and the warm-up count over the identical
+    frame — Spark evaluates all three functions in a single Window node,
+    one sort, no self-join; at 100 TB the partition key (symbol) bounds
+    every sort."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return (
+        t.events.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                (F.col("value") - F.avg("value").over(w))
+                / F.stddev_samp("value").over(w),
+                4,
+            ).alias("z"),
+            F.count("*").over(w).alias("__n"),
+        )
+        .filter(F.col("__n") >= 30)
+        .drop("__n")
+    )
+
+
+@register(
+    "q_event_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             AVG(value) AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ROUND(corr(a.avg_value, b.avg_value), 4) AS r,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily a
+    JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+    tags=("E12", "A7", "J1"),
+)
+def q_event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-symbol correlation matrix: Pearson r between every pair of
+    symbols' daily average values — the first screen for co-movement /
+    pairs analytics. Plan: the fact collapses to a (symbols × days)
+    daily table FIRST (one fact-sized shuffle), then the pair join and
+    corr() run on that tiny aggregate — |symbols|²·days rows, never the
+    fact; the self-join's inequality halves the matrix so each pair
+    appears once."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("d").alias("da"),
+        F.col("avg_value").alias("va"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("db"),
+        F.col("avg_value").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(F.corr("va", "vb"), 4).alias("r"),
+            F.count("*").alias("n_days"),
+        )
+    )

@@ -110,6 +110,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_rollup_incremental",
     "q_event_vwap",
     "q_event_twap",
+    "q_event_resample_ffill",
+    "q_event_rolling_zscore",
+    "q_event_correlation",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",

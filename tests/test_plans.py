@@ -446,3 +446,41 @@ def test_vwap_twap_bars_are_single_keyed_shuffle(spark, sf_dir):
     assert twap.count("- Exchange (") == 1, "TWAP window+agg should share one shuffle"
     # keyed window: a global sort would need a rangepartitioning exchange
     assert "rangepartitioning" not in twap, "TWAP window sort went global"
+
+
+def test_resample_ffill_is_asof_shaped(spark, sf_dir):
+    """Resample+ffill rides the as-of operator's union+window path: no
+    nested-loop probing of grid points, keyed window only."""
+    plan = _plan(spark, sf_dir, "q_event_resample_ffill")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+    assert "Union" in plan, "grid and ticks should union into one keyed window"
+
+
+def test_rolling_zscore_single_window_node(spark, sf_dir):
+    """mean, stddev and the warm-up count share one Window node over the
+    identical frame — one keyed sort, no self-join, no second shuffle."""
+    plan = _plan(spark, sf_dir, "q_event_rolling_zscore")
+    assert plan.count("- Window (") == 1, "frame functions split across Window nodes"
+    assert plan.count("- Exchange (") == 1, "rolling z-score should shuffle once"
+    assert "rangepartitioning" not in plan, "window sort went global"
+
+
+def test_correlation_collapses_fact_before_pair_join(spark, sf_dir):
+    """The pair join must run on the daily aggregate, not the fact: the
+    events scan feeds a HashAggregate BELOW the join."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_event_correlation")
+    # formatted-plan node ids number bottom-up (scan = 1): the daily
+    # aggregate's id must be smaller than every join's id
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    join_ids = [
+        int(m)
+        for m in re.findall(
+            r"\((\d+)\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
+        )
+    ]
+    assert agg_ids and join_ids, f"expected aggregates and a join:\n{plan}"
+    assert min(agg_ids) < min(join_ids), "pair join runs on the raw fact"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
