@@ -484,3 +484,98 @@ def test_correlation_collapses_fact_before_pair_join(spark, sf_dir):
     assert agg_ids and join_ids, f"expected aggregates and a join:\n{plan}"
     assert min(agg_ids) < min(join_ids), "pair join runs on the raw fact"
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def _scoped_confs(spark, confs: dict):
+    """Set confs, returning a dict to restore afterwards."""
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
+
+def _restore_confs(spark, prev: dict):
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning: when a shuffle join's build side
+    carries a selective filter, Catalyst injects might_contain(...) on the
+    probe side so fact rows drop BEFORE the shuffle. The default
+    thresholds (10 MB creation / 10 GB application scan) are sized for
+    clusters — exactly the 100 TB regime — so this test scales them down
+    to local fixture sizes and pins that the session-level feature flag
+    stays on and the rewrite fires."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev = _scoped_confs(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan, "no runtime bloom filter on the probe side"
+    finally:
+        _restore_confs(spark, prev)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join splitting: a hot join key must not serialize into one
+    straggler task — the executed plan splits the oversized partition
+    (SortMergeJoin(skew=true)). Thresholds are scaled to fixture size;
+    at 100 TB the defaults (256 MB / factor 5) do the same job. The
+    engine-level guarantee under test: the session keeps
+    adaptive.skewJoin enabled, so AQE handles moderate skew and the
+    explicit salting operators (operators/skew.py) stay reserved for
+    adversarial keys."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    prev = _scoped_confs(
+        spark,
+        {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("x" * 80), F.col("id")).alias("pay"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        j = left.join(right, "k").select(F.sum(F.length("pay")).alias("s"))
+        j.collect()
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "skew=true" in plan, "hot partition was not split"
+    finally:
+        _restore_confs(spark, prev)
