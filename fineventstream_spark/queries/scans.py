@@ -366,3 +366,31 @@ def q_scan_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("source").alias("n_with_source"),
         )
     )
+
+
+@register(
+    "q_scan_orc",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-02-01'
+    """,
+    tags=("S5",),
+    doc=(
+        "ORC lake scan (S5 sibling): the engine is format-agnostic — the "
+        "same declarative plan gets predicate pushdown + column pruning "
+        "from Spark's native ORC reader as from parquet. The ORC copy is "
+        "a .cache/ derivative keyed on the source schema fingerprint."
+    ),
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"]
+    path = _cache_dir(sf_dir, "lineitem_orc", schema_fingerprint(li))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li.select(*cols).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )

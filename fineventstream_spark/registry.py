@@ -113,6 +113,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_resample_ffill",
     "q_event_rolling_zscore",
     "q_event_correlation",
+    "q_scan_orc",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",

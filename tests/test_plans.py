@@ -579,3 +579,14 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         assert "skew=true" in plan, "hot partition was not split"
     finally:
         _restore_confs(spark, prev)
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    """The ORC reader must give the same scan hygiene as parquet:
+    shipdate range in PushedFilters, untouched columns absent from
+    ReadSchema."""
+    plan = _plan(spark, sf_dir, "q_scan_orc")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300], "range not pushed to ORC"
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_returnflag" not in read_schema
