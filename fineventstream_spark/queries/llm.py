@@ -553,3 +553,77 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("planted_recall"),
     )
     return keepers.filter(F.col("doc_id") < offset).crossJoin(F.broadcast(recall))
+
+
+@register(
+    "q_llm_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(ts[i : i+7], ' ') AS shingle
+      FROM toks, UNNEST(range(1, len(ts) - 6)) AS t(i)
+      WHERE len(ts) >= 8
+    ), dup AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(d.shingle) AS BIGINT) AS n_dup_shingles,
+           ROUND(COUNT(d.shingle) * 1.0 / COUNT(*), 4) AS dup_ratio
+    FROM sh s LEFT JOIN dup d USING (shingle)
+    GROUP BY s.doc_id
+    HAVING COUNT(d.shingle) > 0
+    ORDER BY dup_ratio DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("U5", "F8", "A1"),
+)
+def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection (the substring-level sibling of
+    document-level MinHash): every 8-token shingle that appears in more
+    than one document marks a cross-document duplicated passage; docs
+    are ranked by the fraction of their shingles that are duplicated —
+    the curation signal for boilerplate / mirrored spans that
+    whole-document dedup cannot see. Spark side: shingling is pure
+    built-in HOFs (sequence → transform(slice) → explode, codegen JVM),
+    and the shingle key is carried as xxhash64 — 8 bytes instead of a
+    ~50-byte string — through BOTH the duplicate-detection groupBy and
+    the join back, which at 100 TB cuts the two fact-scale shuffles ~6x
+    by bytes. The oracle joins on the raw shingle string; a 64-bit hash
+    collision would need ~2^32 distinct shingles to matter (birthday
+    bound), far beyond any corpus's shingle count times this query's
+    per-shingle cardinality. Top-50 with (dup_ratio DESC, doc_id)
+    total order."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= 8
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 7),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("ts", i, 8))),
+            )
+        ).alias("sh_hash"),
+    )
+    dup = (
+        sh.groupBy("sh_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("sh_hash", F.lit(1).alias("is_dup"))
+    )
+    return (
+        sh.join(dup, "sh_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("is_dup").alias("n_dup_shingles"),
+            F.round(F.count("is_dup") / F.count("*"), 4).alias("dup_ratio"),
+        )
+        .filter(F.col("n_dup_shingles") > 0)
+        .orderBy(F.col("dup_ratio").desc(), F.col("doc_id"))
+        .limit(50)
+    )

@@ -114,6 +114,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_rolling_zscore",
     "q_event_correlation",
     "q_scan_orc",
+    "q_llm_substring_dedup",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",
