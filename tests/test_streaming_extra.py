@@ -298,3 +298,39 @@ def test_multimodal_frame_sampling_expansion(spark):
         concat = b"".join(b for _, b, _ in fs)
         assert src[mid].startswith(concat)
         assert all(n == len(b) for _, b, n in fs)
+
+
+def test_drop_duplicates_within_watermark(spark, tmpdir):
+    """T2 sibling: the built-in ``dropDuplicatesWithinWatermark`` covers
+    the common case (dedup by key with state expiry at the watermark) —
+    the custom applyInPandasWithState high-water dedup
+    (streaming/state.py) remains for the stricter latest-at-or-before
+    semantics. This pins the built-in path working against the same
+    envelope shape, so users can choose per workload."""
+    src = os.path.join(tmpdir, "dupsrc")
+    sink = os.path.join(tmpdir, "dupsink")
+    ckpt = os.path.join(tmpdir, "dupckpt")
+    _write_jsonl(src, "b1.jsonl", [
+        {"event_id": 1, "ets": "2024-01-01 10:00:00", "v": 1.0},
+        {"event_id": 1, "ets": "2024-01-01 10:00:05", "v": 1.0},   # dup within watermark
+        {"event_id": 2, "ets": "2024-01-01 10:01:00", "v": 2.0},
+    ])
+    stream = (
+        spark.readStream.schema("event_id long, ets string, v double")
+        .json(src)
+        .withColumn("ets", F.to_timestamp("ets"))
+        .withWatermark("ets", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    rows = {r["event_id"] for r in out.collect()}
+    assert rows == {1, 2}
+    assert out.count() == 2, "duplicate inside the watermark window survived"
