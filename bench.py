@@ -70,6 +70,13 @@ HEADLINE = [
     "q_report_supplier_part_count",
     "q_report_dominant_supplier",
     "q_rollup_incremental",
+    "q_event_vwap",
+    "q_event_twap",
+    "q_event_resample_ffill",
+    "q_event_rolling_zscore",
+    "q_event_correlation",
+    "q_scan_orc",
+    "q_llm_substring_dedup",
 ]
 
 
