@@ -478,31 +478,38 @@ def q_event_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score per tick: each value standardized against its own
     trailing 100-tick window (warm-up ticks with <30 observations are
     suppressed, so early unstable scores never surface). The alerting
-    primitive for live anomaly feeds. Plan: ONE keyed window shuffle
-    computes mean, stddev, and the warm-up count over the identical
-    frame — Spark evaluates all three functions in a single Window node,
-    one sort, no self-join; at 100 TB the partition key (symbol) bounds
-    every sort."""
+    primitive for live anomaly feeds. Plan: a plain per-symbol window
+    serializes each symbol into ONE task — with few symbols, a
+    1000-core cluster idles. The frame therefore evaluates through
+    operators/rolling.py::chunked_rolling: a cheap narrow numbering
+    pass, then the trailing frame computed inside (symbol, chunk)
+    partitions with the previous chunk's last 99 rows replicated as
+    carry-in — bit-identical results (the DuckDB oracle is the plain
+    window) at symbols x chunks parallelism. mean/stddev/count still
+    share one Window node in the heavy pass."""
+    from fineventstream_spark.operators.rolling import chunked_rolling
+
     t = Tables(spark, sf_dir)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"), "event_id")
-        .rowsBetween(-99, 0)
+    rolled = chunked_rolling(
+        t.events.select("event_id", "event_type", "value", F.unix_micros("ts").alias("__us")),
+        key_cols=["event_type"],
+        order_cols=["__us", "event_id"],
+        frame_rows=100,
+        aggs={
+            "__m": F.avg("value"),
+            "__s": F.stddev_samp("value"),
+            "__n": F.count("*"),
+        },
+        chunk_rows=4096,
     )
     return (
-        t.events.select(
+        rolled.filter(F.col("__n") >= 30)
+        .select(
             "event_id",
             "event_type",
             "value",
-            F.round(
-                (F.col("value") - F.avg("value").over(w))
-                / F.stddev_samp("value").over(w),
-                4,
-            ).alias("z"),
-            F.count("*").over(w).alias("__n"),
+            F.round((F.col("value") - F.col("__m")) / F.col("__s"), 4).alias("z"),
         )
-        .filter(F.col("__n") >= 30)
-        .drop("__n")
     )
 
 

@@ -774,3 +774,56 @@ def test_rollup_merge_matches_from_scratch(spark, sf_dir):
     s = {r["event_type"]: (r["n"], r["total"], r["vmin"], r["vmax"], r["vavg"])
          for r in scratch.collect()}
     assert m == s
+
+
+# ---------------------------------------------------------------- rolling
+
+
+@pytest.mark.parametrize("chunk_rows", [99, 100, 137, 5000])
+def test_chunked_rolling_matches_plain_window(spark, chunk_rows):
+    """Chunked evaluation must be bit-identical to the plain per-key
+    window at every chunk width — including the minimum legal width
+    (frame-1, every chunk is pure carry) and a width larger than any
+    key's row count (single chunk, no carry at all)."""
+    from pyspark.sql import Window
+
+    from fineventstream_spark.operators.rolling import chunked_rolling
+
+    df = (
+        spark.range(3_000)
+        .select(
+            (F.col("id") % 3).alias("k"),
+            F.col("id").alias("seq"),
+            (F.sin(F.col("id").cast("double")) * 100).alias("v"),
+        )
+    )
+    got = chunked_rolling(
+        df,
+        key_cols=["k"],
+        order_cols=["seq"],
+        frame_rows=100,
+        aggs={"m": F.avg("v"), "s": F.stddev_samp("v"), "n": F.count("*")},
+        chunk_rows=chunk_rows,
+    )
+    w = Window.partitionBy("k").orderBy("seq").rowsBetween(-99, 0)
+    want = df.select(
+        "k", "seq", "v",
+        F.avg("v").over(w).alias("m"),
+        F.stddev_samp("v").over(w).alias("s"),
+        F.count("*").over(w).alias("n"),
+    )
+    g = {(r["k"], r["seq"]): (round(r["m"], 9), round(r["s"] or 0.0, 9), r["n"])
+         for r in got.collect()}
+    e = {(r["k"], r["seq"]): (round(r["m"], 9), round(r["s"] or 0.0, 9), r["n"])
+         for r in want.collect()}
+    assert g == e
+
+
+def test_chunked_rolling_rejects_undersized_chunks(spark):
+    from fineventstream_spark.operators.rolling import chunked_rolling
+
+    df = spark.range(10).select(F.lit(1).alias("k"), F.col("id").alias("seq"),
+                                F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="chunk_rows"):
+        chunked_rolling(df, ["k"], ["seq"], frame_rows=100,
+                        aggs={"n": F.count("*")}, chunk_rows=50)

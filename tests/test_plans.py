@@ -457,12 +457,16 @@ def test_resample_ffill_is_asof_shaped(spark, sf_dir):
     assert "Union" in plan, "grid and ticks should union into one keyed window"
 
 
-def test_rolling_zscore_single_window_node(spark, sf_dir):
-    """mean, stddev and the warm-up count share one Window node over the
-    identical frame — one keyed sort, no self-join, no second shuffle."""
+def test_rolling_zscore_chunked_parallelism(spark, sf_dir):
+    """The heavy frame pass must partition by (symbol, chunk) — not by
+    symbol alone (which serializes each symbol into one task) — and
+    mean/stddev/count must still share a single Window node there. The
+    numbering pass is the only symbol-partitioned window and carries a
+    narrow projection."""
     plan = _plan(spark, sf_dir, "q_event_rolling_zscore")
-    assert plan.count("- Window (") == 1, "frame functions split across Window nodes"
-    assert plan.count("- Exchange (") == 1, "rolling z-score should shuffle once"
+    assert "hashpartitioning(event_type#" in plan, "numbering pass missing"
+    assert "__chunk" in plan, "frame pass is not chunk-partitioned"
+    assert plan.count("- Window (") == 2, "expected numbering + frame windows"
     assert "rangepartitioning" not in plan, "window sort went global"
 
 
