@@ -13,7 +13,7 @@ expansion factor is size/slide, a constant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
@@ -189,4 +189,62 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "q_scd2_user_segment",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS segment, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, segment, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(valid_from), event_id
+           ) AS valid_to,
+           CAST(LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(valid_from), event_id
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    """,
+    tags=("T9", "W2", "Y7"),
+)
+def q_scd2_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change log: each user's segment
+    history as validity intervals [valid_from, valid_to), open interval =
+    current row. No-op updates (consecutive events with an unchanged
+    segment) collapse first, so the dimension stores transitions, not
+    traffic — the standard warehouse companion to q_upsert_latest (which
+    keeps only the final state). Plan: ONE shuffle on user_id serves both
+    window passes — the change-collapse lag and the interval lead run over
+    the same partitioning, and Catalyst chains them without a second
+    Exchange (the filter between them preserves distribution). At 100 TB
+    the change log is date-partition-pruned first and the dimension
+    output is transitions-sized, not traffic-sized."""
+    t = Tables(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    changes = (
+        t.events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w_lag).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w_lead = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_lead).alias("valid_to"),
+        F.lead("ts").over(w_lead).isNull().alias("is_current"),
     )

@@ -115,6 +115,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_correlation",
     "q_scan_orc",
     "q_llm_substring_dedup",
+    "q_scd2_user_segment",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",

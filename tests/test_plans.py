@@ -594,3 +594,14 @@ def test_orc_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
     assert "l_shipdate" in plan.split("PushedFilters")[1][:300], "range not pushed to ORC"
     read_schema = plan.split("ReadSchema")[1][:400]
     assert "l_returnflag" not in read_schema
+
+
+def test_scd2_two_windows_one_shuffle(spark, sf_dir):
+    """SCD2 build: the change-collapse lag and the interval lead both
+    partition by user_id — the filter between them preserves
+    distribution, so the plan carries exactly ONE Exchange for two
+    Window passes (the second pays only a re-sort)."""
+    plan = _plan(spark, sf_dir, "q_scd2_user_segment")
+    assert plan.count("- Window (") == 2
+    assert plan.count("- Exchange (") == 1, "second window re-shuffled"
+    assert "rangepartitioning" not in plan
