@@ -61,3 +61,73 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique("l_orderkey"),
     ]
     return expectation_summary(t.lineitem, rules)
+
+
+@register(
+    "q_dq_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS vmin,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS vmax
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(ROUND(MIN(o_totalprice), 4) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 4) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("DQ2", "A2", "A3"),
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the first step of any lake onboarding): row
+    count, null count, distinct count, min, max per column — computed in
+    ONE scan and one aggregate pass (all columns' metrics side by side,
+    then unpivoted to (col, metric...) rows); min/max surface as strings
+    so numeric and categorical columns share one report schema. The
+    oracle spells it as three scans for clarity — values must agree
+    exactly. At 100 TB use approx_count_distinct for the cardinality
+    column (documented, A4); exact distincts here keep the oracle
+    strict."""
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    cols = ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+
+    def metrics(c: str) -> list:
+        vmin = F.min(c)
+        vmax = F.max(c)
+        if c == "o_totalprice":
+            vmin, vmax = F.round(vmin, 4), F.round(vmax, 4)
+        return [
+            F.count("*").alias(f"{c}__n_rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_nulls"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            vmin.cast("string").alias(f"{c}__vmin"),
+            vmax.cast("string").alias(f"{c}__vmax"),
+        ]
+
+    wide = t.orders.agg(*[m for c in cols for m in metrics(c)])
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_nulls, {c}__n_distinct, {c}__vmin, {c}__vmax"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_rows, n_nulls, n_distinct, vmin, vmax)"
+        )
+    )

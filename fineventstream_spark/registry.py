@@ -116,6 +116,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_orc",
     "q_llm_substring_dedup",
     "q_scd2_user_segment",
+    "q_dq_profile",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",
