@@ -248,3 +248,70 @@ def q_scd2_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w_lead).alias("valid_to"),
         F.lead("ts").over(w_lead).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id,
+             arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id))
+               AS value
+      FROM events WHERE ts < TIMESTAMP '2024-01-01 04:00:00'
+      GROUP BY user_id
+    ), v2 AS (
+      SELECT user_id,
+             arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id))
+               AS value
+      FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'added'
+                WHEN v2.user_id IS NULL THEN 'removed'
+                WHEN v1.value <> v2.value THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           ROUND(v1.value, 4) AS value_before,
+           ROUND(v2.value, 4) AS value_after
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    """,
+    tags=("T10", "Y7", "J2"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC audit): classify every key between two
+    upsert-latest snapshot versions as added / changed / unchanged
+    (removed cannot occur under an append-only change log — the branch
+    exists for generality and for sinks with deletes, e.g. the vacuumed
+    upsert sink in streaming/sink.py). This is the audit a versioned
+    lake runs after a backfill: what did reprocessing actually touch?
+    Plan: both versions are the SAME max_by aggregate over differently
+    date-bounded scans (each bound pushed to the reader), then one
+    co-partitioned FULL OUTER join on the key — snapshot-sized, not
+    traffic-sized. At 100 TB the two versions come from the sink's
+    stored snapshots and the aggregates disappear entirely."""
+    t = Tables(spark, sf_dir)
+    key = F.format_string("%020d|%012d", F.unix_micros(F.col("ts")), F.col("event_id"))
+
+    def version(cutoff: str, alias: str) -> DataFrame:
+        return (
+            t.events.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(F.max_by("value", key).alias(alias))
+            .withColumnRenamed("user_id", f"{alias}_uid")
+        )
+
+    v1 = version("2024-01-01 04:00:00", "v1")
+    v2 = version("2024-01-30 00:00:00", "v2")
+    return (
+        v1.join(v2, v1.v1_uid == v2.v2_uid, "full_outer")
+        .select(
+            F.coalesce("v1_uid", "v2_uid").alias("user_id"),
+            F.when(F.col("v1_uid").isNull(), "added")
+            .when(F.col("v2_uid").isNull(), "removed")
+            .when(F.col("v1") != F.col("v2"), "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+            F.round("v1", 4).alias("value_before"),
+            F.round("v2", 4).alias("value_after"),
+        )
+    )

@@ -117,6 +117,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_llm_substring_dedup",
     "q_scd2_user_segment",
     "q_dq_profile",
+    "q_snapshot_diff",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",
