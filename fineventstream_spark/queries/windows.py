@@ -175,3 +175,88 @@ def q_win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q_win_share_of_total",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey, n.n_name,
+             SUM(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT r.r_name, n.n_name,
+           ROUND(n.revenue, 4) AS revenue,
+           ROUND(n.revenue / SUM(n.revenue) OVER (PARTITION BY n.n_regionkey), 4)
+             AS region_share
+    FROM nat n JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+    tags=("W5", "A1", "J4"),
+)
+def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each nation's share of its
+    region's revenue — the denominator is a window SUM over the
+    aggregate, not a second scan. Plan: the fact collapses to a 25-row
+    nation aggregate first; the share window and the region broadcast
+    run on that — window cost is O(nations), the fact is touched once."""
+    t = Tables(spark, sf_dir)
+    nat = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        nat.join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            "n_name",
+            F.round("revenue", 4).alias("revenue"),
+            F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+                "region_share"
+            ),
+        )
+    )
+
+
+@register(
+    "q_event_wow_change",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+             ROUND(SUM(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, wk, total,
+           ROUND(
+             (total - LAG(total) OVER (PARTITION BY event_type ORDER BY wk))
+             / LAG(total) OVER (PARTITION BY event_type ORDER BY wk), 4)
+             AS wow_change
+    FROM weekly
+    """,
+    tags=("W2", "A1", "F3"),
+)
+def q_event_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per symbol: the weekly rollup first (one
+    fact shuffle, partial-aggregated), then lag over the tiny weekly
+    series — null for each symbol's first week rather than a fake 0.
+    The trend primitive behind every activity dashboard."""
+    t = Tables(spark, sf_dir)
+    weekly = (
+        t.events.groupBy(
+            "event_type", F.date_trunc("week", "ts").alias("wk")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("total").over(w)
+    return weekly.select(
+        "event_type",
+        "wk",
+        "total",
+        F.round((F.col("total") - prev) / prev, 4).alias("wow_change"),
+    )

@@ -118,6 +118,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scd2_user_segment",
     "q_dq_profile",
     "q_snapshot_diff",
+    "q_win_share_of_total",
+    "q_event_wow_change",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",
