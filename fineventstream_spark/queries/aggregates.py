@@ -119,16 +119,36 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarser rollup (week/month/all-time) is a union over sketches, not
     a second pass over raw events; exact countDistinct would have to
     reshuffle every (week, user) pair. Datasketches HLL via
-    hll_sketch_agg / hll_union_agg (Spark 3.5+)."""
+    hll_sketch_agg / hll_union_agg (Spark 3.5+).
+
+    Self-certifying (rows-only driver check): each weekly row carries
+    ``rel_err`` — the sketch estimate's relative error vs the in-plan
+    exact countDistinct — so the driver row certifies accuracy, not just
+    execution (HLL at default lgK=12 is ~2% at this cardinality; a
+    regression shows up as a changed value). The exact pass exists ONLY
+    for the audit; production rollups skip it."""
     t = Tables(spark, sf_dir)
     daily = t.events.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
+    weekly = (
         daily.groupBy(F.date_trunc("week", "day").cast("date").alias("week"))
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         )
+    )
+    exact = t.events.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("ex_week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return weekly.join(exact, weekly.week == exact.ex_week).select(
+        "week",
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ).alias("rel_err"),
     )
 
 
