@@ -107,10 +107,19 @@ def q_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 2) ELSE props END AS payload
         FROM events
+    ), extracted AS (
+        -- CASE guards the strict json_extract_string: DuckDB does not
+        -- short-circuit AND conjuncts, so a bare WHERE json_valid(...)
+        -- AND json_extract_string(...) can still evaluate the extract on
+        -- malformed rows and throw (observed at sf0.1, passed at sf0.01
+        -- only by vectorization luck)
+        SELECT event_id,
+               CASE WHEN json_valid(payload)
+                    THEN CAST(json_extract_string(payload, '$.k') AS INTEGER)
+               END AS k
+        FROM payloads
     )
-    SELECT event_id, CAST(json_extract_string(payload, '$.k') AS INTEGER) AS k
-    FROM payloads
-    WHERE json_valid(payload) AND json_extract_string(payload, '$.k') IS NOT NULL
+    SELECT event_id, k FROM extracted WHERE k IS NOT NULL
     """,
     tags=("P6",),
 )

@@ -796,8 +796,16 @@ def q_report_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_report_min_cost_supplier",
     oracle="""
     WITH costs AS (
+      -- exact integer arithmetic (cents / whole quantities) INCLUDING the
+      -- 4-dp rounding: (200*cents + qty) // (2*qty) is round-half-up of
+      -- cents*100/qty in 1e-4 units. A float AVG differs between engines
+      -- by summation order, and even exact sums can divide to a true
+      -- decimal tie (observed: 1209.21375) where Spark's half-up ROUND
+      -- and DuckDB's by-binary-value ROUND disagree.
       SELECT l_partkey, l_suppkey,
-             ROUND(AVG(l_extendedprice / l_quantity), 4) AS unit_cost
+             ((200 * SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               + SUM(CAST(l_quantity AS BIGINT)))
+              // (2 * SUM(CAST(l_quantity AS BIGINT)))) / 10000.0 AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ), eligible AS (
       SELECT c.l_partkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
@@ -823,8 +831,12 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, the European supplier(s) quoting the lowest unit cost.
     Adapted to this lake's columns: there is no partsupp table, so the
     part<->supplier offer grid is derived from lineitem history and
-    ps_supplycost is proxied by AVG(l_extendedprice / l_quantity) per
-    (part, supplier). The correlated MIN is hand-decorrelated: the
+    ps_supplycost is proxied by the volume-weighted unit price
+    SUM(extendedprice)/SUM(quantity) per (part, supplier), computed in
+    exact integer arithmetic (cents, whole quantities) so the value is
+    bit-identical across engines — a float AVG's summation order once
+    flipped a 4-dp rounding boundary at sf0.1. The correlated MIN is
+    hand-decorrelated: the
     region-filtered offer set is computed once, its per-part minimum is
     one partkey aggregate joined back on cost equality — same partkey
     partitioning both sides, so the probe reuses the aggregate's
@@ -851,9 +863,19 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "__cents"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("__qty"),
+        )
+        # (200*cents + qty) DIV (2*qty): round-half-up of cents*100/qty in
+        # 1e-4 units, all-integer — no float division anywhere near a tie
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.expr("(200 * __cents + __qty) DIV (2 * __qty)") / 10000.0).alias(
                 "unit_cost"
-            )
+            ),
         )
     )
     eligible = (
