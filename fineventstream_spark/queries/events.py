@@ -563,3 +563,55 @@ def q_event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_days"),
         )
     )
+
+
+@register(
+    "q_event_funnel_windowed",
+    oracle="""
+    WITH a AS (SELECT user_id, MIN(ts) AS ta FROM events
+               WHERE event_type = 'click' GROUP BY 1),
+         conv AS (SELECT DISTINCT e.user_id
+                  FROM events e JOIN a USING (user_id)
+                  WHERE e.event_type = 'purchase'
+                    AND e.ts > a.ta
+                    AND e.ts <= a.ta + INTERVAL 1 HOUR)
+    SELECT CAST(count(*) AS BIGINT) AS n_entered,
+           CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           ROUND(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS conv_rate
+    FROM a LEFT JOIN conv c USING (user_id)
+    """,
+    tags=("E4", "J2", "J3", "A1"),
+)
+def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: of users who clicked, how many purchased
+    WITHIN ONE HOUR of their first click — the attribution-window form
+    every funnel really runs in production (unbounded conversion
+    overstates). Plan: first-touch is a per-user aggregate; the bound
+    check joins that (one row per user) to the purchase events — the
+    raw events never self-join, and the converter set is a DISTINCT on
+    user_id, so the expansion is bounded by purchases per user."""
+    t = Tables(spark, sf_dir)
+    a = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    conv = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .join(a, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ta"))
+            & (F.col("ts") <= F.col("ta") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    return a.join(conv, "user_id", "left").agg(
+        F.count("*").alias("n_entered"),
+        F.sum(hit).cast("bigint").alias("n_converted"),
+        F.round(F.sum(hit) / F.count("*"), 6).alias("conv_rate"),
+    )

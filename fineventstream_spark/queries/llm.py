@@ -627,3 +627,49 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_ratio").desc(), F.col("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "q_llm_bigram_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS ts FROM documents
+    ), bg AS (
+      SELECT ts[i] || ' ' || ts[i+1] AS bigram
+      FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 100
+    """,
+    tags=("U7", "F8", "A1"),
+)
+def q_llm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top 100): the raw material for
+    collocation stats, tokenizer-merge candidates, and boilerplate
+    phrase lists. Pure built-in HOFs (sequence → transform(element_at) →
+    explode, all codegen); one fact-scale shuffle on the bigram, then
+    TakeOrderedAndProject for the top-100 — no global sort. At 100 TB
+    swap the full count for a count-min candidate pass exactly like the
+    substring-dedup hash trick; here the exact count keeps the oracle
+    strict. Total order: (n DESC, bigram)."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    return (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts)-1),"
+                    " i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(100)
+    )

@@ -120,6 +120,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_snapshot_diff",
     "q_win_share_of_total",
     "q_event_wow_change",
+    "q_event_funnel_windowed",
+    "q_llm_bigram_counts",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",
