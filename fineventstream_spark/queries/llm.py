@@ -673,3 +673,57 @@ def q_llm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(100)
     )
+
+
+@register(
+    "q_llm_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(n) AS total FROM freq
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(f.n / tot.total)), 4) AS avg_logprob
+    FROM toks t
+    JOIN freq f USING (tok)
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY avg_logprob ASC, doc_id
+    LIMIT 100
+    """,
+    tags=("U7", "A1", "F5"),
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring: each document's average token log-probability
+    under the corpus's own unigram distribution — the cheap perplexity
+    proxy used to flag gibberish/outlier documents before an expensive
+    model-based filter (low avg logprob = rare-token-heavy). Plan: one
+    token explode feeds BOTH the frequency table and the scoring join
+    (the corpus is tokenized twice in this formulation — at 100 TB,
+    materialize the exploded tokens once); the frequency table is
+    vocabulary-sized and joins back per token, the total is a 1-row
+    broadcast scalar, and the bottom-100 ends in partial heaps.
+    Total order: (avg_logprob, doc_id)."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("total"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy(F.col("avg_logprob").asc(), F.col("doc_id"))
+        .limit(100)
+    )

@@ -122,6 +122,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_wow_change",
     "q_event_funnel_windowed",
     "q_llm_bigram_counts",
+    "q_llm_unigram_logprob",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",
