@@ -370,3 +370,31 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.filter(F.col("ts") >= split), ["event_type"], "value"
     )
     return finalize_rollup(merge_rollups([base, delta], ["event_type"]), ["event_type"])
+
+
+@register(
+    "q_agg_count_of_counts",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY n_lines
+    ORDER BY n_lines
+    """,
+    tags=("A1", "A2"),
+)
+def q_agg_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts histogram: how many orders have k lines — the
+    fill-rate distribution behind batching decisions and the standard
+    first look at any key's fan-out (skew diagnosis: a fat tail here is
+    tomorrow's hot-key shuffle). Two aggregations, but the second runs
+    on the order-sized intermediate, and the 7-row result aggregates
+    map-side."""
+    t = Tables(spark, sf_dir)
+    per_order = t.lineitem.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("n_lines")
+    )

@@ -615,3 +615,44 @@ def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_converted"),
         F.round(F.sum(hit) / F.count("*"), 6).alias("conv_rate"),
     )
+
+
+@register(
+    "q_event_concentration",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT d, SUM(n) AS total FROM daily GROUP BY d
+    )
+    SELECT daily.d,
+           ROUND(SUM((n * 1.0 / total) * (n * 1.0 / total)), 4) AS hhi,
+           ROUND(MAX(n * 1.0 / total), 4) AS top_share
+    FROM daily JOIN tot USING (d)
+    GROUP BY daily.d
+    """,
+    tags=("E13", "A1", "W5"),
+)
+def q_event_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration per day: Herfindahl-Hirschman index and
+    top-symbol share over the day's tick mix — the liquidity-
+    concentration screen (is one symbol eating the feed?). Plan: the
+    fact collapses to a (days x symbols) aggregate first; totals,
+    shares, HHI and max-share all compute on that tiny table (the
+    per-day total join is aggregate-sized). One fact shuffle."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    tot = daily.groupBy(F.col("d").alias("td")).agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("total")
+    return (
+        daily.join(tot, daily.d == tot.td)
+        .groupBy("d")
+        .agg(
+            F.round(F.sum(share * share), 4).alias("hhi"),
+            F.round(F.max(share), 4).alias("top_share"),
+        )
+    )

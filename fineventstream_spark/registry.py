@@ -123,6 +123,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_funnel_windowed",
     "q_llm_bigram_counts",
     "q_llm_unigram_logprob",
+    "q_event_concentration",
+    "q_agg_count_of_counts",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",
