@@ -394,3 +394,60 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
     )
+
+
+def _events_nested_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a NESTED parquet derivative of events: struct user
+    {id, segment, noise}, struct metrics {value}, array tags — the shape
+    a modern lake actually stores (nested payloads at rest, not flat
+    columns). ``noise`` exists solely so nested-field pruning has
+    something to prune."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _cache_dir(sf_dir, "events_nested", schema_fingerprint(ev))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        nested = ev.select(
+            "event_id",
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.col("event_type").alias("segment"),
+                F.lit("unused-payload").alias("noise"),
+            ).alias("user"),
+            F.struct(F.col("value").alias("value")).alias("metrics"),
+            F.array(
+                F.col("event_type"),
+                F.when(F.col("event_id") % 2 == 0, "even").otherwise("odd"),
+            ).alias("tags"),
+        )
+        nested.write.mode("overwrite").parquet(path)
+    return path
+
+
+@register(
+    "q_scan_nested",
+    oracle="""
+    SELECT event_id, user_id, event_type AS segment,
+           unnest([event_type,
+                   CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END])
+             AS tag
+    FROM events
+    """,
+    tags=("S5", "F8", "F9"),
+)
+def q_scan_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column lake scan: struct dot-path projection + array
+    explode over a nested parquet derivative (struct user{id, segment,
+    noise}, array tags). The plan contract is NESTED-FIELD PRUNING: the
+    scan's ReadSchema must carry user<id,segment> WITHOUT the unread
+    ``noise`` field and skip the metrics struct entirely — at 100 TB a
+    fat payload struct read for a 2-field projection is the same bug as
+    reading all top-level columns. The oracle reconstructs the nested
+    semantics from the flat events view (the derivative's path is
+    fingerprint-keyed, so static SQL cannot reference it)."""
+    path = _events_nested_path(spark, sf_dir)
+    nested = spark.read.parquet(path)
+    return nested.select(
+        "event_id",
+        F.col("user.id").alias("user_id"),
+        F.col("user.segment").alias("segment"),
+        F.explode("tags").alias("tag"),
+    )

@@ -125,6 +125,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_llm_unigram_logprob",
     "q_event_concentration",
     "q_agg_count_of_counts",
+    "q_scan_nested",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",

@@ -605,3 +605,14 @@ def test_scd2_two_windows_one_shuffle(spark, sf_dir):
     assert plan.count("- Window (") == 2
     assert plan.count("- Exchange (") == 1, "second window re-shuffled"
     assert "rangepartitioning" not in plan
+
+
+def test_nested_scan_prunes_struct_fields(spark, sf_dir):
+    """Nested-field pruning: the scan's ReadSchema must carry only the
+    struct fields the query touches — user without `noise`, no metrics
+    struct at all."""
+    plan = _plan(spark, sf_dir, "q_scan_nested")
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "noise" not in read_schema, "unread nested field not pruned"
+    assert "metrics" not in read_schema, "unread struct not pruned"
+    assert "segment" in read_schema
