@@ -451,3 +451,46 @@ def q_scan_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user.segment").alias("segment"),
         F.explode("tags").alias("tag"),
     )
+
+
+@register(
+    "q_source_datasource_quotes",
+    oracle="""
+    WITH sym(symbol, base) AS (VALUES
+      ('AAPL', 136), ('MSFT', 64), ('GOOGL', 126),
+      ('AMZN', 60), ('NVDA', 147), ('META', 145)
+    ), seqs AS (SELECT unnest(range(0, 50)) AS seq)
+    SELECT symbol, CAST(seq AS BIGINT) AS seq,
+           base + (seq * 7 % 13) * 0.25 AS price,
+           0.25 AS change,
+           base + (seq * 7 % 13) * 0.25 + 1 AS high,
+           base + (seq * 7 % 13) * 0.25 - 1 AS low,
+           base + (seq * 7 % 13) * 0.25 - 0.5 AS open,
+           base + (seq * 7 % 13) * 0.25 - 0.25 AS prev_close,
+           CAST(1704067200 + seq * 60 AS BIGINT) AS quote_ts_unix
+    FROM sym CROSS JOIN seqs
+    """,
+    tags=("S1", "S3"),
+)
+def q_source_datasource_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quote feed as a FIRST-CLASS Spark data source (Spark 4 Python
+    DataSource API, sources/datasource.py): ``spark.read.format(
+    "fineventstream_quotes")`` with one InputPartition per symbol, so
+    fetches run on executors instead of the reference's driver-side
+    symbol loop (producer_stock_quotes.py:122-124); the same class
+    serves ``readStream`` with replayable tick-counter offsets. The
+    oracle is the fetcher's spec (pure arithmetic on (symbol, seq)) —
+    the source must produce exactly the frame the spec describes.
+    change/d p columns are exact binary fractions (k*0.25), so no
+    rounding is needed anywhere."""
+    from fineventstream_spark.sources.datasource import QuoteDataSource
+
+    try:
+        spark.dataSource.register(QuoteDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("fineventstream_quotes")
+        .option("ticks_per_symbol", 50)
+        .load()
+    )

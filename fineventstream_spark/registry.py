@@ -126,6 +126,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_concentration",
     "q_agg_count_of_counts",
     "q_scan_nested",
+    "q_source_datasource_quotes",
     # ts-reading heavies: confirm the NTZ edge change didn't shift them
     "q_agg_stats",
     "q_join_asof",

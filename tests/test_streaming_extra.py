@@ -334,3 +334,69 @@ def test_drop_duplicates_within_watermark(spark, tmpdir):
     rows = {r["event_id"] for r in out.collect()}
     assert rows == {1, 2}
     assert out.count() == 2, "duplicate inside the watermark window survived"
+
+
+def test_quote_datasource_batch_partitioning_and_determinism(spark):
+    """S1 as a first-class source: one partition per symbol, and two
+    reads with identical options are byte-identical (the property that
+    makes offset replay exact)."""
+    from fineventstream_spark.sources.datasource import QuoteDataSource
+
+    try:
+        spark.dataSource.register(QuoteDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("fineventstream_quotes")
+        .option("symbols", "AAPL,MSFT")
+        .option("ticks_per_symbol", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2, "one InputPartition per symbol"
+    rows = sorted(map(tuple, df.collect()))
+    again = sorted(map(tuple, (
+        spark.read.format("fineventstream_quotes")
+        .option("symbols", "AAPL,MSFT")
+        .option("ticks_per_symbol", 7)
+        .load()
+    ).collect()))
+    assert rows == again and len(rows) == 14
+
+
+def test_quote_datasource_stream_resumes_without_duplicates(spark, tmpdir):
+    """Restarting the stream from its checkpoint must continue at the
+    committed offset: two availableNow runs against one checkpoint yield
+    disjoint, gap-free seq ranges."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.sources.datasource import QuoteDataSource
+
+    try:
+        spark.dataSource.register(QuoteDataSource)
+    except Exception:
+        pass
+    out = os.path.join(tmpdir, "out")
+    ck = os.path.join(tmpdir, "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("fineventstream_quotes")
+            .option("symbols", "AAPL")
+            .option("ticks_per_batch", 5)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()
+    got = spark.read.parquet(out)
+    seqs = sorted(r["seq"] for r in got.collect())
+    assert len(seqs) == len(set(seqs)), "restart produced duplicate ticks"
+    assert seqs == list(range(len(seqs))), "restart left a gap in the tick sequence"
+    assert got.count() > n1, "second run appended nothing"
