@@ -400,3 +400,65 @@ def test_quote_datasource_stream_resumes_without_duplicates(spark, tmpdir):
     assert len(seqs) == len(set(seqs)), "restart produced duplicate ticks"
     assert seqs == list(range(len(seqs))), "restart left a gap in the tick sequence"
     assert got.count() > n1, "second run appended nothing"
+
+
+def _expected_alerts(symbols, n_ticks, threshold_pct):
+    """Reference implementation of the alert semantics in plain Python."""
+    from fineventstream_spark.sources.polling import fake_quote_fetcher
+
+    expected = []
+    for sym in symbols:
+        ref = None
+        for seq in range(n_ticks):
+            price = fake_quote_fetcher(sym, seq)["c"]
+            if ref is None:
+                expected.append((sym, seq, price, price, 0.0))
+                ref = price
+                continue
+            move = abs(price - ref) / ref * 100.0
+            if move >= threshold_pct:
+                expected.append((sym, seq, price, ref, round(move, 4)))
+                ref = price
+    return sorted(expected)
+
+
+def test_transform_with_state_price_alerts(spark, tmpdir):
+    """Throttled alerts via per-symbol mutable state: the last alerted
+    price survives micro-batches, so the streamed result must equal the
+    sequential reference computation. Runs on applyInPandasWithState
+    (available everywhere); the transformWithStateInPandas twin
+    (streaming/alerts.py::price_alert_stream_tws) carries the same
+    semantics but its wire protocol needs google.protobuf, absent in
+    this container — tws_available() gates it."""
+    from fineventstream_spark.sources.datasource import QuoteDataSource
+    from fineventstream_spark.streaming.alerts import price_alert_stream
+
+    try:
+        spark.dataSource.register(QuoteDataSource)
+    except Exception:
+        pass
+    out = os.path.join(tmpdir, "alerts")
+    ck = os.path.join(tmpdir, "ck_alerts")
+    quotes = (
+        spark.readStream.format("fineventstream_quotes")
+        .option("symbols", "AAPL,MSFT")
+        .option("ticks_per_batch", 6)
+        .load()
+        .select("symbol", "seq", "price")
+    )
+    q = (
+        price_alert_stream(quotes, threshold_pct=1.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["symbol"], r["seq"], r["price"], r["ref_price"], r["move_pct"])
+        for r in spark.read.parquet(out).collect()
+    )
+    n_ticks = max(s for _, s, *_ in got) + 1
+    want = [w for w in _expected_alerts(["AAPL", "MSFT"], n_ticks, 1.0)]
+    assert got == want
