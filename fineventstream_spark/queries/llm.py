@@ -461,12 +461,35 @@ def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_llm_kmeans", oracle=None, tags=("U6",))
 def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over embeddings (5 Lloyd iterations, k=8):
-    cluster cardinalities. Iterative algorithm → rows-only."""
-    from fineventstream_spark.operators.kmeans import kmeans_fit
+    cluster cardinalities. Iterative algorithm → rows-only.
+
+    Self-certifying (rows-only driver check): every row carries
+    ``inertia_gain`` — the relative reduction in total within-cluster
+    sum of squares from the deterministic initial centroids to the
+    fitted ones. An internal metric on purpose: the fixture's labels
+    are barely separable (within-cluster spread ~5x the between-label
+    centroid distance), so label purity would certify noise; inertia
+    gain certifies that the Lloyd updates actually descend. A
+    regression in the update math shows up as the gain collapsing
+    toward 0."""
+    from fineventstream_spark.operators.kmeans import kmeans_fit, kmeans_inertia
 
     t = Tables(spark, sf_dir)
-    _, assigned = kmeans_fit(t.embeddings, "embedding", "vec_id", k=8, iterations=5)
-    return assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+    init = [
+        [float(x) for x in r[0]]
+        for r in t.embeddings.orderBy("vec_id").select("embedding").limit(8).collect()
+    ]
+    centroids, assigned = kmeans_fit(
+        t.embeddings, "embedding", "vec_id", k=8, iterations=5
+    )
+    i0 = kmeans_inertia(t.embeddings, "embedding", init)
+    i1 = kmeans_inertia(t.embeddings, "embedding", centroids)
+    gain = round((i0 - i1) / i0, 4) if i0 > 0 else 0.0
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .withColumn("inertia_gain", F.lit(gain))
+    )
 
 
 @register(
