@@ -162,9 +162,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "n_queries": len(timings),
+        "n_failed": len(failures),
     }
     if failures:
+        # a total over a SUBSET of the headline set is not comparable to a
+        # green round's total — mark it so a failing round can never read
+        # as a speedup
         result["failures"] = failures
+        result["total_is_partial"] = True
     print(json.dumps(result))
 
 

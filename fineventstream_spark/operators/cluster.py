@@ -26,6 +26,15 @@ materializes the iteration AND replaces its logical plan with a leaf
 scan of the checkpointed blocks — analysis stays O(1) per round at any
 chain length. On a shared cluster, swap for reliable ``checkpoint()``
 (HDFS-backed) if executor loss must be survivable mid-computation.
+
+Storage note: unlike the old persist()/unpersist() pairing, checkpointed
+blocks have no explicit release API — they are reclaimed by Spark's
+ContextCleaner once the last DataFrame reference drops (each iteration
+rebinds ``labels``, so previous rounds become unreferenced immediately;
+reclamation timing then follows JVM GC). Long-lived sessions invoking
+this repeatedly trade a bounded, GC-paced storage tail for the O(1)
+plan depth — the right trade, but worth knowing when reading executor
+storage metrics.
 """
 
 from __future__ import annotations

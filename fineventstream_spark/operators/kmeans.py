@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 from fineventstream_spark.operators.similarity import nearest_centroid_udf
 
 
+def initial_centroids(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> list[list[float]]:
+    """Deterministic init: the first k vectors by id (no RNG). Exposed so
+    audits (e.g. q_llm_kmeans's inertia_gain baseline) measure from the
+    SAME starting point the fit used, whatever this scheme becomes."""
+    return [
+        [float(x) for x in r[0]]
+        for r in df.orderBy(id_col).select(vec_col).limit(k).collect()
+    ]
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -31,10 +43,7 @@ def kmeans_fit(
 ) -> tuple[list[list[float]], DataFrame]:
     """Run ``iterations`` of Lloyd's algorithm; returns (centroids,
     assignments DataFrame with columns [id_col, cluster])."""
-    centroids = [
-        [float(x) for x in r[0]]
-        for r in df.orderBy(id_col).select(vec_col).limit(k).collect()
-    ]
+    centroids = initial_centroids(df, vec_col, id_col, k)
     for _ in range(iterations):
         assigned = df.withColumn("cluster", nearest_centroid_udf(centroids)(F.col(vec_col)))
         means = (

@@ -21,6 +21,7 @@ def salted_join(
     key: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_expr=None,
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated.
 
@@ -32,12 +33,21 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    # Salt from a per-row id, not a hash of every column: on a wide fact
-    # table hashing all columns burns CPU per row for no better spread
-    # (any uniform per-row value works — correctness is salt-independent).
-    big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    # The salt must be DETERMINISTIC under task retry: a nondeterministic
+    # per-row value (monotonically_increasing_id, rand) can assign the
+    # same row different salts across map-task attempts, and reducers
+    # that fetched different attempts then see the row in different
+    # (key, salt) groups — duplicated or dropped join rows (the
+    # SPARK-23207 class; SQL nondeterministic expressions do NOT trigger
+    # Spark's indeterminate-stage rollback). spark_partition_id is stable
+    # for a given plan, costs nothing, and spreads a hot key across as
+    # many salts as it has input partitions — the regime salting targets.
+    # Callers needing guaranteed per-row spread inside one partition can
+    # pass salt_expr=F.pmod(F.xxhash64(*cols), F.lit(n_salts)).
+    salt = salt_expr if salt_expr is not None else F.pmod(
+        F.spark_partition_id().cast("long"), F.lit(n_salts)
     )
+    big_salted = big.withColumn("__salt", salt)
     small_replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
@@ -58,13 +68,18 @@ def salted_agg_count_sum(
     collect_list, percentile, UDAFs — where partial buffers on a hot key
     can exceed executor memory.)
     """
-    # Salt must be uncorrelated with the data: hashing the *value* maps a
-    # constant/low-cardinality hot group onto one salt and defeats the
-    # spread. A hash of the unique row id distributes uniformly no matter
-    # the value distribution (any salt assignment yields the same final
-    # aggregate, so nondeterminism across retries is harmless).
+    # Salt must be uncorrelated with the data (hashing the *value* maps a
+    # constant hot group onto one salt) AND deterministic under retry —
+    # with mixed map-task attempts a nondeterministically re-salted row
+    # can be double-counted by one reducer and missed by another (same
+    # SPARK-23207 class as the join above; "any salt assignment yields
+    # the same aggregate" only holds when every reducer sees ONE
+    # assignment). spark_partition_id satisfies both: per-partition
+    # constant, stable across recomputes, and partial aggregation within
+    # a partition makes per-row spread inside one partition worthless
+    # anyway — one (key, salt) partial row per partition either way.
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "__salt", F.pmod(F.spark_partition_id().cast("long"), F.lit(n_salts))
     )
     pre = salted.groupBy(key, "__salt").agg(
         F.count("*").alias("__n"), F.sum(value_col).alias("__s")

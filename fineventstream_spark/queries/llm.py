@@ -472,13 +472,14 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain certifies that the Lloyd updates actually descend. A
     regression in the update math shows up as the gain collapsing
     toward 0."""
-    from fineventstream_spark.operators.kmeans import kmeans_fit, kmeans_inertia
+    from fineventstream_spark.operators.kmeans import (
+        initial_centroids,
+        kmeans_fit,
+        kmeans_inertia,
+    )
 
     t = Tables(spark, sf_dir)
-    init = [
-        [float(x) for x in r[0]]
-        for r in t.embeddings.orderBy("vec_id").select("embedding").limit(8).collect()
-    ]
+    init = initial_centroids(t.embeddings, "embedding", "vec_id", 8)
     centroids, assigned = kmeans_fit(
         t.embeddings, "embedding", "vec_id", k=8, iterations=5
     )

@@ -53,7 +53,18 @@ def _cache_dir(sf_dir: str, name: str, fingerprint: str = "") -> str:
     change and poisoned every downstream read)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     leaf = f"{name}-{fingerprint}" if fingerprint else name
-    return os.path.join(_CACHE_ROOT, sf_name, leaf)
+    parent = os.path.join(_CACHE_ROOT, sf_name)
+    # reclaim superseded derivatives: a schema/normalization change mints a
+    # new fingerprint, and nothing else ever deletes the old directories —
+    # prune every sibling of this derivative with a different fingerprint
+    # (plus pre-fingerprint unsuffixed leftovers)
+    if fingerprint and os.path.isdir(parent):
+        import shutil
+
+        for entry in os.listdir(parent):
+            if entry != leaf and (entry == name or entry.startswith(f"{name}-")):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+    return os.path.join(parent, leaf)
 
 
 def _events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
@@ -487,8 +498,13 @@ def q_source_datasource_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(QuoteDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:
+        # duplicate registration in a reused session is expected; anything
+        # else must stay visible — the later format("...") lookup would
+        # otherwise fail with an unrelated "source not found"
+        import warnings
+
+        warnings.warn(f"QuoteDataSource registration: {exc}", stacklevel=2)
     return (
         spark.read.format("fineventstream_quotes")
         .option("ticks_per_symbol", 50)

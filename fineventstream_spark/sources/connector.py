@@ -69,8 +69,12 @@ def read_envelope_stream(
         # approximateArrivalTimestamp, ...); map onto the envelope so
         # decode_envelope runs unchanged. The shard count ↔ task
         # parallelism story matches Kafka's partitions.
-        fmt = options.pop("connector_format", "aws-kinesis")
-        raw = spark.readStream.format(fmt).options(**options).load()
+        # copy before pop: mutating the caller's dict would make a REUSED
+        # options dict silently fall back to the default connector on the
+        # second call (restart/retry loops pass the same dict)
+        opts = dict(options)
+        fmt = opts.pop("connector_format", "aws-kinesis")
+        raw = spark.readStream.format(fmt).options(**opts).load()
         return map_kinesis_envelope(raw)
     if source_format == "rate":
         raw = spark.readStream.format("rate").options(**options).load()

@@ -34,6 +34,39 @@ from pyspark.sql.streaming.stateful_processor import (
 ALERT_SCHEMA = "symbol string, seq long, price double, ref_price double, move_pct double"
 
 
+def _evaluate_alerts(
+    symbol: str,
+    batches: Iterator[pd.DataFrame],
+    ref: float | None,
+    threshold_pct: float,
+) -> tuple[pd.DataFrame | None, float | None]:
+    """The one alert kernel both state APIs call: concat the batch,
+    process ticks in seq order, emit a row whenever price moves
+    >= threshold_pct from the last alerted price (first tick always
+    alerts), return (alerts-or-None, new reference price). Keeping this
+    shared is what guarantees the transformWithState and
+    applyInPandasWithState forms cannot drift apart."""
+    batch = pd.concat(list(batches), ignore_index=True)
+    batch = batch.sort_values("seq", kind="mergesort")
+    out = []
+    for row in batch.itertuples(index=False):
+        price = float(row.price)
+        if ref is None:
+            move = 0.0
+        else:
+            move = abs(price - ref) / ref * 100.0
+            if move < threshold_pct:
+                continue
+        out.append((symbol, int(row.seq), price, ref if ref is not None else price, round(move, 4)))
+        ref = price
+    frame = (
+        pd.DataFrame(out, columns=["symbol", "seq", "price", "ref_price", "move_pct"])
+        if out
+        else None
+    )
+    return frame, ref
+
+
 class PriceAlertProcessor(StatefulProcessor):
     """Emit (symbol, seq, price, ref_price, move_pct) whenever price moves
     >= threshold_pct from the last alerted price; the first tick of a
@@ -49,26 +82,11 @@ class PriceAlertProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        symbol = key[0]
-        batch = pd.concat(list(rows), ignore_index=True)
-        batch = batch.sort_values("seq", kind="mergesort")
         ref = self.last.get()[0] if self.last.exists() else None
-        out = []
-        for row in batch.itertuples(index=False):
-            price = float(row.price)
-            if ref is None:
-                move = 0.0
-            else:
-                move = abs(price - ref) / ref * 100.0
-                if move < self.threshold_pct:
-                    continue
-            out.append((symbol, int(row.seq), price, ref if ref is not None else price, round(move, 4)))
-            ref = price
+        frame, ref = _evaluate_alerts(key[0], rows, ref, self.threshold_pct)
         self.last.update((ref,))
-        if out:
-            yield pd.DataFrame(
-                out, columns=["symbol", "seq", "price", "ref_price", "move_pct"]
-            )
+        if frame is not None:
+            yield frame
 
     def close(self) -> None:
         pass
@@ -105,28 +123,11 @@ def _alert_group_fn(threshold_pct: float):
     from pyspark.sql.streaming.state import GroupState
 
     def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
-        symbol = key[0]
-        batch = pd.concat(list(batches), ignore_index=True)
-        batch = batch.sort_values("seq", kind="mergesort")
         (ref,) = state.get if state.exists else (None,)
-        out = []
-        for row in batch.itertuples(index=False):
-            price = float(row.price)
-            if ref is None:
-                move = 0.0
-            else:
-                move = abs(price - ref) / ref * 100.0
-                if move < threshold_pct:
-                    continue
-            out.append(
-                (symbol, int(row.seq), price, ref if ref is not None else price, round(move, 4))
-            )
-            ref = price
+        frame, ref = _evaluate_alerts(key[0], batches, ref, threshold_pct)
         state.update((ref,))
-        if out:
-            yield pd.DataFrame(
-                out, columns=["symbol", "seq", "price", "ref_price", "move_pct"]
-            )
+        if frame is not None:
+            yield frame
 
     return fn
 

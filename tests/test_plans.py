@@ -382,7 +382,9 @@ def test_q11_important_stock_single_fact_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_report_important_stock")
     assert plan.count("lineitem.parquet") <= 2, "fact scanned more than the reused pair"
     assert "BroadcastHashJoin" in plan
-    assert "Cartesian" not in plan or "BroadcastNestedLoopJoin" in plan
+    # the 1-row scalar threshold rides a BroadcastNestedLoopJoin by design;
+    # a real CartesianProduct node is the thing that must never appear
+    assert "CartesianProduct" not in plan
 
 
 def test_q12_ship_split_pushes_year_and_prunes(spark, sf_dir):
