@@ -656,3 +656,94 @@ def q_event_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(share), 4).alias("top_share"),
         )
     )
+
+
+@register(
+    "q_event_drawdown",
+    oracle="""
+    WITH ticks AS (
+      SELECT event_type, value,
+             MAX(value) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS peak
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(MAX((peak - value) / peak), 4) AS max_drawdown,
+           ROUND(MAX(peak), 4) AS peak_value
+    FROM ticks
+    GROUP BY event_type
+    """,
+    tags=("E14", "W3", "A1"),
+)
+def q_event_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per symbol: the deepest peak-to-trough loss over
+    the running maximum — the risk statistic every price series gets.
+    Plan: one keyed window (running max over the total tick order) and
+    one aggregate over the same key — the window's hash exchange is
+    reused by the groupBy (same partitioning expression), so the fact
+    shuffles once; the running max is an UNBOUNDED PRECEDING frame,
+    which Spark evaluates incrementally (no per-row rescan)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ticks = t.events.select(
+        "event_type", "value", F.max("value").over(w).alias("peak")
+    )
+    return ticks.groupBy("event_type").agg(
+        F.round(F.max((F.col("peak") - F.col("value")) / F.col("peak")), 4).alias(
+            "max_drawdown"
+        ),
+        F.round(F.max("peak"), 4).alias("peak_value"),
+    )
+
+
+@register(
+    "q_event_volatility",
+    oracle="""
+    WITH rets AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             ln(value / LAG(value) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id
+             )) AS log_ret
+      FROM events
+    )
+    SELECT event_type, d,
+           ROUND(STDDEV_SAMP(log_ret), 4) AS realized_vol,
+           CAST(COUNT(log_ret) AS BIGINT) AS n_returns
+    FROM rets
+    WHERE log_ret IS NOT NULL
+    GROUP BY event_type, d
+    HAVING COUNT(log_ret) >= 2
+    """,
+    tags=("E15", "W2", "A7"),
+)
+def q_event_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility per (symbol, day): sample stddev of
+    tick-over-tick log returns — the risk companion to the OHLC/VWAP
+    bars. The return lag runs over the SYMBOL's full timeline (a day's
+    first return reaches back to the prior day's last tick — the
+    standard close-to-open gap), then aggregates per day; days with a
+    single return are suppressed (stddev undefined). One keyed window
+    shuffle, then an aggregate on a prefix of the same key."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.unix_micros("ts"), "event_id")
+    rets = t.events.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.log(F.col("value") / F.lag("value").over(w)).alias("log_ret"),
+    ).filter(F.col("log_ret").isNotNull())
+    return (
+        rets.groupBy("event_type", "d")
+        .agg(
+            F.round(F.stddev_samp("log_ret"), 4).alias("realized_vol"),
+            F.count("log_ret").alias("n_returns"),
+        )
+        .filter(F.col("n_returns") >= 2)
+    )

@@ -127,6 +127,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_count_of_counts",
     "q_scan_nested",
     "q_source_datasource_quotes",
+    "q_event_drawdown",
+    "q_event_volatility",
     # HONESTY NOTE on window arithmetic: 4 red/rewritten + 44 never-checked
     # fill the ~50-row window by themselves, so the round-3 additions above
     # (positions ~49+) and everything below this line likely get NO driver
