@@ -618,3 +618,14 @@ def test_nested_scan_prunes_struct_fields(spark, sf_dir):
     assert "noise" not in read_schema, "unread nested field not pruned"
     assert "metrics" not in read_schema, "unread struct not pruned"
     assert "segment" in read_schema
+
+
+@pytest.mark.parametrize("name", ["q_event_drawdown", "q_event_volatility"])
+def test_risk_stats_single_fact_shuffle(spark, sf_dir, name):
+    """Drawdown and realized volatility: one keyed window whose hash
+    exchange the downstream aggregate reuses — the fact shuffles exactly
+    once, and the window sort never goes global."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("- Window (") == 1
+    assert plan.count("- Exchange (") == 1, f"{name} should shuffle the fact once"
+    assert "rangepartitioning" not in plan
