@@ -671,7 +671,8 @@ def q_event_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type,
-           ROUND(MAX((peak - value) / peak), 4) AS max_drawdown,
+           ROUND(MAX(CASE WHEN peak > 0 THEN (peak - value) / peak END), 4)
+             AS max_drawdown,
            ROUND(MAX(peak), 4) AS peak_value
     FROM ticks
     GROUP BY event_type
@@ -695,10 +696,14 @@ def q_event_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks = t.events.select(
         "event_type", "value", F.max("value").over(w).alias("peak")
     )
+    # a non-positive running peak (a series opening at 0.0, present in the
+    # sf0.1 fixture) has no defined drawdown ratio — skip those ticks in
+    # both engines instead of tripping ANSI divide-by-zero
+    dd = F.when(
+        F.col("peak") > 0, (F.col("peak") - F.col("value")) / F.col("peak")
+    )
     return ticks.groupBy("event_type").agg(
-        F.round(F.max((F.col("peak") - F.col("value")) / F.col("peak")), 4).alias(
-            "max_drawdown"
-        ),
+        F.round(F.max(dd), 4).alias("max_drawdown"),
         F.round(F.max("peak"), 4).alias("peak_value"),
     )
 
@@ -708,11 +713,12 @@ def q_event_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rets AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
-             ln(value / LAG(value) OVER (
-               PARTITION BY event_type
-               ORDER BY epoch_us(ts), event_id
-             )) AS log_ret
+             CASE WHEN value > 0
+                   AND LAG(value) OVER w > 0
+                  THEN ln(value / LAG(value) OVER w)
+             END AS log_ret
       FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
     )
     SELECT event_type, d,
            ROUND(STDDEV_SAMP(log_ret), 4) AS realized_vol,
@@ -730,14 +736,23 @@ def q_event_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars. The return lag runs over the SYMBOL's full timeline (a day's
     first return reaches back to the prior day's last tick — the
     standard close-to-open gap), then aggregates per day; days with a
-    single return are suppressed (stddev undefined). One keyed window
+    single return are suppressed (stddev undefined) and non-positive
+    prices produce no return (log undefined; the fixture contains exact
+    zeros at sf0.1). One keyed window
     shuffle, then an aggregate on a prefix of the same key."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy(F.unix_micros("ts"), "event_id")
+    prev = F.lag("value").over(w)
+    # log returns exist only for positive prices: zero/negative ticks (the
+    # sf0.1 fixture has a handful of exact 0.0 values) produce NULL rather
+    # than an ANSI divide-by-zero / ln-domain error, in BOTH engines
+    log_ret = F.when(
+        (F.col("value") > 0) & (prev > 0), F.log(F.col("value") / prev)
+    )
     rets = t.events.select(
         "event_type",
         F.date_trunc("day", "ts").alias("d"),
-        F.log(F.col("value") / F.lag("value").over(w)).alias("log_ret"),
+        log_ret.alias("log_ret"),
     ).filter(F.col("log_ret").isNotNull())
     return (
         rets.groupBy("event_type", "d")
