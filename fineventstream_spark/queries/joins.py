@@ -300,3 +300,57 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "value", F.col("click_value_asof").alias("click_value_asof")
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           ROUND(c.value, 4) AS next_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts >= p.ts
+    """,
+    tags=("J7", "Y32"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (J7 completion; pandas ``merge_asof(
+    direction='forward')``): for each purchase, the user's EARLIEST
+    click at-or-after it — the lookahead twin of the backward as-of
+    (label generation, slippage measurement: "what happened next").
+    No new operator: the backward as-of runs on a NEGATED time axis
+    (latest at-or-before of -t is earliest at-or-after of t), so the
+    plan is the same union + one shuffle + keyed window, and every
+    backward optimization (tolerance masks, tie handling) transfers
+    for free. Oracle: DuckDB's native forward ASOF (c.ts >= p.ts).
+    (user_id, ts) is unique in the fixtures, so matches are
+    deterministic without a tiebreak."""
+    from fineventstream_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    neg = lambda c: (-F.unix_micros(F.col(c))).alias("__nts")  # noqa: E731
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", neg("ts")
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", "value", neg("ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="__nts",
+        right_ts="__nts",
+        right_values=["value"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value_asof"), 4).alias("next_click_value"),
+    )
