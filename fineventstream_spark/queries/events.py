@@ -762,3 +762,53 @@ def q_event_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_returns") >= 2)
     )
+
+
+@register(
+    "q_event_gap_detection",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+             ) AS prev_ts
+      FROM events
+    )
+    SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+           (epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS gap_minutes
+    FROM gaps
+    WHERE prev_ts IS NOT NULL
+      AND ts - prev_ts > INTERVAL 2 HOUR
+    ORDER BY event_type, gap_start
+    """,
+    tags=("E16", "W2", "DQ1"),
+)
+def q_event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-gap detection: intervals longer than 2 hours between
+    consecutive ticks of a symbol — the SLA monitor that catches a dead
+    producer or a dropped shard before consumers notice stale bars
+    (the reference's producers poll every 60 s, so any multi-hour gap
+    is an incident; reference producer_stock_quotes.py:45). One keyed
+    window (lag), filter, and a tiny ordered output — the fact shuffles
+    once and only gap rows survive."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.unix_micros("ts"), "event_id")
+    gaps = t.events.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("gap_start"),
+    ).filter(
+        F.col("gap_start").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("gap_start") > 2 * 3600 * 1_000_000)
+    )
+    return gaps.select(
+        "event_type",
+        "gap_start",
+        F.col("ts").alias("gap_end"),
+        # integer floor division on BOTH sides: DuckDB's CAST(double AS
+        # BIGINT) rounds-to-nearest while Spark's cast truncates — // and
+        # DIV agree exactly for non-negative integers
+        F.expr(
+            "(unix_micros(ts) - unix_micros(gap_start)) DIV 60000000"
+        ).alias("gap_minutes"),
+    ).orderBy("event_type", "gap_start")

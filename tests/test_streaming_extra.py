@@ -462,3 +462,49 @@ def test_transform_with_state_price_alerts(spark, tmpdir):
     n_ticks = max(s for _, s, *_ in got) + 1
     want = [w for w in _expected_alerts(["AAPL", "MSFT"], n_ticks, 1.0)]
     assert got == want
+
+
+def test_price_alert_state_survives_restart(spark, tmpdir):
+    """The last-alerted reference price must restore from the checkpoint:
+    restarting the alert stream continues throttling against the stored
+    reference (no spurious re-baseline alert at the resume boundary),
+    and the combined output equals one uninterrupted run."""
+    from fineventstream_spark.sources.datasource import QuoteDataSource
+    from fineventstream_spark.streaming.alerts import price_alert_stream
+
+    try:
+        spark.dataSource.register(QuoteDataSource)
+    except Exception:
+        pass
+    out = os.path.join(tmpdir, "alerts2")
+    ck = os.path.join(tmpdir, "ck_alerts2")
+
+    def run_once():
+        quotes = (
+            spark.readStream.format("fineventstream_quotes")
+            .option("symbols", "AAPL")
+            .option("ticks_per_batch", 5)
+            .load()
+            .select("symbol", "seq", "price")
+        )
+        q = (
+            price_alert_stream(quotes, threshold_pct=1.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    run_once()  # resumes from the stored offset AND the stored alert state
+    got = sorted(
+        (r["symbol"], r["seq"], r["price"], r["ref_price"], r["move_pct"])
+        for r in spark.read.parquet(out).collect()
+    )
+    n_ticks = max(s for _, s, *_ in got) + 1
+    want = _expected_alerts(["AAPL"], n_ticks, 1.0)
+    assert got == want, "restarted stream diverged from the uninterrupted reference"
+    # exactly one baseline alert (seq 0) — a state loss would re-baseline
+    assert sum(1 for _, _, _, _, m in got if m == 0.0) == 1
