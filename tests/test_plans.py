@@ -629,3 +629,46 @@ def test_risk_stats_single_fact_shuffle(spark, sf_dir, name):
     assert plan.count("- Window (") == 1
     assert plan.count("- Exchange (") == 1, f"{name} should shuffle the fact once"
     assert "rangepartitioning" not in plan
+
+
+def test_dq_profile_single_scan(spark, sf_dir):
+    """Column profiling computes every column's metrics in ONE scan of
+    orders — per-column scans (the oracle's spelling) must not appear."""
+    plan = _plan(spark, sf_dir, "q_dq_profile")
+    assert plan.count("orders.parquet") == 1, "profile re-scans the table per column"
+
+
+def test_bigram_and_unigram_topk_partial_heaps(spark, sf_dir):
+    """Corpus text rankings end in TakeOrderedAndProject — top/bottom-100
+    via per-partition heaps, never a global sort."""
+    for name in ("q_llm_bigram_counts", "q_llm_unigram_logprob"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, f"{name} global-sorts"
+
+
+def test_funnel_windowed_no_event_self_join_explosion(spark, sf_dir):
+    """The attribution-window funnel joins per-user FIRST-CLICK aggregates
+    to purchase events — never raw events to raw events (quadratic per
+    user). The first-touch aggregate must sit below the bound join."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_event_funnel_windowed")
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    join_ids = [
+        int(m)
+        for m in re.findall(
+            r"\((\d+)\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan
+        )
+    ]
+    assert agg_ids and join_ids
+    assert min(agg_ids) < min(join_ids), "bound join runs on raw events both sides"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_snapshot_diff_pushes_both_cutoffs(spark, sf_dir):
+    """Both snapshot versions' date bounds must reach the parquet reader
+    (at scale: stored snapshots replace the aggregates entirely)."""
+    plan = _plan(spark, sf_dir, "q_snapshot_diff")
+    pushed = [seg[:200] for seg in plan.split("PushedFilters")[1:]]
+    assert sum("LessThan(ts" in seg for seg in pushed) >= 2, "a cutoff did not push"
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
