@@ -508,3 +508,82 @@ def test_price_alert_state_survives_restart(spark, tmpdir):
     assert got == want, "restarted stream diverged from the uninterrupted reference"
     # exactly one baseline alert (seq 0) — a state loss would re-baseline
     assert sum(1 for _, _, _, _, m in got if m == 0.0) == 1
+
+
+def test_streaming_ohlc_bars_from_datasource_match_batch(spark, tmpdir):
+    """The canonical live pipeline end-to-end: quote DataSource →
+    event-time watermark → windowed OHLC bars → parquet sink, and every
+    streamed (append-mode, watermark-closed) bar must equal the same
+    aggregation run in batch over the same ticks — the [R] feed feeding
+    the [P] rollup with no semantic drift between modes. Two
+    availableNow runs share one checkpoint because append mode emits a
+    window only after a LATER batch advances the watermark past it."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.sources.datasource import QuoteDataSource
+
+    try:
+        spark.dataSource.register(QuoteDataSource)
+    except Exception:
+        pass
+    out = os.path.join(tmpdir, "bars")
+    ck = os.path.join(tmpdir, "ck_bars")
+    per_batch = 10
+
+    def bars(df):
+        ticks = df.select(
+            "symbol", "price", F.timestamp_seconds("quote_ts_unix").alias("ts")
+        )
+        return (
+            ticks.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "symbol")
+            .agg(
+                F.max("price").alias("high"),
+                F.min("price").alias("low"),
+                F.count("*").alias("n_ticks"),
+            )
+            .select(
+                F.col("w.start").alias("bar_ts"), "symbol", "high", "low", "n_ticks"
+            )
+        )
+
+    runs = 0
+    for _ in range(2):
+        stream = (
+            spark.readStream.format("fineventstream_quotes")
+            .option("symbols", "AAPL,MSFT")
+            .option("ticks_per_batch", per_batch)
+            .load()
+        )
+        q = (
+            bars(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        runs += 1
+
+    streamed = {
+        (r["bar_ts"], r["symbol"]): (r["high"], r["low"], r["n_ticks"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed, "no bars closed — watermark never advanced"
+
+    # the two runs consumed exactly seqs [0, runs*per_batch) for each symbol
+    batch_ticks = (
+        spark.read.format("fineventstream_quotes")
+        .option("symbols", "AAPL,MSFT")
+        .option("ticks_per_symbol", runs * per_batch)
+        .load()
+    )
+    expected = {
+        (r["bar_ts"], r["symbol"]): (r["high"], r["low"], r["n_ticks"])
+        for r in bars(batch_ticks).collect()
+    }
+    for key, vals in streamed.items():
+        assert key in expected, f"streamed bar {key} absent from batch result"
+        assert vals == expected[key], f"bar {key}: streamed {vals} != batch {expected[key]}"
