@@ -325,11 +325,13 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label generation, slippage measurement: "what happened next").
     No new operator: the backward as-of runs on a NEGATED time axis
     (latest at-or-before of -t is earliest at-or-after of t), so the
-    plan is the same union + one shuffle + keyed window, and every
-    backward optimization (tolerance masks, tie handling) transfers
-    for free. Oracle: DuckDB's native forward ASOF (c.ts >= p.ts).
-    (user_id, ts) is unique in the fixtures, so matches are
-    deterministic without a tiebreak."""
+    plan is the same union + one shuffle + keyed window and the tie
+    handling transfers directly. (A lookback tolerance would need to be
+    expressed as negated MICROSECONDS, not an SQL interval — the
+    operator's interval mask subtracts from the ts axis, which is a
+    bigint here.) Oracle: DuckDB's native forward ASOF (c.ts >= p.ts);
+    event_id tiebreak pins Spark-side determinism should a fixture ever
+    carry duplicate (user_id, ts)."""
     from fineventstream_spark.operators.asof import asof_join
 
     t = Tables(spark, sf_dir)
@@ -338,7 +340,7 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", neg("ts")
     )
     clicks = t.events.filter(F.col("event_type") == "click").select(
-        "user_id", "value", neg("ts")
+        "user_id", "value", "event_id", neg("ts")
     )
     joined = asof_join(
         purchases,
@@ -347,6 +349,7 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="__nts",
         right_ts="__nts",
         right_values=["value"],
+        right_tiebreak="event_id",
     )
     return joined.select(
         "user_id",

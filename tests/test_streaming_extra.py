@@ -80,7 +80,7 @@ def test_stream_stream_join_with_watermarks(spark, tmpdir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     rows = {(r.symbol, r.headline, r.price) for r in spark.sql("SELECT * FROM ssj").collect()}
     # AAPL news at 10:05 joins the 10:00 quote (within the hour); the 10:30
     # quote is after the news → excluded; MSFT news at 11:30 has no quote
@@ -329,7 +329,7 @@ def test_drop_duplicates_within_watermark(spark, tmpdir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     out = spark.read.parquet(sink)
     rows = {r["event_id"] for r in out.collect()}
     assert rows == {1, 2}
@@ -390,7 +390,7 @@ def test_quote_datasource_stream_resumes_without_duplicates(spark, tmpdir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish within 120s"
 
     run_once()
     n1 = spark.read.parquet(out).count()
@@ -454,7 +454,7 @@ def test_transform_with_state_price_alerts(spark, tmpdir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish within 180s"
     got = sorted(
         (r["symbol"], r["seq"], r["price"], r["ref_price"], r["move_pct"])
         for r in spark.read.parquet(out).collect()
@@ -495,7 +495,7 @@ def test_price_alert_state_survives_restart(spark, tmpdir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish within 180s"
 
     run_once()
     run_once()  # resumes from the stored offset AND the stored alert state
@@ -564,7 +564,7 @@ def test_streaming_ohlc_bars_from_datasource_match_batch(spark, tmpdir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish within 180s"
         runs += 1
 
     streamed = {
