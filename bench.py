@@ -77,6 +77,10 @@ HEADLINE = [
     "q_event_correlation",
     "q_scan_orc",
     "q_llm_substring_dedup",
+    "q_event_drawdown",
+    "q_event_volatility",
+    "q_join_asof_forward",
+    "q_event_gap_detection",
 ]
 
 
