@@ -72,3 +72,25 @@ def test_alert_kernel_reference_semantics(prices, threshold):
             want.append(("X", seq, price, ref, round(move, 4)))
             ref = price
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.tuples(
+        st.integers(min_value=0, max_value=4_102_444_800_000_000),  # µs to year 2100
+        st.integers(min_value=0, max_value=10**11),
+    ),
+    b=st.tuples(
+        st.integers(min_value=0, max_value=4_102_444_800_000_000),
+        st.integers(min_value=0, max_value=10**11),
+    ),
+)
+def test_tick_key_string_order_matches_tuple_order(a, b):
+    """The OHLC open/close pick rides min_by/max_by over a zero-padded
+    '%020d|%012d' string of (epoch_us, event_id) — its lexicographic
+    order must equal the numeric tuple order for every value either
+    engine can produce (the '|' separator sorts below every digit, so
+    padding is the only thing keeping this true; this pins it)."""
+    key = lambda t: f"{t[0]:020d}|{t[1]:012d}"  # noqa: E731 — mirrors _tick_key
+    assert (key(a) < key(b)) == (a < b)
+    assert (key(a) == key(b)) == (a == b)
