@@ -812,3 +812,94 @@ def q_event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(unix_micros(ts) - unix_micros(gap_start)) DIV 60000000"
         ).alias("gap_minutes"),
     ).orderBy("event_type", "gap_start")
+
+
+@register(
+    "q_event_similar_days",
+    oracle="""
+    WITH grid AS (
+      SELECT t.event_type, d.d, h.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+                  FROM events) d
+      CROSS JOIN (SELECT unnest(range(0, 24)) AS h) h
+    ), hourly AS (
+      SELECT g.event_type, g.d, g.h,
+             COALESCE(AVG(e.value), 0.0) AS m
+      FROM grid g
+      LEFT JOIN events e
+        ON e.event_type = g.event_type
+       AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) = g.d
+       AND CAST(hour(e.ts) AS BIGINT) = g.h
+      GROUP BY g.event_type, g.d, g.h
+    ), q AS (
+      SELECT h, m FROM hourly
+      WHERE event_type = 'click' AND d = TIMESTAMP '2024-01-15'
+    )
+    SELECT h.event_type, h.d,
+           ROUND(SQRT(SUM((h.m - q.m) * (h.m - q.m))), 4) AS dist
+    FROM hourly h JOIN q USING (h)
+    WHERE NOT (h.event_type = 'click' AND h.d = TIMESTAMP '2024-01-15')
+    GROUP BY h.event_type, h.d
+    ORDER BY dist, h.event_type, h.d
+    LIMIT 10
+    """,
+    tags=("E17", "U6", "J1"),
+)
+def q_event_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over the tick stream (the workload
+    of 'Time Series Similarity Search for Streaming Data in Distributed
+    Systems', EDBT 2019 — PAPERS.md): which (symbol, day) hourly
+    profiles are closest to a query day's, by Euclidean distance over
+    the zero-filled 24-hour mean-value profile. Expressed RELATIONALLY —
+    distance = sqrt(SUM over hours of squared diffs) via a join on the
+    hour index against the 24-row broadcast query profile — so no array
+    types cross the oracle boundary and the heavy side stays one
+    hourly aggregate of the fact. Plan: fact → (symbol, day, hour)
+    aggregate (one shuffle), zero-fill against an in-plan grid, 24-row
+    broadcast join, per-day aggregate, top-10 via partial heaps. At
+    100 TB the hourly profile table is the persisted intermediate; the
+    LSH-bucketed embedding path (U6) is the sublinear alternative when
+    the day count itself explodes."""
+    t = Tables(spark, sf_dir)
+    hour = F.hour("ts").cast("long").alias("h")
+    day = F.date_trunc("day", "ts").alias("d")
+    hourly_raw = (
+        t.events.groupBy("event_type", day, hour)
+        .agg(F.avg("value").alias("m_raw"))
+    )
+    grid = (
+        t.events.select("event_type").distinct()
+        .crossJoin(t.events.select(day).distinct())
+        .crossJoin(
+            spark.range(24).select(F.col("id").alias("h"))
+        )
+    )
+    hourly = grid.join(hourly_raw, ["event_type", "d", "h"], "left").select(
+        "event_type", "d", "h", F.coalesce("m_raw", F.lit(0.0)).alias("m")
+    )
+    qprof = (
+        hourly.filter(
+            (F.col("event_type") == "click")
+            & (F.col("d") == F.lit("2024-01-15").cast("timestamp"))
+        )
+        .select(F.col("h").alias("qh"), F.col("m").alias("qm"))
+    )
+    return (
+        hourly.filter(
+            ~(
+                (F.col("event_type") == "click")
+                & (F.col("d") == F.lit("2024-01-15").cast("timestamp"))
+            )
+        )
+        .join(F.broadcast(qprof), F.col("h") == F.col("qh"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("m") - F.col("qm")) * (F.col("m") - F.col("qm")))),
+                4,
+            ).alias("dist")
+        )
+        .orderBy("dist", "event_type", "d")
+        .limit(10)
+    )

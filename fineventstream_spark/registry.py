@@ -131,6 +131,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_volatility",
     "q_join_asof_forward",
     "q_event_gap_detection",
+    "q_event_similar_days",
     # HONESTY NOTE on window arithmetic: 4 red/rewritten + 44 never-checked
     # fill the ~50-row window by themselves, so the round-3 additions above
     # (positions ~49+) and everything below this line likely get NO driver
