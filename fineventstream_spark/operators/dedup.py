@@ -161,9 +161,15 @@ def minhash_lsh_candidates(
     )
 
     # Pair formation within buckets; cap bucket size to bound the blow-up.
+    # No broadcast hint on the bucket-count side: the multi-occupancy bucket
+    # list scales with the corpus (millions of rows at 100 TB), so a forced
+    # F.broadcast would be a driver OOM there. AQE picks broadcast at small
+    # scale on its own; at large scale both sides shuffle on the same
+    # (band, bucket) key the groupBy just produced, so the exchange reuses
+    # that partitioning.
     bucket_counts = band_entries.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
     capped = band_entries.join(
-        F.broadcast(bucket_counts.filter(F.col("bsz") > 1).filter(F.col("bsz") <= max_bucket)),
+        bucket_counts.filter(F.col("bsz") > 1).filter(F.col("bsz") <= max_bucket),
         ["band", "bucket"],
     )
     a = capped.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -310,9 +316,11 @@ def simhash_candidates(
             )
         ).alias("rb"),
     ).select("id", "simhash", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"))
+    # No broadcast hint — multi-occupancy bucket count is corpus-scale at
+    # 100 TB (see minhash_lsh_candidates); AQE broadcasts when it fits.
     bucket_counts = bucketed.groupBy("rot", "bucket").agg(F.count("*").alias("bsz"))
     capped = bucketed.join(
-        F.broadcast(bucket_counts.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))),
+        bucket_counts.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)),
         ["rot", "bucket"],
     )
     a = capped.select("rot", "bucket", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))

@@ -40,10 +40,15 @@ def kmeans_fit(
     id_col: str,
     k: int = 8,
     iterations: int = 5,
+    init: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Run ``iterations`` of Lloyd's algorithm; returns (centroids,
-    assignments DataFrame with columns [id_col, cluster])."""
-    centroids = initial_centroids(df, vec_col, id_col, k)
+    assignments DataFrame with columns [id_col, cluster]).
+
+    ``init``: precomputed starting centroids — pass them when the caller
+    already collected :func:`initial_centroids` (e.g. for an inertia
+    baseline) to avoid a duplicate driver round-trip; None computes them."""
+    centroids = init if init is not None else initial_centroids(df, vec_col, id_col, k)
     for _ in range(iterations):
         assigned = df.withColumn("cluster", nearest_centroid_udf(centroids)(F.col(vec_col)))
         means = (

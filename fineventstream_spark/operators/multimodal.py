@@ -183,3 +183,186 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real decode kernels (round 4): BMP and WAV, pure-python — no external
+# codec libraries needed, so the decode step is no longer a stub for the
+# image/audio kinds. Video decode remains a stub (pyav not in container).
+# ---------------------------------------------------------------------------
+
+import math as _math
+import struct as _struct
+
+
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """Encode a real 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding). Pixels are a deterministic function of
+    (seed, x, y), so tests can plant known geometry/content."""
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    img_size = (row_raw + pad) * height
+    header = _struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54
+    ) + _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            v = (seed * 31 + y * 7 + x * 3) % 256
+            row += bytes(((v * 2) % 256, (v * 5) % 256, v))  # B, G, R
+        row += b"\x00" * pad
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Decode a 24-bit BMP: (width, height, mean luminance in [0, 1]).
+    Raises ValueError on anything that is not an uncompressed 24-bit BMP —
+    a real decoder's failure mode, surfaced, not swallowed."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = _struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = _struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = _struct.unpack_from("<HH", payload, 26)
+    compression = _struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+    total = 0
+    for y in range(height):
+        start = offset + y * stride
+        row = payload[start : start + row_raw]
+        if len(row) < row_raw:
+            raise ValueError("truncated BMP pixel array")
+        total += sum(row)
+    mean = total / (width * height * 3 * 255.0) if width and height else 0.0
+    del top_down  # orientation does not affect the mean
+    return width, height, round(mean, 6)
+
+
+def encode_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """Encode a real mono 16-bit PCM WAV via the stdlib ``wave`` module.
+    Samples are a deterministic sine of seed-derived frequency."""
+    import io
+    import wave
+
+    freq = 100.0 + (seed % 50) * 10.0
+    frames = b"".join(
+        _struct.pack(
+            "<h", int(20000 * _math.sin(2 * _math.pi * freq * i / sample_rate))
+        )
+        for i in range(n_samples)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """Decode a WAV: (sample_rate, n_samples, rms amplitude in [0, 1]).
+    Mono 16-bit PCM — raises on other layouts."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV layout: ch={w.getnchannels()} width={w.getsampwidth()}"
+            )
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if n:
+        samples = _struct.unpack(f"<{n}h", raw)
+        rms = _math.sqrt(sum(s * s for s in samples) / n) / 32768.0
+    else:
+        rms = 0.0
+    return sr, n, round(rms, 6)
+
+
+def synthesize_real_media(documents: DataFrame) -> DataFrame:
+    """A media table with REAL encoded payloads: even doc_ids become BMP
+    images (width = 4 + id % 13, height = 3 + id % 7), odd doc_ids become
+    WAV audio (rate from a 4-value ladder, 64 + id % 64 samples). The
+    planted-geometry formulas are the oracle ``q_mm_features`` certifies
+    against. Pandas-UDF synthesis (encoding is Python work by nature);
+    payload stays in its own prunable binary column."""
+    import pandas as _pd
+
+    @F.pandas_udf("binary")
+    def _payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 2 == 0:
+                out.append(encode_bmp(4 + i % 13, 3 + i % 7, seed=i))
+            else:
+                out.append(
+                    encode_wav([8000, 16000, 22050, 44100][i % 4], 64 + i % 64, seed=i)
+                )
+        return _pd.Series(out)
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        _payload("doc_id").alias("payload"),
+    )
+
+
+REAL_FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "mean_lum double, sample_rate int, n_samples long, rms double"
+)
+
+
+def decode_media_features(df: DataFrame) -> DataFrame:
+    """mapInPandas REAL decode: BMP → (width, height, mean_lum), WAV →
+    (sample_rate, n_samples, rms); columns of the other modality are null.
+    Video would dispatch to a pyav kernel here — still NotImplementedError
+    in this container. Decode failures raise (task error), they are not
+    nulled away: silent nulls at 100 TB hide corrupt shards."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r["payload"])
+                rec = {
+                    "media_id": r["media_id"],
+                    "kind": r["kind"],
+                    "n_bytes": len(b),
+                    "width": None,
+                    "height": None,
+                    "mean_lum": None,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "rms": None,
+                }
+                if r["kind"] == "image":
+                    rec["width"], rec["height"], rec["mean_lum"] = decode_bmp(b)
+                elif r["kind"] == "audio":
+                    rec["sample_rate"], rec["n_samples"], rec["rms"] = decode_wav(b)
+                else:
+                    raise NotImplementedError(
+                        f"no real decoder for kind={r['kind']!r} (video needs pyav)"
+                    )
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_bytes", "width", "height",
+                    "mean_lum", "sample_rate", "n_samples", "rms",
+                ],
+            )
+
+    return df.mapInPandas(fn, REAL_FEATURE_SCHEMA)

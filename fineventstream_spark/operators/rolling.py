@@ -14,19 +14,110 @@ their full trailing frame — carried rows contribute to frames but emit
 no output — so results are bit-identical to the single-partition window
 while parallelism becomes keys × chunks.
 
-Cost: the numbering pass is itself a per-key window — the very
-serialization being escaped — but it moves only the key/order columns
-and computes one row_number, while the frame pass carries the full
-payload and does the O(frame) per-row arithmetic at keys × chunks
-parallelism. The replicated fraction is frame/chunk_rows (<1% at the
-defaults). The carry-in rows are produced by a conditional explode, not
-a self-union, so the numbering subtree executes once.
+Numbering is itself distributed (the round-3 design ran it as a plain
+per-key ``row_number`` window — the very serialization being escaped;
+each key's full history flowed through ONE task before chunking). The
+replacement derives a coarse monotone bucket from the ORDER-COLUMN
+VALUES (equi-depth boundaries from one ``approxQuantile`` pass — a
+deterministic expression of the row, so retried tasks and separate plan
+branches always agree; a ``spark_partition_id``-based scheme does NOT
+survive AQE, which may coalesce the same exchange differently per
+consumer), then:
+
+1. per-(key, bucket) row counts — a keys × buckets bookkeeping table;
+2. exclusive prefix sums over that tiny table give each bucket's exact
+   starting offset within its key (the only per-key-serialized window,
+   and it holds counts, not rows);
+3. a local ``row_number`` within (key, bucket) plus the joined-back
+   offset (broadcast-sized) reconstructs the exact global per-key row
+   number at keys × buckets parallelism with ONE payload shuffle —
+   the same shuffle count as the serial design.
+
+Bucket skew degrades only parallelism, never correctness: offsets are
+exact counts, so ``__rn`` is identical to the serial pass (ties on the
+order columns may renumber among themselves — the same nondeterminism a
+plain window has) and chunk membership is unchanged.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _order_bucket_expr(df: DataFrame, order_col: str, n_buckets: int) -> Column:
+    """A deterministic, monotone bucket id derived from ``order_col``'s
+    values: equi-depth boundaries via ``approxQuantile`` (one eager pass —
+    Greenwald-Khanna, no RNG), compiled to a chained CASE WHEN (codegen,
+    no interpreted HOF). Rows equal to a boundary stay together; nulls go
+    to bucket 0 (matching ASC NULLS FIRST). Unsupported column types fall
+    back to a single bucket — the serial per-key window, i.e. round-3
+    behavior."""
+    dt = dict(df.dtypes).get(order_col, "")
+    v = F.col(order_col)
+    if dt.startswith("timestamp"):
+        v = v.cast("double")
+    elif dt == "date":
+        v = F.unix_date(F.col(order_col)).cast("double")
+    elif dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+        "decimal"
+    ):
+        v = v.cast("double")
+    else:
+        return F.lit(0).cast("int")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.select(v.alias("__v")).approxQuantile("__v", probs, 0.01)))
+    if not bounds:
+        return F.lit(0).cast("int")
+    e = F.when(v.isNull(), F.lit(0))
+    for i, b in enumerate(bounds):
+        e = e.when(v < F.lit(float(b)), F.lit(i))
+    return e.otherwise(F.lit(len(bounds))).cast("int")
+
+
+def with_distributed_row_number(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "__rn",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Attach a 0-based per-key row number ordered by ``order_cols``,
+    computed at full parallelism even when one key holds most rows.
+
+    Equivalent to ``row_number().over(partitionBy(keys).orderBy(order)) - 1``
+    but never funnels a whole key through a single task: rows are bucketed
+    by value ranges of the first order column, numbered locally within each
+    (key, bucket) slice, and shifted by the exclusive prefix sum of the
+    per-slice counts (a keys × buckets bookkeeping table — broadcast-sized).
+
+    Eager at construction: runs one ``approxQuantile`` job to pick bucket
+    boundaries (plus one narrow count pass at execution — key/order columns
+    only, map-side partial aggregated)."""
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bucket = _order_bucket_expr(df, order_cols[0], n_buckets)
+    bucketed = df.withColumn("__bkt", bucket)
+    # keys × buckets rows — bookkeeping scale, not data scale; reads only
+    # the key/order columns (column pruning) and partial-aggregates map-side
+    counts = bucketed.groupBy(*key_cols, "__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *key_cols,
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+    )
+    local_w = Window.partitionBy(*key_cols, "__bkt").orderBy(*order_cols)
+    return (
+        bucketed.join(offsets, [*key_cols, "__bkt"])
+        .withColumn(out_col, F.row_number().over(local_w) - 1 + F.col("__off"))
+        .drop("__bkt", "__off")
+    )
 
 
 def chunked_rolling(
@@ -49,10 +140,7 @@ def chunked_rolling(
             f"chunk_rows ({chunk_rows}) must be >= frame_rows-1 "
             f"({frame_rows - 1}): a chunk must hold a full carry-in frame"
         )
-    seq = (
-        Window.partitionBy(*key_cols).orderBy(*order_cols)
-    )
-    numbered = df.withColumn("__rn", F.row_number().over(seq) - 1)
+    numbered = with_distributed_row_number(df, key_cols, order_cols, "__rn")
     numbered = numbered.withColumn("__chunk", (F.col("__rn") / chunk_rows).cast("long"))
 
     # carry-in: the last frame_rows-1 rows of each chunk ALSO join the next

@@ -178,9 +178,12 @@ def cosine_near_dup_pairs(
         _bucket_bits_udf(planes)(F.col(vec_col)).alias("bucket"),
     )
 
+    # No broadcast hint — the multi-occupancy bucket list grows with the
+    # corpus; a forced broadcast is a driver OOM at 100 TB. AQE broadcasts
+    # when the filtered count table actually fits.
     counts = keyed.groupBy("bucket").agg(F.count("*").alias("bsz"))
     capped = keyed.join(
-        F.broadcast(counts.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))), "bucket"
+        counts.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)), "bucket"
     )
     a = capped.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = capped.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))

@@ -30,9 +30,32 @@ def salted_join(
     partitions instead of one. Supported: inner / left joins (the salt
     column never changes multiplicity — each big row gets exactly one
     salt; each small row appears once per salt value).
+
+    CAVEAT — salt spread is bounded by input partitioning: the default
+    salt is ``spark_partition_id % n_salts`` (deterministic under retry,
+    see below), so a hot key clustered into fewer input partitions than
+    ``n_salts`` — a single coalesced partition, or parquet
+    sorted/partitioned BY THE JOIN KEY — takes fewer distinct salts than
+    requested and skew mitigation silently degrades (a warning is
+    emitted when detectable). Callers with key-clustered inputs should
+    pass a per-row deterministic ``salt_expr`` built from a stable id
+    column, e.g. ``salt_expr=F.pmod(F.xxhash64("row_id"), F.lit(n_salts))``
+    — deterministic because the INPUT is stable, unlike rand()/
+    monotonically_increasing_id which re-randomize per task attempt.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt_expr is None and big.rdd.getNumPartitions() < n_salts:
+        import warnings
+
+        warnings.warn(
+            f"salted_join: big side has {big.rdd.getNumPartitions()} input "
+            f"partitions < n_salts={n_salts}; the partition-id salt can only "
+            "take that many distinct values, so hot keys spread less than "
+            "requested. Pass salt_expr=F.pmod(F.xxhash64(<stable id col>), "
+            "F.lit(n_salts)) for per-row spread.",
+            stacklevel=2,
+        )
     # The salt must be DETERMINISTIC under task retry: a nondeterministic
     # per-row value (monotonically_increasing_id, rand) can assign the
     # same row different salts across map-task attempts, and reducers

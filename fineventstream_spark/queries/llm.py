@@ -128,11 +128,40 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_dedup_embedding", oracle=None, tags=("U5", "U6"))
 def q_llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets."""
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets.
+
+    Approximate by design (LSH recall) → rows-only, so the result
+    self-certifies: a deterministic ~3% of nonzero vectors is cloned into
+    the corpus scaled by 1.001 (same direction → cosine exactly 1.0, ids
+    offset by 10^8), and ``planted_recall`` reports the fraction of
+    planted (original, clone) pairs the bucket→exact-cosine pipeline
+    recovered — a driver row that "ran" now also proves the
+    hyperplane-bucket + kernel + threshold path end-to-end (its r1 row
+    recorded 0 rows, which certified nothing). Output: every detected
+    pair ≥ 0.9 (planted ones guarantee nonzero rows) + the in-row audit
+    columns."""
+    offset = 100_000_000
     t = Tables(spark, sf_dir)
-    return similarity.cosine_near_dup_pairs(
-        t.embeddings, "embedding", "vec_id", dim=64, threshold=0.9
+    emb = t.embeddings
+    nonzero = F.exists("embedding", lambda x: x != 0)
+    planted_src = emb.filter((F.col("vec_id") % 29 == 0) & nonzero)
+    planted = planted_src.select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
     )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = similarity.cosine_near_dup_pairs(
+        corpus, "embedding", "vec_id", dim=64, threshold=0.9
+    ).persist()
+    n_planted = planted_src.agg(F.count("*").alias("planted_pairs"))
+    n_found = pairs.filter(
+        (F.col("id_b") >= offset) & (F.col("id_a") == F.col("id_b") - offset)
+    ).agg(F.count("*").alias("found"))
+    audit = n_planted.crossJoin(n_found).select(
+        "planted_pairs",
+        F.round(F.col("found") / F.col("planted_pairs"), 4).alias("planted_recall"),
+    )
+    return pairs.crossJoin(F.broadcast(audit))
 
 
 # --------------------------------------------------------------------------
@@ -348,12 +377,41 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_mm_features", oracle=None, tags=("U8",))
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → mapInPandas feature extraction (stubbed decode,
-    real Arrow plumbing). Metadata-only reads prune the payload column."""
+    """Binary media column → mapInPandas REAL decode (round 4): even
+    doc_ids carry actual 24-bit BMP payloads, odd ones actual 16-bit PCM
+    WAVs (pure-python codecs, operators/multimodal.py) — width/height/
+    mean-luminance and sample-rate/frame-count/RMS are parsed from the
+    bytes, not echoed from metadata. Self-certifying (rows-only driver
+    check): the synthesis plants known geometry (width = 4 + id % 13,
+    height = 3 + id % 7, rate ladder by id % 4), and ``planted_ok``
+    reports the fraction of rows whose DECODED values match the planted
+    formula — 1.0 proves encode→Arrow→decode end-to-end. Video decode
+    remains stubbed (no pyav here); its plumbing is covered by
+    q_mm_frame_sample."""
     t = Tables(spark, sf_dir)
-    media = multimodal.synthesize_media(t.documents)
-    feats = multimodal.extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", "checksum")
+    media = multimodal.synthesize_real_media(t.documents)
+    feats = multimodal.decode_media_features(media)
+    ok = F.when(
+        F.col("kind") == "image",
+        (F.col("width") == 4 + F.col("media_id") % 13)
+        & (F.col("height") == 3 + F.col("media_id") % 7),
+    ).otherwise(
+        (
+            F.col("sample_rate")
+            == F.element_at(
+                F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+                (F.col("media_id") % 4 + 1).cast("int"),
+            )
+        )
+        & (F.col("n_samples") == 64 + F.col("media_id") % 64)
+    )
+    audit = feats.agg(
+        F.round(F.avg(ok.cast("double")), 4).alias("planted_ok")
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height", "mean_lum",
+        "sample_rate", "n_samples", "rms",
+    ).crossJoin(F.broadcast(audit))
 
 
 @register("q_mm_frame_sample", oracle=None, tags=("U8", "U3"))
@@ -481,7 +539,7 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     init = initial_centroids(t.embeddings, "embedding", "vec_id", 8)
     centroids, assigned = kmeans_fit(
-        t.embeddings, "embedding", "vec_id", k=8, iterations=5
+        t.embeddings, "embedding", "vec_id", k=8, iterations=5, init=init
     )
     i0 = kmeans_inertia(t.embeddings, "embedding", init)
     i1 = kmeans_inertia(t.embeddings, "embedding", centroids)

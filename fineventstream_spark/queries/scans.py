@@ -50,21 +50,29 @@ def _cache_dir(sf_dir: str, name: str, fingerprint: str = "") -> str:
     source schema — or in catalog normalization semantics — regenerates
     the derivative instead of silently reusing a stale one (round-2
     lesson: a ``_SUCCESS``-gated JSONL copy outlived a timestamp-type
-    change and poisoned every downstream read)."""
+    change and poisoned every downstream read). Pure path arithmetic —
+    stale-sibling pruning happens in :func:`_prune_stale_siblings`, only
+    after a replacement is fully written."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     leaf = f"{name}-{fingerprint}" if fingerprint else name
-    parent = os.path.join(_CACHE_ROOT, sf_name)
-    # reclaim superseded derivatives: a schema/normalization change mints a
-    # new fingerprint, and nothing else ever deletes the old directories —
-    # prune every sibling of this derivative with a different fingerprint
-    # (plus pre-fingerprint unsuffixed leftovers)
-    if fingerprint and os.path.isdir(parent):
-        import shutil
+    return os.path.join(_CACHE_ROOT, sf_name, leaf)
 
-        for entry in os.listdir(parent):
-            if entry != leaf and (entry == name or entry.startswith(f"{name}-")):
-                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
-    return os.path.join(parent, leaf)
+
+def _prune_stale_siblings(path: str, name: str) -> None:
+    """Reclaim superseded derivatives of ``name`` (other fingerprints and
+    pre-fingerprint unsuffixed leftovers) — called only AFTER the new
+    derivative at ``path`` is fully written, so a concurrent session with
+    a different fingerprint is never raced between planning and executing
+    a lazy read of its own (still valid) derivative by a session that has
+    not yet produced its replacement (round-3 ADVICE)."""
+    import shutil
+
+    parent, leaf = os.path.split(path)
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        if entry != leaf and (entry == name or entry.startswith(f"{name}-")):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
 
 def _events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
@@ -77,6 +85,7 @@ def _events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
             .option("timestampFormat", _TS_FMT)
             .json(path)
         )
+        _prune_stale_siblings(path, "events_jsonl")
     return path
 
 
@@ -98,6 +107,7 @@ def _events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("year", "month", "day")
             .parquet(path)
         )
+        _prune_stale_siblings(path, "events_partitioned")
     return path
 
 
@@ -228,6 +238,7 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("l_returnflag")
             .json(path)
         )
+        _prune_stale_siblings(path, "lineitem_jsonl_by_flag")
     back = spark.read.schema("l_orderkey long, l_quantity double, l_returnflag string").json(path)
     return back.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
 
@@ -252,6 +263,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("header", "true")
             .csv(path)  # o_orderdate is ms-precision: default format is lossless
         )
+        _prune_stale_siblings(path, "orders_csv")
     return (
         spark.read.schema(
             "o_orderkey long, o_custkey long, o_orderstatus string, "
@@ -343,6 +355,7 @@ def _documents_drift_path(spark: SparkSession, sf_dir: str) -> str:
         docs.filter(F.col("doc_id") % 2 == 1).select(
             "doc_id", "text", "lang", "source"
         ).write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+        _prune_stale_siblings(path, "documents_drift")
     return path
 
 
@@ -401,6 +414,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _cache_dir(sf_dir, "lineitem_orc", schema_fingerprint(li))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         li.select(*cols).write.mode("overwrite").orc(path)
+        _prune_stale_siblings(path, "lineitem_orc")
     return spark.read.orc(path).filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
@@ -430,6 +444,7 @@ def _events_nested_path(spark: SparkSession, sf_dir: str) -> str:
             ).alias("tags"),
         )
         nested.write.mode("overwrite").parquet(path)
+        _prune_stale_siblings(path, "events_nested")
     return path
 
 
@@ -510,3 +525,22 @@ def q_source_datasource_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("ticks_per_symbol", 50)
         .load()
     )
+
+
+def prewarm_derivatives(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize every ``.cache/`` derivative for ``sf_dir`` up front.
+
+    Benchmarks and fixtures call this once so no timed query pays the
+    one-off derivative build (round-3 driver bench charged the
+    partitioned-events rebuild to ``q_scan_partition_prune``: 0.74 s
+    recorded vs 0.40 s solo). The inline-materializing query fns write
+    eagerly at construction time, so invoking them (without executing
+    the returned plan) is sufficient."""
+    _events_jsonl_path(spark, sf_dir)
+    _events_partitioned_path(spark, sf_dir)
+    _documents_drift_path(spark, sf_dir)
+    _events_nested_path(spark, sf_dir)
+    from fineventstream_spark.registry import REGISTRY
+
+    for name in ("q_sink_partitioned_write", "q_scan_csv", "q_scan_orc"):
+        REGISTRY[name].fn(spark, sf_dir)

@@ -35,127 +35,94 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 # The external driver hash-checks the registry in iteration order and (as
-# observed in rounds 1-2) records only the first ~50 entries. This list
+# observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-3 rotation: (a) the 4 queries whose round-2 rows were red
-# or whose implementation was rewritten this round (q_scan_json NTZ
-# roundtrip, q_event_ohlc_bars / q_event_sessionize NTZ crashes,
-# q_llm_dedup_cluster lineage-truncated CC) lead, (b) the 44 queries
-# that have NEVER had a driver row (all 15 remaining TPC-H reports, the
-# event-analytics family, the curation ring, the scan-format siblings)
-# fill the window, (c) two ts-reading heavies re-check that the NTZ
-# normalization didn't shift them. Everything green in r1/r2 and
-# untouched this round registers after the window — still covered by the
-# local differential suite at the same compare strictness. Names not
-# present in REGISTRY are skipped.
+# rows. Round-4 rotation: (a) the 29 round-3 additions that have NEVER had
+# a driver row (VERDICT.md "Next round" #1) lead the window, (b) the
+# queries whose implementation changed this round re-check (embedding
+# dedup now self-certifying, multimodal real decode, LSH de-broadcast,
+# chunked-rolling re-numbering, partition-prune cache prebuild), (c) the
+# remainder re-checks greens in least-recently-verified order. Everything
+# past the window is still covered by the local differential suite at the
+# identical compare strictness. Names not present in REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # red or rewritten in round 2/3 — must re-check
-    "q_scan_json",
-    "q_event_ohlc_bars",
-    "q_event_sessionize",
-    "q_llm_dedup_cluster",
-    # never driver-checked: one slot each, breadth-first across families
-    "q_event_funnel",
-    "q_event_histogram",
-    "q_event_outliers",
-    "q_event_retention",
-    "q_event_rolling_active",
-    "q_win_frame_range",
-    "q_win_pct_rank",
-    "q_scan_csv",
-    "q_scan_schema_drift",
-    "q_union_distinct",
-    "q_except",
-    "q_filter_in_between_like",
-    "q_coalesce_default",
-    "q_join_asof_tolerance",
-    "q_report_pricing_summary",
-    "q_report_returned_items",
-    "q_report_order_priority",
-    "q_report_shipping_priority",
-    "q_report_waiting_suppliers",
-    "q_report_market_share",
-    "q_report_volume_shipping",
-    "q_report_small_qty_revenue",
-    "q_report_top_supplier",
-    "q_report_sales_opportunity",
-    "q_report_forecast_revenue",
-    "q_report_promo_effect",
-    "q_report_large_orders",
-    "q_report_disjunctive_revenue",
-    "q_report_customer_distribution",
-    "q_llm_sample_hash",
-    "q_llm_sample_stratified",
-    "q_llm_domain_mix",
-    "q_llm_quality_quantile",
-    "q_llm_repetition",
-    "q_llm_idf",
-    "q_llm_tfidf_top",
-    "q_llm_embed_quantize",
-    "q_llm_pii_redact",
-    "q_llm_stopword_filter",
-    "q_llm_edit_distance",
-    "q_llm_curation_pipeline",
-    "q_llm_near_dedup_pipeline",
-    "q_agg_sketch_rollup",
-    "q_mm_frame_sample",
-    # new in round 3 (never checked by construction): TPC-H completion
-    # (Q2/Q9/Q11/Q12/Q16/Q20 adapted) + incremental rollup maintenance
-    "q_report_min_cost_supplier",
-    "q_report_product_profit",
+    # never driver-checked (all round-3 additions) — 29 names
+    "q_scan_orc",
+    "q_scan_nested",
+    "q_source_datasource_quotes",
+    "q_scd2_user_segment",
+    "q_snapshot_diff",
+    "q_dq_profile",
+    "q_rollup_incremental",
+    "q_join_asof_forward",
     "q_report_important_stock",
     "q_report_ship_priority_split",
     "q_report_supplier_part_count",
     "q_report_dominant_supplier",
-    "q_rollup_incremental",
     "q_event_vwap",
     "q_event_twap",
     "q_event_resample_ffill",
     "q_event_rolling_zscore",
     "q_event_correlation",
-    "q_scan_orc",
-    "q_llm_substring_dedup",
-    "q_scd2_user_segment",
-    "q_dq_profile",
-    "q_snapshot_diff",
-    "q_win_share_of_total",
-    "q_event_wow_change",
-    "q_event_funnel_windowed",
-    "q_llm_bigram_counts",
-    "q_llm_unigram_logprob",
-    "q_event_concentration",
-    "q_agg_count_of_counts",
-    "q_scan_nested",
-    "q_source_datasource_quotes",
     "q_event_drawdown",
     "q_event_volatility",
-    "q_join_asof_forward",
     "q_event_gap_detection",
+    "q_event_concentration",
     "q_event_similar_days",
-    # HONESTY NOTE on window arithmetic: 4 red/rewritten + 44 never-checked
-    # fill the ~50-row window by themselves, so the round-3 additions above
-    # (positions ~49+) and everything below this line likely get NO driver
-    # row this round if the window stays at ~50 — they are ordered here so
-    # that whatever depth the driver does record is spent in priority
-    # order. Every name without a driver row remains covered by the local
-    # differential suite at the identical compare strictness, and the
-    # round-4 rotation must front-load whichever of these went unrecorded.
-    # ts-reading heavies: confirm the NTZ edge change didn't shift them
-    # (if these fall outside the window, the NTZ plan-pushdown test plus
-    # the local suite are the round-3 evidence)
-    "q_agg_stats",
-    "q_join_asof",
-    # next-most-valuable re-checks if the window runs deeper
-    "q_agg_salted",
+    "q_event_wow_change",
+    "q_event_funnel_windowed",
+    "q_llm_substring_dedup",
+    "q_llm_bigram_counts",
+    "q_llm_unigram_logprob",
+    "q_win_share_of_total",
+    "q_agg_count_of_counts",
+    # changed this round — re-check with hard driver rows
+    "q_llm_dedup_embedding",
+    "q_mm_features",
+    "q_mm_frame_sample",
+    "q_llm_near_dedup_pipeline",
+    "q_llm_dedup_cluster",
+    "q_event_ohlc_bars",
     "q_scan_partition_prune",
-    "q_sink_partitioned_write",
-    "q_news_lookback",
-    "q_stream_tumbling",
-    "q_session_window",
-    "q_llm_decontaminate",
-    "q_llm_pack_sequences",
-    "q_upsert_latest",
-    "q_dq_violations",
+    "q_llm_kmeans",
+    # least-recently-verified greens (r1) — rotate back through the window
+    "q_join_inner",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_join_cross",
+    "q_agg_groupby_basic",
+    "q_agg_global",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_having",
+    "q_agg_collect",
+    "q_agg_pivot",
+    # deeper re-checks if the window runs past ~50
+    "q_json_extract",
+    "q_base64_roundtrip",
+    "q_date_trunc_format",
+    "q_date_extract",
+    "q_date_arith",
+    "q_string_basic",
+    "q_string_regexp",
+    "q_math_basic",
+    "q_case_when",
+    "q_try_cast",
+    "q_array_explode",
+    "q_array_hof",
+    "q_map_ops",
+    "q_hash_stable",
+    "q_llm_dedup_exact",
+    "q_llm_knn_cosine",
+    "q_llm_text_stats",
+    "q_llm_lang_id",
+    "q_llm_quality_score",
+    "q_llm_token_count",
 )
 
 

@@ -173,3 +173,48 @@ def test_fuzz_window_case(case_id, spark_two_tables, duck, sf_dir):
 @pytest.mark.parametrize("case_id", range(10))
 def test_fuzz_subquery_case(case_id, spark_two_tables, duck, sf_dir):
     _run_case(spark_two_tables, duck, _gen_subquery_case(random.Random(45_000 + case_id)))
+
+
+def _gen_setop_having_case(rng: random.Random) -> str:
+    """Set ops (ANSI distinct semantics) over two grouped+HAVING branches —
+    Catalyst's set-op planning vs DuckDB's on identical text."""
+    op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+    c = rng.choice(NUMERIC_COLS)
+    lit = {"l_quantity": (10, 40), "l_extendedprice": (5000, 60000),
+           "l_discount": (0.01, 0.08), "l_tax": (0.01, 0.07)}[c]
+    a, b = (round(rng.uniform(*lit), 3) for _ in range(2))
+    n = rng.randint(1, 20)
+    branch = (
+        "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem WHERE {c} {op} {v} GROUP BY l_returnflag, l_linestatus "
+        "HAVING COUNT(*) > {n}"
+    )
+    b1 = branch.format(c=c, op="<", v=max(a, b), n=n)
+    b2 = branch.format(c=c, op=">", v=min(a, b), n=n)
+    return f"{b1} {op} {b2}"
+
+
+def _gen_full_join_case(rng: random.Random) -> str:
+    """FULL OUTER join of two aggregates on different key slices —
+    unmatched sides survive via COALESCE, exercising outer-join null
+    paths both engines must agree on."""
+    cut1 = round(rng.uniform(100000, 300000), 2)
+    cut2 = round(rng.uniform(10, 40), 1)
+    return (
+        "SELECT COALESCE(a.k, b.k) AS k, a.n AS n_orders, b.n AS n_items "
+        "FROM (SELECT o_orderstatus AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        f"      WHERE o_totalprice > {cut1} GROUP BY o_orderstatus) a "
+        "FULL JOIN (SELECT l_linestatus AS k, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+        f"      WHERE l_quantity > {cut2} GROUP BY l_linestatus) b "
+        "ON a.k = b.k"
+    )
+
+
+@pytest.mark.parametrize("case_id", range(10))
+def test_fuzz_setop_having_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_case(spark_two_tables, duck, _gen_setop_having_case(random.Random(46_000 + case_id)))
+
+
+@pytest.mark.parametrize("case_id", range(8))
+def test_fuzz_full_join_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_case(spark_two_tables, duck, _gen_full_join_case(random.Random(47_000 + case_id)))

@@ -462,13 +462,17 @@ def test_resample_ffill_is_asof_shaped(spark, sf_dir):
 def test_rolling_zscore_chunked_parallelism(spark, sf_dir):
     """The heavy frame pass must partition by (symbol, chunk) — not by
     symbol alone (which serializes each symbol into one task) — and
-    mean/stddev/count must still share a single Window node there. The
-    numbering pass is the only symbol-partitioned window and carries a
-    narrow projection."""
+    mean/stddev/count must still share a single Window node there. Since
+    round 4, the NUMBERING pass is distributed too: a value-derived
+    bucket (``__bkt``) keys a local row_number window at (key, bucket)
+    parallelism, and the only per-key window runs over the tiny
+    (key, bucket) counts table. Exactly three Window nodes: counts
+    prefix-sum, local numbering, chunked frame."""
     plan = _plan(spark, sf_dir, "q_event_rolling_zscore")
-    assert "hashpartitioning(event_type#" in plan, "numbering pass missing"
+    assert "hashpartitioning(event_type#" in plan, "counts prefix-sum window missing"
+    assert "__bkt" in plan, "numbering pass is not value-bucketed"
     assert "__chunk" in plan, "frame pass is not chunk-partitioned"
-    assert plan.count("- Window (") == 2, "expected numbering + frame windows"
+    assert plan.count("- Window (") == 3, "expected counts + numbering + frame windows"
     assert "rangepartitioning" not in plan, "window sort went global"
 
 
