@@ -889,3 +889,27 @@ def test_real_media_decode_distributed(spark, sf_dir):
             assert r.sample_rate == [8000, 16000, 22050, 44100][i % 4], i
             assert r.n_samples == 64 + i % 64
             assert r.width is None
+
+
+def test_distributed_row_number_matches_serial_on_skew(spark):
+    """with_distributed_row_number must reproduce the serial per-key
+    row_number exactly — including under heavy key skew (one key holds
+    ~90% of rows) and multi-column ordering. Regression armor for the
+    round-4 rewrite: a spark_partition_id-based scheme desynced under
+    AQE (the same exchange coalesced differently per consumer branch);
+    the value-bucket scheme must not."""
+    from pyspark.sql import Window
+
+    from fineventstream_spark.operators.rolling import with_distributed_row_number
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 10 == 0, F.col("id") % 3).otherwise(F.lit(99)).alias("k"),
+        (F.col("id") * 7 % 9973).alias("t"),  # shuffled order values
+        F.col("id").alias("tie"),
+    )
+    got = with_distributed_row_number(df, ["k"], ["t", "tie"], "rn")
+    w = Window.partitionBy("k").orderBy("t", "tie")
+    want = df.withColumn("rn", F.row_number().over(w) - 1)
+    g = {(r.k, r.t, r.tie): r.rn for r in got.collect()}
+    e = {(r.k, r.t, r.tie): r.rn for r in want.collect()}
+    assert g == e
