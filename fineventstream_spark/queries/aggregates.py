@@ -29,14 +29,21 @@ from fineventstream_spark.registry import register
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0,
+                 4) AS revenue
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("A1",),
 )
 def q_agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style grouped aggregation: count/sum/avg/min/max."""
+    """TPC-H Q1-style grouped aggregation: count/sum/avg/min/max.
+    Revenue is summed in exact 1e-4 integer units (see queries/_money.py)
+    — a per-flag float sum reaches ~1e11 at sf1, where summation-order
+    noise crosses the 4-dp rounding grid."""
+    from fineventstream_spark.queries._money import rev_units, sum_money
+
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
@@ -44,7 +51,7 @@ def q_agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        sum_money(rev_units(), 4).alias("revenue"),
     )
 
 
@@ -52,7 +59,7 @@ def q_agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_global",
     oracle="""
     SELECT count(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total_value,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total_value,
            ROUND(AVG(o_totalprice), 4) AS avg_value,
            MIN(o_orderdate) AS first_order,
            MAX(o_orderdate) AS last_order
@@ -61,11 +68,20 @@ def q_agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A2",),
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global (no-group) aggregation."""
+    """Global (no-group) aggregation.
+
+    The money total is summed in integer CENTS on both engines: a float
+    SUM over millions of ~1e5-magnitude doubles carries last-ulp
+    summation-order noise larger than the 4-dp rounding grid (the sf1
+    scale sweep caught .4255 vs .4256), so exactness must come from
+    integer arithmetic — at lake scale the production answer is a
+    DECIMAL column. AVG stays float: its magnitude keeps ulp far below
+    the rounding grid at any row count."""
     t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return t.orders.agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        F.round(F.sum(cents) / 100.0, 4).alias("total_value"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
@@ -176,17 +192,21 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           ROUND(SUM(o_totalprice), 4) AS total
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("A5",),
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations."""
+    """CUBE: all grouping-set combinations. Money summed in integer cents
+    on both engines — the grand-total cell aggregates every row, so float
+    summation-order noise crosses the 4-dp grid at sf1 (see
+    q_agg_global)."""
     t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.round(F.sum(cents) / 100.0, 4).alias("total")
     )
 
 

@@ -201,11 +201,14 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag + cumulative sum so DuckDB can hash-check it. Both windows
     partition by user_id — thousands of users spread over all reducers,
     no global sort; (ts, event_id) is a total order so numbering is
-    deterministic."""
+    deterministic. Gap arithmetic runs in MICROSECONDS: a second-truncated
+    ``ts.cast("long")`` difference disagrees with the oracle's
+    ``INTERVAL 30 MINUTE`` comparison for gaps within 1 s of the boundary
+    (the sf1 scale sweep surfaced 12 such gaps; sf0.1 had none)."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_new = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000
     )
     flagged = t.events.select(
         "user_id",
@@ -325,17 +328,20 @@ def q_event_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's envelope carries size in the JSON payload — reference
     src/producer/producer_stock_quotes.py quotes have price+size; here
     props.$.k plays the size). Single aggregation pass: the JSON volume
-    extraction folds into the scan projection (JVM get_json_object,
-    codegen), then one partial-aggregated shuffle on the bar key —
+    is extracted ONCE in an explicit pre-aggregation projection — three
+    aggregate expressions referencing ``get_json_object`` directly would
+    each re-parse the JSON per row (measured at sf1: 2.9 s → 2.5 s from
+    this alone) — then one partial-aggregated shuffle on the bar key;
     identical shape to the OHLC rollup, so at 100 TB both bars come from
     the same exchange when computed together."""
     t = Tables(spark, sf_dir)
     vol = F.get_json_object("props", "$.k").cast("double")
     return (
-        t.events.groupBy("event_type", F.date_trunc("day", "ts").alias("bar_ts"))
+        t.events.select("event_type", "ts", "value", vol.alias("vol"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("bar_ts"))
         .agg(
-            F.round(F.sum(F.col("value") * vol) / F.sum(vol), 4).alias("vwap"),
-            F.round(F.sum(vol), 4).alias("total_volume"),
+            F.round(F.sum(F.col("value") * F.col("vol")) / F.sum("vol"), 4).alias("vwap"),
+            F.round(F.sum("vol"), 4).alias("total_volume"),
         )
     )
 

@@ -169,7 +169,8 @@ _BANDS = [
 @register(
     "q_join_range",
     oracle="""
-    SELECT b.band_name, count(*) AS n_orders, ROUND(SUM(o.o_totalprice), 4) AS band_total
+    SELECT b.band_name, count(*) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS band_total
     FROM orders o
     JOIN (VALUES ('budget', 0.0, 50000.0),
                  ('mid', 50000.0, 150000.0),
@@ -184,10 +185,15 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join against a broadcast band table.
 
     Physical plan: BroadcastNestedLoopJoin with the 4-row side broadcast —
-    the only sane shape for theta joins at scale.
+    the only sane shape for theta joins at scale. Band totals are summed
+    in integer cents on both engines: the luxury band aggregates ~40% of
+    all orders, and a float sum that large carries summation-order noise
+    past the 4-dp rounding grid (caught by the sf1 sweep — see
+    q_agg_global).
     """
     t = Tables(spark, sf_dir)
     bands = spark.createDataFrame(_BANDS, "band_name string, lo double, hi double")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         t.orders.join(
             F.broadcast(bands),
@@ -195,7 +201,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         )
         .groupBy("band_name")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("band_total"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum(cents) / 100.0, 4).alias("band_total"))
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
+from fineventstream_spark.queries._money import rev_units, sum_money
 from fineventstream_spark.registry import register
 
 
@@ -32,7 +33,9 @@ from fineventstream_spark.registry import register
     "q_report_nation_volume",
     oracle="""
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0,
+                 4) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -72,9 +75,9 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            # exact 1e-4 integer units: per-nation float sums reach 1e10+
+            # at sf1 and summation-order noise crosses the 4-dp grid
+            sum_money(rev_units("l_extendedprice", "l_discount"), 4).alias("revenue"),
         )
     )
 
@@ -162,9 +165,12 @@ def q_report_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                     * CAST(ROUND((1 + l_tax) * 100) AS BIGINT)) / 1000000.0, 4) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -181,9 +187,19 @@ def q_report_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side) aggregation reduces each input partition to ≤6 rows
     before the single tiny shuffle; the date filter and 7-column
     projection reach the parquet scan, so at 100 TB this reads only the
-    referenced columns and stays entirely inside WholeStageCodegen."""
+    referenced columns and stays entirely inside WholeStageCodegen.
+
+    The three money sums run in exact integer units (cents / 1e-4 / 1e-6
+    — queries/_money.py): per-flag float sums reach 1e11 at sf1, where
+    summation-order noise crosses the 4-dp rounding grid."""
+    from fineventstream_spark.queries._money import (
+        cents,
+        charge_units,
+        rev_units,
+        sum_money,
+    )
+
     t = Tables(spark, sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t.lineitem.filter(
             F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -191,9 +207,9 @@ def q_report_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            sum_money(cents("l_extendedprice"), 2).alias("sum_base_price"),
+            sum_money(rev_units(), 4).alias("sum_disc_price"),
+            sum_money(charge_units(), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
