@@ -30,14 +30,30 @@ def words_col(text_col) -> Column:
 
 
 def token_count_whitespace(text_col) -> Column:
-    return F.size(words_col(text_col))
+    """``size(split(text, '\\s+'))`` without materializing the array:
+    split keeps leading/trailing empty segments, so the segment count is
+    exactly (number of whitespace runs) + 1. ``regexp_count`` scans the
+    string once and allocates nothing — on a wide documents scan the array
+    materialization is the dominant cost of counting."""
+    return F.regexp_count(text_col, F.lit(r"\s+")) + F.lit(1)
+
+
+def ws_segment_count(text_col) -> Column:
+    """Count of ``split(text, ' ')`` segments (single literal space — the
+    form the SQL oracles use) without building the array: segments ==
+    literal-space occurrences + 1. Two codegen string passes, zero
+    allocation."""
+    return (
+        F.length(text_col) - F.length(F.replace(text_col, F.lit(" "), F.lit("")))
+    ) + F.lit(1)
 
 
 def token_count_bpe_ish(text_col) -> Column:
     """BPE-ish token count: alpha runs, digit runs, and single punctuation
-    each count as one token (a regex approximation of byte-pair behavior)."""
-    toks = F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
-    return F.size(toks)
+    each count as one token (a regex approximation of byte-pair behavior).
+    ``regexp_count`` yields the same non-overlapping match count as
+    ``size(regexp_extract_all(...))`` with no token-array materialization."""
+    return F.regexp_count(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
 
 
 def lang_id(text_col) -> Column:

@@ -245,7 +245,9 @@ def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization stats (counts oracle-checked)."""
     t = Tables(spark, sf_dir)
-    n_tok = F.size(F.split("text", " "))
+    # count-only: segments == spaces + 1; avoids materializing the token
+    # array per row (the dominant cost at sf1 — 1.7 s → string passes only)
+    n_tok = text.ws_segment_count(F.col("text"))
     return t.documents.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -270,10 +272,10 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.documents.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)).alias(
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).alias(
             "n_bpe_tokens"
         ),
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        text.ws_segment_count(F.col("text")).cast("int").alias("n_ws_tokens"),
     )
 
 
@@ -377,52 +379,78 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_mm_features", oracle=None, tags=("U8",))
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → mapInPandas REAL decode (round 4): even
-    doc_ids carry actual 24-bit BMP payloads, odd ones actual 16-bit PCM
-    WAVs (pure-python codecs, operators/multimodal.py) — width/height/
-    mean-luminance and sample-rate/frame-count/RMS are parsed from the
-    bytes, not echoed from metadata. Self-certifying (rows-only driver
-    check): the synthesis plants known geometry (width = 4 + id % 13,
-    height = 3 + id % 7, rate ladder by id % 4), and ``planted_ok``
-    reports the fraction of rows whose DECODED values match the planted
-    formula — 1.0 proves encode→Arrow→decode end-to-end. Video decode
-    remains stubbed (no pyav here); its plumbing is covered by
-    q_mm_frame_sample."""
+    """Binary media column → mapInPandas REAL decode (round 4): doc_id % 3
+    picks the modality — actual 24-bit BMP images, 16-bit PCM WAVs, and
+    YUV4MPEG2 raw videos (pure-python codecs, operators/multimodal.py) —
+    width/height/mean-luminance, sample-rate/frame-count/RMS, and
+    frame-count/fps are parsed from the bytes, not echoed from metadata.
+    Self-certifying (rows-only driver check): the synthesis plants known
+    geometry (image w = 4 + id % 13, h = 3 + id % 7; audio rate ladder by
+    id % 4, 64 + id % 64 samples; video w = 2*(2 + id % 8),
+    h = 2*(1 + id % 5), 3 + id % 6 frames), and ``planted_ok`` reports the
+    fraction of rows whose DECODED values match the planted formula — 1.0
+    proves encode→Arrow→decode end-to-end for all three modalities."""
     t = Tables(spark, sf_dir)
     media = multimodal.synthesize_real_media(t.documents)
     feats = multimodal.decode_media_features(media)
-    ok = F.when(
-        F.col("kind") == "image",
-        (F.col("width") == 4 + F.col("media_id") % 13)
-        & (F.col("height") == 3 + F.col("media_id") % 7),
-    ).otherwise(
-        (
-            F.col("sample_rate")
-            == F.element_at(
-                F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
-                (F.col("media_id") % 4 + 1).cast("int"),
-            )
+    m = F.col("media_id")
+    ok = (
+        F.when(
+            F.col("kind") == "image",
+            (F.col("width") == 4 + m % 13) & (F.col("height") == 3 + m % 7),
         )
-        & (F.col("n_samples") == 64 + F.col("media_id") % 64)
+        .when(
+            F.col("kind") == "audio",
+            (
+                F.col("sample_rate")
+                == F.element_at(
+                    F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+                    (m % 4 + 1).cast("int"),
+                )
+            )
+            & (F.col("n_samples") == 64 + m % 64),
+        )
+        .otherwise(
+            (F.col("width") == 2 * (2 + m % 8))
+            & (F.col("height") == 2 * (1 + m % 5))
+            & (F.col("n_frames") == 3 + m % 6)
+        )
     )
     audit = feats.agg(
         F.round(F.avg(ok.cast("double")), 4).alias("planted_ok")
     )
     return feats.select(
         "media_id", "kind", "n_bytes", "width", "height", "mean_lum",
-        "sample_rate", "n_samples", "rms",
+        "sample_rate", "n_samples", "rms", "n_frames", "fps",
     ).crossJoin(F.broadcast(audit))
 
 
 @register("q_mm_frame_sample", oracle=None, tags=("U8", "U3"))
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one row per sampled frame via mapInPandas
-    (row-expanding multimodal op; kernel stubbed — a real impl seeks
-    keyframes — plumbing real: only sampled frames materialize)."""
+    """REAL video frame sampling (round 4): Y4M payloads → one scan over
+    FRAME markers → 3 evenly-spaced source frames sliced byte-exactly per
+    video via mapInPandas (row-expanding; unsampled frames never
+    materialize). Self-certifying rows-only check: ``planted_ok`` is the
+    fraction of emitted frames whose decoded geometry matches the planted
+    formula AND whose payload is exactly one 4:2:0 frame
+    (width*height*3/2 bytes) — 1.0 proves the seeks land on frame
+    boundaries."""
     t = Tables(spark, sf_dir)
-    media = multimodal.synthesize_media(t.documents, kind="video")
-    frames = multimodal.sample_frames(media, n_frames=4)
-    return frames.select("media_id", "frame_idx", "n_bytes")
+    media = multimodal.synthesize_real_media(t.documents).filter(
+        F.col("kind") == "video"
+    )
+    frames = multimodal.sample_video_frames(media, k=3)
+    m = F.col("media_id")
+    ok = (
+        (F.col("width") == 2 * (2 + m % 8))
+        & (F.col("height") == 2 * (1 + m % 5))
+        & (F.col("n_src_frames") == 3 + m % 6)
+        & (F.col("n_bytes") == (F.col("width") * F.col("height") * 3 / 2).cast("long"))
+    )
+    audit = frames.agg(F.round(F.avg(ok.cast("double")), 4).alias("planted_ok"))
+    return frames.select(
+        "media_id", "frame_idx", "n_src_frames", "width", "height", "n_bytes"
+    ).crossJoin(F.broadcast(audit))
 
 
 # --------------------------------------------------------------------------

@@ -174,9 +174,11 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
+    from fineventstream_spark.operators.text import ws_segment_count
+
     per = t.documents.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum(ws_segment_count(F.col("text"))).alias("n_tokens"),
     )
     total = Window.partitionBy()
     cum = Window.partitionBy().orderBy(F.col("n_tokens").desc(), F.col("source"))
@@ -499,10 +501,11 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort spreads over 64 reducers and the only global state is one
     64-row offsets frame. Output is the per-bin manifest."""
     from fineventstream_spark.operators.rank import global_prefix_sum
+    from fineventstream_spark.operators.text import ws_segment_count
 
     t = Tables(spark, sf_dir)
     toks = t.documents.select(
-        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+        "doc_id", ws_segment_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
     pre = global_prefix_sum(
         toks,

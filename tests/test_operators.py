@@ -868,10 +868,65 @@ def test_bmp_decode_rejects_garbage():
         decode_bmp(b"BM" + b"\x00" * 20)  # truncated header
 
 
+def test_y4m_roundtrip_planted_geometry():
+    from fineventstream_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    for w, h, n, num, den in [(4, 2, 1, 30, 1), (16, 10, 7, 24, 1), (6, 6, 3, 30000, 1001)]:
+        payload = encode_y4m(w, h, n, fps_num=num, fps_den=den, seed=w + h)
+        gw, gh, gn, fps, lum = decode_y4m(payload)
+        assert (gw, gh, gn) == (w, h, n)
+        assert fps == round(num / den, 4)
+        assert 0.0 <= lum <= 1.0
+        # deterministic: same args, same bytes
+        assert payload == encode_y4m(w, h, n, fps_num=num, fps_den=den, seed=w + h)
+
+
+def test_y4m_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from fineventstream_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"definitely not yuv4mpeg2 content")
+    good = encode_y4m(4, 2, 2, seed=1)
+    with _pytest.raises(ValueError):
+        decode_y4m(good[:-5])  # truncated final frame
+    with _pytest.raises(ValueError):
+        decode_y4m(good.replace(b"C420jpeg", b"C444xxxx", 1))  # unsupported chroma
+    with _pytest.raises(ValueError):
+        encode_y4m(5, 2, 1)  # odd width cannot be 4:2:0
+
+
+def test_y4m_frame_sampling_exact_slices(spark):
+    """sample_video_frames must return the BYTE-EXACT planar data of the
+    true source frames it claims: compare each sampled payload against the
+    slice the encoder produced for that frame index."""
+    from fineventstream_spark.operators.multimodal import (
+        _y4m_frame_offsets,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    vids = {i: encode_y4m(4 + 2 * i, 4, 5 + i, seed=i) for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, "video", b) for i, b in vids.items()], "media_id long, kind string, payload binary"
+    )
+    got = sample_video_frames(df, k=3).collect()
+    # 3 videos × 3 distinct evenly-spaced frames each
+    assert len(got) == 9
+    for r in got:
+        src = vids[r.media_id]
+        _, _, _, frame_size, offsets = _y4m_frame_offsets(src)
+        assert r.n_src_frames == len(offsets)
+        expect = src[offsets[r.frame_idx] : offsets[r.frame_idx] + frame_size]
+        assert bytes(r.payload) == expect, (r.media_id, r.frame_idx)
+
+
 def test_real_media_decode_distributed(spark, sf_dir):
-    """The full Spark path: synthesize real BMP/WAV payloads → mapInPandas
-    decode → every planted width/height/rate recovered (planted_ok
-    semantics of q_mm_features, asserted directly here)."""
+    """The full Spark path: synthesize real BMP/WAV/Y4M payloads →
+    mapInPandas decode → every planted width/height/rate/frame-count
+    recovered (planted_ok semantics of q_mm_features, asserted directly
+    here)."""
     from fineventstream_spark.operators.multimodal import (
         decode_media_features,
         synthesize_real_media,
@@ -880,15 +935,22 @@ def test_real_media_decode_distributed(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
     feats = decode_media_features(synthesize_real_media(docs)).collect()
     assert len(feats) == 60
+    kinds = {r.kind for r in feats}
+    assert kinds == {"image", "audio", "video"}
     for r in feats:
         i = r.media_id
         if r.kind == "image":
             assert (r.width, r.height) == (4 + i % 13, 3 + i % 7), i
-            assert r.sample_rate is None
-        else:
+            assert r.sample_rate is None and r.n_frames is None
+        elif r.kind == "audio":
             assert r.sample_rate == [8000, 16000, 22050, 44100][i % 4], i
             assert r.n_samples == 64 + i % 64
-            assert r.width is None
+            assert r.width is None and r.n_frames is None
+        else:
+            assert (r.width, r.height) == (2 * (2 + i % 8), 2 * (1 + i % 5)), i
+            assert r.n_frames == 3 + i % 6
+            assert r.fps == [24, 25, 30, 60][i % 4]
+            assert r.sample_rate is None
 
 
 def test_distributed_row_number_matches_serial_on_skew(spark):
