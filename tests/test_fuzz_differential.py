@@ -218,3 +218,64 @@ def test_fuzz_setop_having_case(case_id, spark_two_tables, duck, sf_dir):
 @pytest.mark.parametrize("case_id", range(8))
 def test_fuzz_full_join_case(case_id, spark_two_tables, duck, sf_dir):
     _run_case(spark_two_tables, duck, _gen_full_join_case(random.Random(47_000 + case_id)))
+
+
+def _gen_datetime_case(rng: random.Random) -> str:
+    """Datetime function sweep over orders.o_orderdate (a TIMESTAMP in the
+    fixture): EXTRACT fields, date_trunc buckets, last_day — functions
+    whose edge semantics (month ends, truncation boundaries) both engines
+    must agree on. Literal bounds keep groups small."""
+    y1 = rng.randint(1995, 1997)
+    m1 = rng.randint(1, 12)
+    field = rng.choice(["YEAR", "MONTH", "DAY", "QUARTER"])
+    unit = rng.choice(["month", "quarter", "year", "week", "day"])
+    return (
+        f"SELECT EXTRACT({field} FROM o_orderdate) AS f, "
+        f"CAST(date_trunc('{unit}', o_orderdate) AS TIMESTAMP) AS tb, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, MIN(last_day(o_orderdate)) AS ld, "
+        f"MIN(o_orderkey) AS mk "
+        f"FROM orders "
+        f"WHERE o_orderdate >= TIMESTAMP '{y1}-{m1:02d}-01 00:00:00' "
+        f"GROUP BY 1, 2"
+    )
+
+
+def _gen_string_fn_case(rng: random.Random) -> str:
+    """String-function sweep over part: nested upper/lower/substr/trim/
+    replace/reverse/lpad compositions aggregated per group — the scalar
+    string kernels both engines must evaluate identically (1-based substr,
+    pad truncation, empty-string edges)."""
+    col = rng.choice(["p_name", "p_type", "p_brand"])
+    exprs = [
+        f"upper(substr({col}, 1, {rng.randint(1, 6)}))",
+        f"replace(lower({col}), ' ', '_')",
+        f"lpad({col}, {rng.randint(2, 12)}, 'x')",
+        f"reverse(trim({col}))",
+        f"substr({col}, {rng.randint(1, 4)}, {rng.randint(0, 8)})",
+        f"concat({col}, '-', p_brand)",
+    ]
+    sexpr = rng.choice(exprs)
+    group = rng.choice(["p_type", "p_brand"])
+    like = rng.choice(["'%wi%'", "'%ol%'", "'s%'", "'%t'"])
+    return (
+        f"SELECT {group}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"MIN({sexpr}) AS mn, MAX({sexpr}) AS mx, "
+        f"CAST(SUM(length({sexpr})) AS BIGINT) AS tot_len "
+        f"FROM part WHERE p_name LIKE {like} GROUP BY {group}"
+    )
+
+
+@pytest.mark.parametrize("case_id", range(10))
+def test_fuzz_datetime_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_case(spark_two_tables, duck, _gen_datetime_case(random.Random(48_000 + case_id)))
+
+
+@pytest.fixture(scope="module")
+def spark_part(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
+    return spark
+
+
+@pytest.mark.parametrize("case_id", range(10))
+def test_fuzz_string_fn_case(case_id, spark_part, duck, sf_dir):
+    _run_case(spark_part, duck, _gen_string_fn_case(random.Random(49_000 + case_id)))
