@@ -161,16 +161,15 @@ def minhash_lsh_candidates(
     )
 
     # Pair formation within buckets; cap bucket size to bound the blow-up.
-    # No broadcast hint on the bucket-count side: the multi-occupancy bucket
-    # list scales with the corpus (millions of rows at 100 TB), so a forced
-    # F.broadcast would be a driver OOM there. AQE picks broadcast at small
-    # scale on its own; at large scale both sides shuffle on the same
-    # (band, bucket) key the groupBy just produced, so the exchange reuses
-    # that partitioning.
-    bucket_counts = band_entries.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-    capped = band_entries.join(
-        bucket_counts.filter(F.col("bsz") > 1).filter(F.col("bsz") <= max_bucket),
-        ["band", "bucket"],
+    # The cap is a WINDOW count over (band, bucket), not a groupBy + join-
+    # back: a join-back needs either a broadcast of the multi-occupancy
+    # bucket list (corpus-scale at 100 TB — driver OOM) or an extra join
+    # stage (an AQE barrier at small scale). The window needs exactly the
+    # one (band, bucket) exchange the a×b pair join below wants anyway, so
+    # the partitioning is produced once and reused.
+    bucket_w = Window.partitionBy("band", "bucket")
+    capped = band_entries.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
+        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
     )
     a = capped.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = capped.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -316,12 +315,12 @@ def simhash_candidates(
             )
         ).alias("rb"),
     ).select("id", "simhash", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"))
-    # No broadcast hint — multi-occupancy bucket count is corpus-scale at
-    # 100 TB (see minhash_lsh_candidates); AQE broadcasts when it fits.
-    bucket_counts = bucketed.groupBy("rot", "bucket").agg(F.count("*").alias("bsz"))
-    capped = bucketed.join(
-        bucket_counts.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)),
-        ["rot", "bucket"],
+    # Window-count cap, not groupBy + join-back (see minhash_lsh_candidates:
+    # the multi-occupancy bucket list is corpus-scale at 100 TB, and the one
+    # (rot, bucket) exchange is shared with the pair join below).
+    bucket_w = Window.partitionBy("rot", "bucket")
+    capped = bucketed.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
+        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
     )
     a = capped.select("rot", "bucket", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = capped.select("rot", "bucket", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))

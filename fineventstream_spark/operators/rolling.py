@@ -18,7 +18,7 @@ Numbering is itself distributed (the round-3 design ran it as a plain
 per-key ``row_number`` window — the very serialization being escaped;
 each key's full history flowed through ONE task before chunking). The
 replacement derives a coarse monotone bucket from the ORDER-COLUMN
-VALUES (equi-depth boundaries from one ``approxQuantile`` pass — a
+VALUES (equi-width between the column's in-plan min/max — a
 deterministic expression of the row, so retried tasks and separate plan
 branches always agree; a ``spark_partition_id``-based scheme does NOT
 survive AQE, which may coalesce the same exchange differently per
@@ -45,34 +45,58 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _order_bucket_expr(df: DataFrame, order_col: str, n_buckets: int) -> Column:
-    """A deterministic, monotone bucket id derived from ``order_col``'s
-    values: equi-depth boundaries via ``approxQuantile`` (one eager pass —
-    Greenwald-Khanna, no RNG), compiled to a chained CASE WHEN (codegen,
-    no interpreted HOF). Rows equal to a boundary stay together; nulls go
-    to bucket 0 (matching ASC NULLS FIRST). Unsupported column types fall
-    back to a single bucket — the serial per-key window, i.e. round-3
-    behavior."""
+def _order_value_expr(df: DataFrame, order_col: str) -> Column | None:
+    """``order_col`` as a double for range bucketing, or None for types
+    with no usable numeric order (falls back to a single bucket — the
+    serial per-key window, i.e. round-3 behavior)."""
     dt = dict(df.dtypes).get(order_col, "")
-    v = F.col(order_col)
     if dt.startswith("timestamp"):
-        v = v.cast("double")
-    elif dt == "date":
-        v = F.unix_date(F.col(order_col)).cast("double")
-    elif dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+        return F.col(order_col).cast("double")
+    if dt == "date":
+        return F.unix_date(F.col(order_col)).cast("double")
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
         "decimal"
     ):
-        v = v.cast("double")
-    else:
-        return F.lit(0).cast("int")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.select(v.alias("__v")).approxQuantile("__v", probs, 0.01)))
-    if not bounds:
-        return F.lit(0).cast("int")
-    e = F.when(v.isNull(), F.lit(0))
-    for i, b in enumerate(bounds):
-        e = e.when(v < F.lit(float(b)), F.lit(i))
-    return e.otherwise(F.lit(len(bounds))).cast("int")
+        return F.col(order_col).cast("double")
+    return None
+
+
+def _with_order_bucket(df: DataFrame, order_col: str, n_buckets: int) -> DataFrame:
+    """Attach a deterministic, monotone ``__bkt`` derived from
+    ``order_col``'s value range: equi-WIDTH buckets between the column's
+    min and max, both computed IN-PLAN (a 1-row broadcast joined to the
+    fact — no eager driver job, no collected sketch; the round-4 first cut
+    ran a blocking ``approxQuantile`` per query). Monotone in the value, so
+    bucket order == order-column order; rows with equal values share a
+    bucket; nulls go to bucket 0 (matching ASC NULLS FIRST). Equi-width vs
+    equi-depth trades skew resistance for a cheaper pass: value clustering
+    degrades only parallelism (a fat bucket), never correctness — offsets
+    are exact counts either way."""
+    v = _order_value_expr(df, order_col)
+    if v is None:
+        return df.withColumn("__bkt", F.lit(0).cast("int"))
+    # NaN sorts LAST in Spark ASC order → pin it to the last bucket, and
+    # keep it out of min/max (max() would otherwise return NaN and poison
+    # every row's bucket arithmetic)
+    finite = F.when(~F.isnan(v), v)
+    stats = df.agg(F.min(finite).alias("__lo"), F.max(finite).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(v.isNull() | (F.col("__hi") <= F.col("__lo")), F.lit(0))
+        .when(F.isnan(v), F.lit(n_buckets - 1))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((v - F.col("__lo")) / width).cast("int"),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.join(F.broadcast(stats))
+        .withColumn("__bkt", bkt)
+        .drop("__lo", "__hi")
+    )
 
 
 def with_distributed_row_number(
@@ -91,14 +115,14 @@ def with_distributed_row_number(
     (key, bucket) slice, and shifted by the exclusive prefix sum of the
     per-slice counts (a keys × buckets bookkeeping table — broadcast-sized).
 
-    Eager at construction: runs one ``approxQuantile`` job to pick bucket
-    boundaries (plus one narrow count pass at execution — key/order columns
-    only, map-side partial aggregated)."""
+    Fully lazy — one plan, no driver round-trips: the bucket boundaries are
+    the order column's in-plan min/max (1-row broadcast), plus one narrow
+    count pass at execution (key/order columns only, map-side partial
+    aggregated)."""
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    bucket = _order_bucket_expr(df, order_cols[0], n_buckets)
-    bucketed = df.withColumn("__bkt", bucket)
+    bucketed = _with_order_bucket(df, order_cols[0], n_buckets)
     # keys × buckets rows — bookkeeping scale, not data scale; reads only
     # the key/order columns (column pruning) and partial-aggregates map-side
     counts = bucketed.groupBy(*key_cols, "__bkt").agg(F.count(F.lit(1)).alias("__cnt"))

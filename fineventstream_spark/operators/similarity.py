@@ -178,12 +178,15 @@ def cosine_near_dup_pairs(
         _bucket_bits_udf(planes)(F.col(vec_col)).alias("bucket"),
     )
 
-    # No broadcast hint — the multi-occupancy bucket list grows with the
-    # corpus; a forced broadcast is a driver OOM at 100 TB. AQE broadcasts
-    # when the filtered count table actually fits.
-    counts = keyed.groupBy("bucket").agg(F.count("*").alias("bsz"))
-    capped = keyed.join(
-        counts.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)), "bucket"
+    # Window-count cap, not groupBy + join-back: the multi-occupancy bucket
+    # list grows with the corpus (a forced broadcast is a driver OOM at
+    # 100 TB, an AQE-decided join an extra stage barrier); the window needs
+    # only the one bucket exchange the pair join below reuses.
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("bucket")
+    capped = keyed.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
+        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
     )
     a = capped.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = capped.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
