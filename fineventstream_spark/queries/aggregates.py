@@ -169,6 +169,110 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_kll_quantile_rollup",
+    oracle=None,  # sketch estimates by design → rows-only, self-certifying
+    tags=("A4", "A7"),
+)
+def q_agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup via KLL sketches (Datasketches, Spark 4):
+    per-group sketches of l_extendedprice answer p50/p95 locally AND merge
+    into a global sketch WITHOUT rescanning the fact — the 100 TB
+    percentile pattern. Exact percentiles need a full sort or a
+    multi-pass refinement per rollup level; KLL sketches are a few KB,
+    persist alongside the lake, and any coarser rollup is a merge. Rank
+    error is a proven ~1.7% (k=200 default) at any scale.
+
+    Self-certifying (rows-only driver check): each group row carries
+    ``rel_err_p50`` vs the in-plan exact percentile, and every row carries
+    the merged-global audit — ``global_rel_err_p50``, the merged sketch's
+    median vs the exact global median — which bounds the merge's
+    correctness. The exact passes exist ONLY for the audit."""
+    t = Tables(spark, sf_dir)
+    per_group = t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("kll_sketch_agg_double(l_extendedprice)").alias("sk"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    groups = per_group.select(
+        "l_returnflag",
+        "n",
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 4).alias("est_p50"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 4).alias("est_p95"),
+        F.round(F.abs(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)) - F.col("exact_p50"))
+                / F.col("exact_p50"), 4).alias("rel_err_p50"),
+        "sk",
+    )
+    merged = groups.agg(F.expr("kll_merge_agg_double(sk)").alias("gsk"))
+    exact_global = t.lineitem.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("gp50")
+    )
+    gq = F.kll_sketch_get_quantile_double("gsk", F.lit(0.5))
+    audit = (
+        merged.join(F.broadcast(exact_global))
+        .select(
+            F.round(gq, 4).alias("global_est_p50"),
+            F.round(F.abs(gq - F.col("gp50")) / F.col("gp50"), 4).alias(
+                "global_rel_err_p50"
+            ),
+        )
+    )
+    return groups.drop("sk").join(F.broadcast(audit))
+
+
+@register(
+    "q_event_theta_overlap",
+    oracle=None,  # sketch estimates by design → rows-only, self-certifying
+    tags=("A4", "T4"),
+)
+def q_event_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via Theta sketches: per-day user sketches support
+    set EXPRESSIONS — returning users = |day ∩ next day|, churn-adjusted
+    reach = |day ∪ next day| — straight from the stored sketches, no
+    second pass over raw events. HLL can only union; Theta's
+    intersection/difference is what day-over-day retention, cross-shard
+    audience overlap, and dedup-across-sources need at 100 TB (sketches
+    are KBs; the exact answer reshuffles every (day, user) pair).
+
+    Self-certifying (rows-only driver check): each row carries
+    ``overlap_rel_err`` vs the in-plan exact day-pair intersection (the
+    exact pass exists only for the audit)."""
+    t = Tables(spark, sf_dir)
+    day = F.date_trunc("day", "ts").cast("date")
+    daily = t.events.groupBy(day.alias("day")).agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    nxt = daily.select(F.date_sub("day", 1).alias("day"), F.col("sk").alias("sk_next"))
+    pairs = daily.join(nxt, "day").select(
+        "day",
+        F.expr("theta_sketch_estimate(theta_intersection(sk, sk_next))").alias(
+            "est_returning"
+        ),
+        F.expr("theta_sketch_estimate(theta_union(sk, sk_next))").alias("est_reach"),
+    )
+    du = t.events.select(day.alias("day"), "user_id").distinct()
+    exact = (
+        du.alias("a")
+        .join(
+            du.select(F.date_sub("day", 1).alias("day"), "user_id").alias("b"),
+            ["day", "user_id"],
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("exact_returning"))
+    )
+    return pairs.join(exact, "day").select(
+        "day",
+        F.col("est_returning").cast("long").alias("est_returning"),
+        F.col("est_reach").cast("long").alias("est_reach"),
+        "exact_returning",
+        F.round(
+            F.abs(F.col("est_returning") - F.col("exact_returning"))
+            / F.greatest(F.col("exact_returning"), F.lit(1)),
+            4,
+        ).alias("overlap_rel_err"),
+    )
+
+
+@register(
     "q_agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -953,6 +953,36 @@ def test_real_media_decode_distributed(spark, sf_dir):
             assert r.sample_rate is None
 
 
+def test_kll_quantile_rollup_error_bounds(spark, sf_dir):
+    """KLL sketch medians must sit within the sketch's proven rank-error
+    envelope of the exact percentiles — per group AND after the global
+    merge (k=200 default → ~1.7% rank error; on this distribution that is
+    well under 5% VALUE error)."""
+    from fineventstream_spark.registry import all_queries
+
+    rows = all_queries()["q_agg_kll_quantile_rollup"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.rel_err_p50 <= 0.05, r
+        assert r.global_rel_err_p50 <= 0.05, r
+        assert r.est_p50 <= r.est_p95, r
+
+
+def test_theta_overlap_exact_below_k(spark, sf_dir):
+    """Theta sketches are EXACT below k=4096 retained entries, and the
+    fixture's daily user sets are far smaller — so the intersection
+    estimate must equal the exact day-pair overlap, and the union must be
+    at least each day's contribution."""
+    from fineventstream_spark.registry import all_queries
+
+    rows = all_queries()["q_event_theta_overlap"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.overlap_rel_err == 0.0, r
+        assert r.est_returning == r.exact_returning, r
+        assert r.est_reach >= r.est_returning, r
+
+
 def test_distributed_row_number_matches_serial_on_skew(spark):
     """with_distributed_row_number must reproduce the serial per-key
     row_number exactly — including under heavy key skew (one key holds
