@@ -81,6 +81,10 @@ HEADLINE = [
     "q_event_volatility",
     "q_join_asof_forward",
     "q_event_gap_detection",
+    # round-4 additions: mergeable-sketch analytics + count-only token scan
+    "q_agg_kll_quantile_rollup",
+    "q_event_theta_overlap",
+    "q_llm_token_count",
 ]
 
 
@@ -112,6 +116,7 @@ def main() -> None:
         # long-running cluster never sees, charged to whichever query runs
         # first (observed: 6.5 s vs 0.5 s steady state on the same query).
         for tbl in ("lineitem", "orders", "customer", "nation",
+                    "part", "supplier", "region",
                     "events", "documents", "embeddings"):
             p = os.path.join(SF_DIR, f"{tbl}.parquet")
             if os.path.exists(p):

@@ -265,9 +265,38 @@ def _gen_string_fn_case(rng: random.Random) -> str:
     )
 
 
+def _gen_grouping_case(rng: random.Random) -> str:
+    """ROLLUP / CUBE / GROUPING SETS sweep: super-aggregate rows carry
+    engine-generated NULLs and GROUPING() markers — the multi-level
+    aggregation semantics both planners must agree on exactly."""
+    c = rng.choice(NUMERIC_COLS)
+    lit = {"l_quantity": 30, "l_extendedprice": 50000,
+           "l_discount": 0.06, "l_tax": 0.05}[c]
+    form = rng.choice([
+        "ROLLUP (l_returnflag, l_linestatus)",
+        "CUBE (l_returnflag, l_linestatus)",
+        "GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+        "GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())",
+    ])
+    agg = rng.choice(NUMERIC_COLS)
+    return (
+        f"SELECT l_returnflag, l_linestatus, "
+        f"CAST(GROUPING(l_returnflag) AS INTEGER) AS g1, "
+        f"CAST(GROUPING(l_linestatus) AS INTEGER) AS g2, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM({agg}), 3) AS s "
+        f"FROM lineitem WHERE {c} < {lit} "
+        f"GROUP BY {form}"
+    )
+
+
 @pytest.mark.parametrize("case_id", range(10))
 def test_fuzz_datetime_case(case_id, spark_two_tables, duck, sf_dir):
     _run_case(spark_two_tables, duck, _gen_datetime_case(random.Random(48_000 + case_id)))
+
+
+@pytest.mark.parametrize("case_id", range(8))
+def test_fuzz_grouping_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_case(spark_two_tables, duck, _gen_grouping_case(random.Random(50_000 + case_id)))
 
 
 @pytest.fixture(scope="module")
