@@ -169,6 +169,39 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_median_mode",
+    oracle="""
+    SELECT g.l_returnflag,
+           ROUND(median(g.l_quantity), 4) AS med_qty,
+           ROUND(median(g.l_extendedprice), 4) AS med_price,
+           (SELECT x.l_quantity FROM lineitem x
+            WHERE x.l_returnflag = g.l_returnflag
+            GROUP BY x.l_quantity
+            ORDER BY COUNT(*) DESC, x.l_quantity LIMIT 1) AS mode_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem g
+    GROUP BY g.l_returnflag
+    """,
+    tags=("A7", "F5"),
+)
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern ordered-set aggregates: interpolated ``median`` and
+    deterministic ``mode`` per group. Spark's ``mode(col, True)`` breaks
+    frequency ties by lowest value — the oracle reproduces that exact
+    tie-break with an ordered correlated subquery (a bare ``mode()`` is
+    tie-nondeterministic on BOTH engines, useless under hash compare).
+    One partial-aggregated shuffle; median is an ordered-set aggregate
+    the sort of which runs per group, not globally."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.mode("l_quantity", True).alias("mode_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "q_agg_kll_quantile_rollup",
     oracle=None,  # sketch estimates by design → rows-only, self-certifying
     tags=("A4", "A7"),

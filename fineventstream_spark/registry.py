@@ -85,9 +85,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_ohlc_bars",
     "q_scan_partition_prune",
     "q_llm_kmeans",
-    # new this round — first driver rows (self-certifying sketch family)
+    # new this round — first driver rows (self-certifying sketch family,
+    # ordered-set aggregates, count-only token scans)
     "q_agg_kll_quantile_rollup",
     "q_event_theta_overlap",
+    "q_agg_median_mode",
     "q_llm_text_stats",
     "q_llm_token_count",
     # least-recently-verified greens (r1) — rotate back through the window
