@@ -110,3 +110,60 @@ def test_vacuum_upsert_keeps_current_and_recent(spark, tmpdir):
     assert removed == [0, 1]
     assert sorted(os.listdir(table)) == ["_CURRENT", "v=2", "v=3"]
     assert read_upsert_snapshot(spark, table).collect()[0].ver == 3
+
+
+def test_streaming_incremental_theta_sketch_union(spark, tmpdir):
+    """Incremental sketch maintenance under streaming: each micro-batch
+    contributes a per-day Theta sketch; the maintained store unions the
+    batch sketch into the stored one (theta_union) WITHOUT touching prior
+    raw data. After all batches, estimates from the maintained sketches
+    must equal the batch-computed exact distincts (Theta is exact below
+    k=4096) — the mergeability contract every incremental sketch rollup
+    relies on at 100 TB."""
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    # three arrival batches, overlapping users across days
+    batches = [
+        [("2024-01-01", u) for u in range(0, 60)] + [("2024-01-02", u) for u in range(30, 80)],
+        [("2024-01-01", u) for u in range(40, 90)] + [("2024-01-02", u) for u in range(0, 20)],
+        [("2024-01-02", u) for u in range(70, 120)],
+    ]
+    store: dict[str, bytearray] = {}
+
+    def fold(batch_df, _bid):
+        daily = batch_df.groupBy("day").agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+        for r in daily.collect():
+            if r.day in store:
+                merged = spark.createDataFrame(
+                    [(bytes(store[r.day]), bytes(r.sk))], "a binary, b binary"
+                ).select(F.expr("theta_union(a, b)").alias("u")).collect()[0].u
+                store[r.day] = merged
+            else:
+                store[r.day] = r.sk
+
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            for day, u in rows:
+                f.write(json.dumps({"day": day, "user_id": u}) + "\n")
+        # one file per availableNow run → deterministic batch contents
+        stream = spark.readStream.schema("day string, user_id long").json(src)
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    exact = {
+        "2024-01-01": len({u for b in batches for d, u in b if d == "2024-01-01"}),
+        "2024-01-02": len({u for b in batches for d, u in b if d == "2024-01-02"}),
+    }
+    for day, sk in store.items():
+        est = (
+            spark.createDataFrame([(bytes(sk),)], "s binary")
+            .select(F.expr("CAST(theta_sketch_estimate(s) AS BIGINT)").alias("e"))
+            .collect()[0]
+            .e
+        )
+        assert est == exact[day], (day, est, exact[day])
