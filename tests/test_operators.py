@@ -969,17 +969,21 @@ def test_kll_quantile_rollup_error_bounds(spark, sf_dir):
 
 
 def test_theta_overlap_exact_below_k(spark, sf_dir):
-    """Theta sketches are EXACT below k=4096 retained entries, and the
-    fixture's daily user sets are far smaller — so the intersection
-    estimate must equal the exact day-pair overlap, and the union must be
-    at least each day's contribution."""
+    """Theta sketches are EXACT below k=4096 retained entries (the
+    small-sf fixtures' daily user sets), so the intersection estimate
+    must equal the exact day-pair overlap there; above k (sf1 daily
+    sets are ~10-15k users) the estimate must sit inside the sketch's
+    ~3% relative-error envelope. Union >= intersection always."""
     from fineventstream_spark.registry import all_queries
 
     rows = all_queries()["q_event_theta_overlap"].fn(spark, sf_dir).collect()
     assert len(rows) >= 1
     for r in rows:
-        assert r.overlap_rel_err == 0.0, r
-        assert r.est_returning == r.exact_returning, r
+        if r.exact_returning < 4096 and r.est_reach < 4096:
+            assert r.overlap_rel_err == 0.0, r
+            assert r.est_returning == r.exact_returning, r
+        else:
+            assert r.overlap_rel_err <= 0.03, r
         assert r.est_reach >= r.est_returning, r
 
 
