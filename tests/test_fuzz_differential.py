@@ -100,16 +100,21 @@ def _gen_join_case(rng: random.Random) -> str:
 
 
 def _gen_window_case(rng: random.Random) -> str:
-    """Ranking + framed-sum windows over a deterministic total order
-    ((order col, l_orderkey, l_linenumber) — the (orderkey, linenumber)
-    pair is a key, so ROW_NUMBER is well-defined on both engines)."""
+    """Ranking + framed-sum windows over a deterministic total order.
+    (l_orderkey, l_linenumber) is NOT a key in the fixtures (sf0.1 has
+    ~143k duplicate pairs — surfaced by this fuzzer's sf0.1 run), but
+    FULL rows are unique, so ordering by the complete column tuple pins
+    ROW_NUMBER/LAG/frame sums identically on both engines."""
     part = rng.choice(STRING_COLS)
     order = rng.choice(NUMERIC_COLS)
     frame_lo = rng.choice([1, 3, 5])
     c = rng.choice(NUMERIC_COLS)
     lit = {"l_quantity": 25, "l_extendedprice": 30000,
            "l_discount": 0.05, "l_tax": 0.04}[c]
-    w = f"PARTITION BY {part} ORDER BY {order}, l_orderkey, l_linenumber"
+    tiebreak = ("l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
+                "l_extendedprice, l_discount, l_tax, l_returnflag, "
+                "l_linestatus, l_shipdate")
+    w = f"PARTITION BY {part} ORDER BY {order}, {tiebreak}"
     return (
         f"SELECT l_orderkey, l_linenumber, "
         f"ROW_NUMBER() OVER ({w}) AS rn, "
