@@ -51,7 +51,10 @@ def _order_value_expr(df: DataFrame, order_col: str) -> Column | None:
     serial per-key window, i.e. round-3 behavior)."""
     dt = dict(df.dtypes).get(order_col, "")
     if dt.startswith("timestamp"):
-        return F.col(order_col).cast("double")
+        # TIMESTAMP_NTZ has no direct double cast; route through TIMESTAMP
+        # (a no-op for TIMESTAMP, a monotone session-TZ shift for NTZ —
+        # bucketing needs monotonicity only)
+        return F.col(order_col).cast("timestamp").cast("double")
     if dt == "date":
         return F.unix_date(F.col(order_col)).cast("double")
     if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(

@@ -676,3 +676,62 @@ def test_snapshot_diff_pushes_both_cutoffs(spark, sf_dir):
     pushed = [seg[:200] for seg in plan.split("PushedFilters")[1:]]
     assert sum("LessThan(ts" in seg for seg in pushed) >= 2, "a cutoff did not push"
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_substring_dedup_two_exchanges_no_join(spark, sf_dir):
+    """The round-4 rewrite's contract: duplicated-passage detection is one
+    shingling pass feeding exactly TWO exchanges (shingle-hash window,
+    doc groupBy) and ZERO joins — the groupBy+join-back formulation it
+    replaced shingled the fact twice and added a third exchange plus a
+    fact-scale sort-merge join."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_llm_substring_dedup")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 2, f"expected 2 exchanges, plan has {len(exchanges)}"
+    assert "Join" not in plan, "pair-marking must not join"
+
+
+def test_lsh_bucket_cap_is_window_not_join(spark, sf_dir):
+    """The LSH candidate stage's bucket-size cap must be a window count
+    over the bucket key (shared exchange with the pair join), not a
+    groupBy + join-back: the plan must contain a Window with a count over
+    the band/bucket partition and no Aggregate-derived join on the count
+    side (no corpus-scale broadcast, no extra AQE barrier)."""
+    from fineventstream_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = minhash_lsh_candidates(docs, "text", "doc_id")
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Window" in plan
+    # exactly one join remains: the a x b pair join on (band, bucket)
+    import re
+
+    joins = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
+    assert len(joins) == 1, f"expected only the pair join, got {joins}"
+
+
+def test_distributed_row_number_handles_ntz_order(spark):
+    """with_distributed_row_number must accept a TIMESTAMP_NTZ order
+    column (raw-parquet lakes surface NTZ before catalog normalization):
+    NTZ has no direct double cast, so the bucket expression routes
+    through TIMESTAMP — monotone, which is all bucketing needs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators.rolling import with_distributed_row_number
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).alias("k"),
+        F.to_timestamp_ntz(
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("id") * 37 % 1009).cast("double"))
+        ).alias("ts"),
+        F.col("id").alias("tie"),
+    )
+    got = {(r.k, r.ts, r.tie): r.rn for r in
+           with_distributed_row_number(df, ["k"], ["ts", "tie"], "rn").collect()}
+    w = Window.partitionBy("k").orderBy("ts", "tie")
+    want = {(r.k, r.ts, r.tie): r.rn for r in
+            df.withColumn("rn", F.row_number().over(w) - 1).collect()}
+    assert got == want
