@@ -19,6 +19,21 @@ STRING_COLS = ["l_returnflag", "l_linestatus"]
 STRING_VALUES = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}
 CMP = ["<", "<=", ">", ">=", "=", "<>"]
 
+# Exact integer-unit SUM: at sf1 a group's SUM(l_extendedprice) reaches
+# ~8e10, where double summation-ORDER noise exceeds the rounding grid and
+# the engines disagree in the last digit (surfaced by this fuzzer's sf1
+# run — the same class b1999fb fixed in the engine's money totals).
+# Summing exact integer units is order-independent and bit-identical.
+_UNIT = {"l_quantity": 100, "l_extendedprice": 100, "l_discount": 1000, "l_tax": 1000}
+
+
+def _exact_sum(col: str, nd: int = 3) -> str:
+    # CAST(... AS DOUBLE) before dividing: a bare `100.0` literal is
+    # DECIMAL in Spark SQL (DOUBLE in DuckDB), which would change the
+    # result type cross-dialect
+    u = _UNIT[col]
+    return f"ROUND(CAST(SUM(CAST(ROUND({col} * {u}) AS BIGINT)) AS DOUBLE) / {u}, {nd})"
+
 N_CASES = 40
 
 
@@ -45,7 +60,7 @@ def _gen_case(rng: random.Random) -> str:
     agg_col = rng.choice(NUMERIC_COLS)
     aggs = [
         "count(*) AS n",
-        f"ROUND(SUM({agg_col}), 3) AS s",
+        f"{_exact_sum(agg_col)} AS s",
         f"ROUND(AVG({agg_col}), 4) AS a",
         f"MIN({agg_col}) AS mn",
         f"MAX({agg_col}) AS mx",
@@ -91,7 +106,7 @@ def _gen_join_case(rng: random.Random) -> str:
     group = rng.choice(["o_orderstatus", "l_returnflag", "o_orderpriority"])
     agg_col = rng.choice(NUMERIC_COLS)
     return (
-        f"SELECT {group}, count(*) AS n, ROUND(SUM({agg_col}), 3) AS s, "
+        f"SELECT {group}, count(*) AS n, {_exact_sum(agg_col)} AS s, "
         f"MIN({agg_col}) AS mn "
         f"FROM orders {how} lineitem ON l_orderkey = o_orderkey "
         f"WHERE {c} {op} {lit} AND {opred} "
@@ -139,7 +154,7 @@ def _gen_subquery_case(rng: random.Random) -> str:
         sub = (f"l_orderkey {kind} (SELECT o_orderkey FROM orders "
                f"WHERE o_totalprice > {cutoff} AND o_orderkey IS NOT NULL)")
     return (
-        f"SELECT {group}, count(*) AS n, ROUND(SUM(l_extendedprice), 3) AS s "
+        f"SELECT {group}, count(*) AS n, {_exact_sum('l_extendedprice')} AS s "
         f"FROM lineitem WHERE {sub} GROUP BY {group}"
     )
 
@@ -288,7 +303,7 @@ def _gen_grouping_case(rng: random.Random) -> str:
         f"SELECT l_returnflag, l_linestatus, "
         f"CAST(GROUPING(l_returnflag) AS INTEGER) AS g1, "
         f"CAST(GROUPING(l_linestatus) AS INTEGER) AS g2, "
-        f"CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM({agg}), 3) AS s "
+        f"CAST(COUNT(*) AS BIGINT) AS n, {_exact_sum(agg)} AS s "
         f"FROM lineitem WHERE {c} < {lit} "
         f"GROUP BY {form}"
     )
