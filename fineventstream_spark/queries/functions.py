@@ -347,3 +347,33 @@ def q_hash_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("sha"),
         F.md5(F.col("text")).alias("md5h"),
     )
+
+
+@register(
+    "q_fn_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("F4", "A8"),
+)
+def q_fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG): per status, the
+    sorted distinct priority list as one delimited string — deterministic
+    because the WITHIN GROUP order pins element order (a bare listagg /
+    string_agg is partition-order-nondeterministic on both engines and
+    could never pass a hash compare). Spark's LISTAGG ... WITHIN GROUP
+    and DuckDB's string_agg(... ORDER BY) express the identical
+    semantics."""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderpriority, '|') "
+            "WITHIN GROUP (ORDER BY o_orderpriority)"
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -90,6 +90,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_kll_quantile_rollup",
     "q_event_theta_overlap",
     "q_agg_median_mode",
+    "q_fn_string_agg",
     "q_llm_text_stats",
     "q_llm_token_count",
     # least-recently-verified greens (r1) — rotate back through the window
