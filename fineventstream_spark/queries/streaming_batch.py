@@ -255,13 +255,13 @@ def q_scd2_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v1 AS (
       SELECT user_id,
-             arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id))
+             arg_max(value, epoch_us(ts)::DECIMAL(38,0) * 1000000000000 + event_id)
                AS value
       FROM events WHERE ts < TIMESTAMP '2024-01-01 04:00:00'
       GROUP BY user_id
     ), v2 AS (
       SELECT user_id,
-             arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id))
+             arg_max(value, epoch_us(ts)::DECIMAL(38,0) * 1000000000000 + event_id)
                AS value
       FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
       GROUP BY user_id
@@ -290,7 +290,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic-sized. At 100 TB the two versions come from the sink's
     stored snapshots and the aggregates disappear entirely."""
     t = Tables(spark, sf_dir)
-    key = F.format_string("%020d|%012d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    key = F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 1000000000000 + F.col("event_id")
 
     def version(cutoff: str, alias: str) -> DataFrame:
         return (
