@@ -700,6 +700,10 @@ def test_lsh_bucket_cap_is_window_not_join(spark, sf_dir):
     side (no corpus-scale broadcast, no extra AQE barrier)."""
     from fineventstream_spark.operators.dedup import minhash_lsh_candidates
 
+    # earlier tests persist the signature subtree; the CacheManager would
+    # substitute InMemoryRelation into this plan and change its shape —
+    # assert against the uncached plan
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = minhash_lsh_candidates(docs, "text", "doc_id")
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
