@@ -94,6 +94,14 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # Solo mode (VERDICT r4 methodology): `python bench.py q_a q_b` runs
+    # only the named queries with a MIN-OF-3 floor instead of the adaptive
+    # 2-concordant rule — the documented way to verify a single query's
+    # regression/recovery without co-tenant noise from the full sweep.
+    # The driver's no-arg invocation is unchanged.
+    solo = sys.argv[1:]
+    headline = solo if solo else HEADLINE
+    min_reps = 3 if solo else 2
     registry = all_queries()
     spark = get_spark(app_name="fes-bench")
     # Warm-up (not query work): JVM codegen compiler + the Python worker
@@ -136,7 +144,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         q = registry.get(name)
         if q is None:
             failures[name] = "not in registry"
@@ -159,7 +167,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(q.fn(spark, SF_DIR))
                 runs.append(time.perf_counter() - t0)
-                if len(runs) >= 2:
+                if len(runs) >= min_reps:
                     lo, lo2 = sorted(runs)[:2]
                     if lo2 <= 1.3 * lo or len(runs) >= 4:
                         break

@@ -161,35 +161,73 @@ def minhash_lsh_candidates(
     )
 
     # Pair formation within buckets; cap bucket size to bound the blow-up.
-    # The cap is a WINDOW count over (band, bucket), not a groupBy + join-
-    # back: a join-back needs either a broadcast of the multi-occupancy
-    # bucket list (corpus-scale at 100 TB — driver OOM) or an extra join
-    # stage (an AQE barrier at small scale). The window needs exactly the
-    # one (band, bucket) exchange the a×b pair join below wants anyway, so
-    # the partitioning is produced once and reused.
-    bucket_w = Window.partitionBy("band", "bucket")
-    capped = band_entries.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
-        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
+    # History of this shape (it has flip-flopped, so the reasoning is
+    # recorded): r3 capped via groupBy + a FORCED broadcast join-back — a
+    # driver OOM at 100 TB because the multi-occupancy bucket list is
+    # corpus-scale for a dedup-heavy corpus. r4 capped via a window count
+    # sharing the a×b self-join's exchange — scale-safe, but it buffered
+    # and sorted every full (band, bucket) partition BEFORE the cap filter
+    # (unbounded per-task memory on hot buckets) and regressed the measured
+    # bench 2.8× (1.10 → 3.05 s at sf0.1), because the self-join still
+    # exchanged the band entries twice (a side + b side; AQE does not reuse
+    # those exchanges across cached-subtree branches — measured: 4
+    # fact-scale exchanges executed). The r5 form drops the self-join
+    # entirely:
+    #
+    #   1. cap = map-side partial-aggregated groupBy count (hot buckets
+    #      cost one long per task, never a buffered partition) + an
+    #      UN-hinted semi-join-back — AQE broadcasts the filtered count
+    #      table when it is small, else a shuffle semi join;
+    #   2. pair formation = collect_list per (band, bucket) — bounded at
+    #      max_bucket entries per group BECAUSE the cap already ran — then
+    #      a JVM upper-triangle explode of in-bucket pairs. The signature
+    #      agreement is computed with zip_with/aggregate on the exploded
+    #      pair (interpreted HOFs, but over candidate pairs only — tiny).
+    #
+    # Band entries therefore cross the wire ONCE (the collect_list
+    # exchange; the semi join is broadcast at the scales where a second
+    # exchange would hurt), vs twice in r4 and four times in the un-hinted
+    # self-join formulation. Plan-asserted in tests/test_plans.py: no
+    # Window buffer, partial-aggregated cap, and zero BroadcastExchange
+    # when broadcasts are disabled (nothing *forces* one).
+    keep = (
+        band_entries.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))
+        .select("band", "bucket")
     )
-    a = capped.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = capped.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+    capped = band_entries.join(keep, ["band", "bucket"], "left_semi")
+    buckets_g = capped.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("es")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size("es") - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("es") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("es"), i + 1).alias("a"),
+                        F.element_at(F.col("es"), j + 1).alias("b"),
+                    ),
+                ),
+            )
+        )
+    )
+    agree = F.aggregate(
+        F.zip_with("p.a.sig", "p.b.sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        buckets_g.select(pair.alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.round(agree, 4).alias("est_jaccard"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-
-    @F.pandas_udf("double")
-    def _agreement(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                round(float((np.asarray(x) == np.asarray(y)).mean()), 4)
-                for x, y in zip(sa, sb)
-            ]
-        )
-
-    return pairs.select("id_a", "id_b", _agreement("sig_a", "sig_b").alias("est_jaccard"))
 
 
 def ngram_jaccard_verify(
@@ -292,7 +330,10 @@ def simhash_candidates(
     one prefix bucket, and an uncapped a×b join there is a quadratic pair
     explosion on one executor. (Exact duplicates dropped with a hot bucket
     are still caught by :func:`exact_dedup` upstream.)"""
-    sh = with_simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    # (id, simhash) feeds two consumers post-r5 (bucket counts + the pair
+    # join) — persist the 16-byte-per-doc table instead of re-running the
+    # CPU-heavy kernel
+    sh = with_simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash").persist()
     rotations = [0, 16, 32, 48]
     bucketed = sh.select(
         "id",
@@ -315,19 +356,44 @@ def simhash_candidates(
             )
         ).alias("rb"),
     ).select("id", "simhash", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"))
-    # Window-count cap, not groupBy + join-back (see minhash_lsh_candidates:
-    # the multi-occupancy bucket list is corpus-scale at 100 TB, and the one
-    # (rot, bucket) exchange is shared with the pair join below).
-    bucket_w = Window.partitionBy("rot", "bucket")
-    capped = bucketed.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
-        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
+    # Cap + pair formation exactly as in minhash_lsh_candidates (see the
+    # history note there): map-side partial-aggregated count bounds hot
+    # buckets to one long per task, the un-hinted semi-join-back lets AQE
+    # broadcast the small filtered count table (shuffle semi join at corpus
+    # scale), and pairs come from a bounded (≤ max_bucket) sorted
+    # collect_list + JVM upper-triangle explode — no self-join, so bucket
+    # entries cross the wire once.
+    keep = (
+        bucketed.groupBy("rot", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))
+        .select("rot", "bucket")
     )
-    a = capped.select("rot", "bucket", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = capped.select("rot", "bucket", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    capped = bucketed.join(keep, ["rot", "bucket"], "left_semi")
+    buckets_g = capped.groupBy("rot", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("es")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size("es") - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("es") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("es"), i + 1).alias("a"),
+                        F.element_at(F.col("es"), j + 1).alias("b"),
+                    ),
+                ),
+            )
+        )
+    )
+    hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
     return (
-        a.join(b, ["rot", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets_g.select(pair.alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
     )

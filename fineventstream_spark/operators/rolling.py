@@ -78,15 +78,23 @@ def _with_order_bucket(df: DataFrame, order_col: str, n_buckets: int) -> DataFra
     v = _order_value_expr(df, order_col)
     if v is None:
         return df.withColumn("__bkt", F.lit(0).cast("int"))
-    # NaN sorts LAST in Spark ASC order → pin it to the last bucket, and
-    # keep it out of min/max (max() would otherwise return NaN and poison
-    # every row's bucket arithmetic)
-    finite = F.when(~F.isnan(v), v)
+    # Non-finite values are pinned to the edge buckets matching Spark's ASC
+    # sort order (-inf first; NaN sorts AFTER +inf, both pinned last) and
+    # kept out of min/max: a single ±inf in the range would make width
+    # inf/NaN, floor() null, and least() would then silently collapse every
+    # finite row into one bucket — ordering stays correct but the
+    # distributed numbering degrades to a near-serial window.
+    inf = float("inf")
+    is_finite = (~F.isnan(v)) & (v > F.lit(-inf)) & (v < F.lit(inf))
+    finite = F.when(is_finite, v)
     stats = df.agg(F.min(finite).alias("__lo"), F.max(finite).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
     bkt = (
-        F.when(v.isNull() | (F.col("__hi") <= F.col("__lo")), F.lit(0))
-        .when(F.isnan(v), F.lit(n_buckets - 1))
+        F.when(v.isNull() | (v == F.lit(-inf)), F.lit(0))
+        .when(F.isnan(v) | (v == F.lit(inf)), F.lit(n_buckets - 1))
+        # all-non-finite input leaves __hi/__lo null: null <= null is null,
+        # so test __hi explicitly before the arithmetic branch
+        .when(F.col("__hi").isNull() | (F.col("__hi") <= F.col("__lo")), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_buckets - 1),

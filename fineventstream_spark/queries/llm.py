@@ -701,15 +701,20 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the shingle key is carried as xxhash64 — 8 bytes instead of a
     ~50-byte string — through both fact-scale shuffles, which at 100 TB
     cuts shuffle bytes ~6x. The duplicate mark is a WINDOW over the
-    shingle hash (``size(collect_set(doc_id))`` — per-shingle doc sets
-    are few entries, boilerplate worst case = corpus doc count), not a
-    groupBy + join-back: the join formulation shingles the fact TWICE
-    and adds a third exchange plus a 10M-row sort-merge (measured at
-    sf1: 9.0 s → 4.0 s from this change). The oracle joins on the raw
-    shingle string; a 64-bit hash collision would need ~2^32 distinct
-    shingles to matter (birthday bound), far beyond any corpus's shingle
-    count times this query's per-shingle cardinality. Top-50 with
-    (dup_ratio DESC, doc_id) total order."""
+    shingle hash, not a groupBy + join-back: the join formulation
+    shingles the fact TWICE and adds a third exchange plus a 10M-row
+    sort-merge (measured at sf1: 9.0 s → 4.0 s from the window form).
+    The "shared by >1 distinct doc" predicate is ``min(doc_id) !=
+    max(doc_id)`` over that window — exact, and constant memory per
+    aggregate even when a boilerplate shingle's partition holds the
+    whole corpus (the r4 ``size(collect_set(doc_id))`` form materialized
+    the full per-shingle doc-id set on every row of a hot partition — an
+    OOM/straggler hazard at 100 TB; min/max stream through the spillable
+    window sorter instead). The oracle joins on the raw shingle string;
+    a 64-bit hash collision would need ~2^32 distinct shingles to matter
+    (birthday bound), far beyond any corpus's shingle count times this
+    query's per-shingle cardinality. Top-50 with (dup_ratio DESC,
+    doc_id) total order."""
     t = Tables(spark, sf_dir)
     toks = t.documents.select("doc_id", F.split("text", " ").alias("ts")).filter(
         F.size("ts") >= 8
@@ -724,15 +729,16 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh_hash"),
     )
     hash_w = Window.partitionBy("sh_hash")
-    marked = sh.withColumn("nd", F.size(F.collect_set("doc_id").over(hash_w)))
+    marked = sh.withColumn(
+        "dup",
+        (F.min("doc_id").over(hash_w) != F.max("doc_id").over(hash_w)).cast("long"),
+    )
     return (
         marked.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
-            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_shingles"),
-            F.round(
-                F.sum((F.col("nd") > 1).cast("long")) / F.count("*"), 4
-            ).alias("dup_ratio"),
+            F.sum("dup").alias("n_dup_shingles"),
+            F.round(F.sum("dup") / F.count("*"), 4).alias("dup_ratio"),
         )
         .filter(F.col("n_dup_shingles") > 0)
         .orderBy(F.col("dup_ratio").desc(), F.col("doc_id"))

@@ -1009,3 +1009,49 @@ def test_distributed_row_number_matches_serial_on_skew(spark):
     g = {(r.k, r.t, r.tie): r.rn for r in got.collect()}
     e = {(r.k, r.t, r.tie): r.rn for r in want.collect()}
     assert g == e
+
+
+def test_distributed_row_number_nonfinite_order_values(spark):
+    """±Infinity / NaN in a double order column must neither poison the
+    bucket arithmetic (inf width → null floor → every finite row silently
+    collapsing into one bucket) nor break exactness: non-finite values are
+    excluded from the min/max and pinned to the edge buckets matching
+    Spark's ASC sort order (-inf first, NaN after +inf last). Numbering
+    must equal the serial window AND finite rows must still spread over
+    multiple buckets (the scalability contract the round-4 form silently
+    dropped)."""
+    from pyspark.sql import Window
+
+    from fineventstream_spark.operators.rolling import (
+        _with_order_bucket,
+        with_distributed_row_number,
+    )
+
+    inf, nan = float("inf"), float("nan")
+    rows = [(i % 4, float(i * 13 % 997), i) for i in range(4_000)]
+    rows += [(0, -inf, 90001), (1, inf, 90002), (2, nan, 90003), (3, None, 90004),
+             (0, inf, 90005), (1, -inf, 90006)]
+    df = spark.createDataFrame(rows, "k int, t double, tie long")
+    got = with_distributed_row_number(df, ["k"], ["t", "tie"], "rn")
+    w = Window.partitionBy("k").orderBy("t", "tie")
+    want = df.withColumn("rn", F.row_number().over(w) - 1)
+    key = lambda r: (r.k, str(r.t), r.tie)  # str(): NaN != NaN under ==
+    assert {key(r): r.rn for r in got.collect()} == {
+        key(r): r.rn for r in want.collect()
+    }
+    n_buckets = (
+        _with_order_bucket(df, "t", 32).filter(~F.isnan("t") | F.col("t").isNull())
+        .select("__bkt").distinct().count()
+    )
+    assert n_buckets > 8, f"finite rows collapsed into {n_buckets} buckets"
+
+    # all-non-finite input: still exact, single degenerate bucket is fine
+    df2 = spark.createDataFrame(
+        [(0, inf, 1), (0, -inf, 2), (0, nan, 3), (0, None, 4)],
+        "k int, t double, tie long",
+    )
+    got2 = with_distributed_row_number(df2, ["k"], ["t", "tie"], "rn")
+    want2 = df2.withColumn("rn", F.row_number().over(w) - 1)
+    assert {key(r): r.rn for r in got2.collect()} == {
+        key(r): r.rn for r in want2.collect()
+    }

@@ -692,12 +692,25 @@ def test_substring_dedup_two_exchanges_no_join(spark, sf_dir):
     assert "Join" not in plan, "pair-marking must not join"
 
 
-def test_lsh_bucket_cap_is_window_not_join(spark, sf_dir):
-    """The LSH candidate stage's bucket-size cap must be a window count
-    over the bucket key (shared exchange with the pair join), not a
-    groupBy + join-back: the plan must contain a Window with a count over
-    the band/bucket partition and no Aggregate-derived join on the count
-    side (no corpus-scale broadcast, no extra AQE barrier)."""
+def test_lsh_bucket_cap_is_partial_agg_and_never_forces_broadcast(spark, sf_dir):
+    """The r5 LSH candidate-stage contract (see operators/dedup.py history
+    note): the bucket cap is a map-side partial-aggregated groupBy count —
+    never a window that buffers full hot-bucket partitions — semi-joined
+    back with NO broadcast hint, and pair formation is a bounded
+    collect_list + JVM explode, NOT an a×b self-join (which exchanged the
+    band entries twice; AQE measurably does not reuse those exchanges
+    across cached-subtree branches). Pinned plan properties:
+
+    1. the cap side partial-aggregates (a HashAggregate pair over the
+       bucket key, so hot buckets cost one long per task);
+    2. with broadcasts disabled the plan contains no BroadcastExchange at
+       all — nothing in the operator FORCES a corpus-scale broadcast; any
+       broadcast seen under defaults is AQE's size-based choice;
+    3. exactly ONE join (the cap semi-join) and no Window — band entries
+       cross the wire once, in the pair-formation groupBy.
+    """
+    import re
+
     from fineventstream_spark.operators.dedup import minhash_lsh_candidates
 
     # earlier tests persist the signature subtree; the CacheManager would
@@ -705,14 +718,21 @@ def test_lsh_bucket_cap_is_window_not_join(spark, sf_dir):
     # assert against the uncached plan
     spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    df = minhash_lsh_candidates(docs, "text", "doc_id")
-    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-    assert "Window" in plan
-    # exactly one join remains: the a x b pair join on (band, bucket)
-    import re
-
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = minhash_lsh_candidates(docs, "text", "doc_id")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan, "operator must not force a broadcast"
+    assert "Window" not in plan, "cap must not buffer full bucket partitions"
+    aggs = re.findall(r"^\(\d+\) \w*HashAggregate", plan, re.M)
+    assert len(aggs) >= 2, "cap count must be a partial-aggregated groupBy"
     joins = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
-    assert len(joins) == 1, f"expected only the pair join, got {joins}"
+    assert len(joins) == 1, f"expected only the cap semi-join, got {joins}"
 
 
 def test_distributed_row_number_handles_ntz_order(spark):
