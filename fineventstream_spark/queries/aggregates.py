@@ -114,11 +114,31 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A4",),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — the 100 TB cardinality path."""
+    """HyperLogLog++ approximate distinct — the 100 TB cardinality path.
+
+    Self-certifying (rows-only driver check, same pattern as
+    q_agg_sketch_rollup / KLL): each row carries ``rel_err`` — the HLL
+    estimate's relative error vs an in-plan exact countDistinct — so the
+    driver row certifies accuracy (≈2% at rsd 0.02), not just execution.
+    The exact pass exists ONLY for the audit; the production form is the
+    sketch alone (countDistinct at 100 TB reshuffles every (flag, part)
+    pair — the thing the sketch avoids)."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count("*").alias("n"),
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts"),
+                4,
+            ),
+        )
     )
 
 

@@ -98,32 +98,80 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PLANT_OFFSET = 100_000_000
+
+
+def _planted_text_corpus(t: Tables):
+    """Corpus + deterministic exact-copy plants for self-certifying the
+    near-dup pipelines (the Z5 pattern from q_llm_dedup_embedding): every
+    doc with ``doc_id % 41 == 0`` (~2.4%) is cloned verbatim with its id
+    offset by 10^8. An exact copy has an identical MinHash signature /
+    SimHash fingerprint, so every planted (orig, clone) pair MUST surface
+    through the bucket pipeline unless a hot-bucket cap dropped it —
+    ``planted_recall`` reports exactly that, making the rows-only driver
+    row certify candidate quality, not just execution."""
+    src = t.documents.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    planted = src.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    corpus = t.documents.select("doc_id", "text").unionByName(planted)
+    return src, corpus
+
+
+def _with_planted_recall(pairs: DataFrame, src: DataFrame) -> DataFrame:
+    """Attach (planted_pairs, planted_recall) audit columns: the fraction
+    of planted (orig, orig+offset) pairs present in ``pairs``."""
+    n_planted = src.agg(F.count("*").alias("planted_pairs"))
+    n_found = pairs.filter(
+        (F.col("id_b") >= _PLANT_OFFSET)
+        & (F.col("id_a") == F.col("id_b") - _PLANT_OFFSET)
+    ).agg(F.count("*").alias("found"))
+    audit = n_planted.crossJoin(n_found).select(
+        "planted_pairs",
+        F.round(F.col("found") / F.col("planted_pairs"), 4).alias("planted_recall"),
+    )
+    return pairs.crossJoin(F.broadcast(audit))
+
+
 @register("q_llm_dedup_near", oracle=None, tags=("U5",))
 def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (64 hashes, 16 bands) with
-    estimated Jaccard ≥ 0.5. Approximate by design → rows-only."""
+    estimated Jaccard ≥ 0.5. Approximate by design → rows-only, so the
+    result self-certifies via planted exact copies + ``planted_recall``
+    in-row (see _planted_text_corpus)."""
     t = Tables(spark, sf_dir)
-    pairs = dedup.minhash_lsh_candidates(t.documents, "text", "doc_id")
-    return pairs.filter(F.col("est_jaccard") >= 0.5)
+    src, corpus = _planted_text_corpus(t)
+    pairs = dedup.minhash_lsh_candidates(corpus, "text", "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    ).persist()
+    return _with_planted_recall(pairs, src)
 
 
 @register("q_llm_dedup_ngram_jaccard", oracle=None, tags=("U5",))
 def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification over the LSH candidate set only
-    (the scalable verify step — never all-pairs)."""
+    (the scalable verify step — never all-pairs). Self-certifies end to
+    end: a planted exact copy has Jaccard exactly 1.0, so
+    ``planted_recall`` proves candidate generation AND the exact verify
+    both passed each planted pair through."""
     t = Tables(spark, sf_dir)
-    cands = dedup.minhash_lsh_candidates(t.documents, "text", "doc_id")
-    return dedup.ngram_jaccard_verify(cands, t.documents, "text", "doc_id").filter(
+    src, corpus = _planted_text_corpus(t)
+    cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id")
+    verified = dedup.ngram_jaccard_verify(cands, corpus, "text", "doc_id").filter(
         F.col("jaccard") >= 0.5
-    )
+    ).persist()
+    return _with_planted_recall(verified, src)
 
 
 @register("q_llm_dedup_simhash", oracle=None, tags=("U5",))
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, prefix-bucket candidates,
-    Hamming distance ≤ 6."""
+    Hamming distance ≤ 6. Self-certifies via planted exact copies
+    (identical fingerprint → Hamming 0) + ``planted_recall`` in-row."""
     t = Tables(spark, sf_dir)
-    return dedup.simhash_candidates(t.documents, "text", "doc_id").filter(F.col("hamming") <= 6)
+    src, corpus = _planted_text_corpus(t)
+    pairs = dedup.simhash_candidates(corpus, "text", "doc_id").filter(
+        F.col("hamming") <= 6
+    ).persist()
+    return _with_planted_recall(pairs, src)
 
 
 @register("q_llm_dedup_embedding", oracle=None, tags=("U5", "U6"))
