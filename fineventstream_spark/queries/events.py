@@ -334,17 +334,23 @@ def q_event_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution-quality benchmark every quote consumer computes (the
     reference's envelope carries size in the JSON payload — reference
     src/producer/producer_stock_quotes.py quotes have price+size; here
-    props.$.k plays the size). Single aggregation pass: the JSON volume
-    is extracted ONCE in an explicit pre-aggregation projection — three
-    aggregate expressions referencing ``get_json_object`` directly would
-    each re-parse the JSON per row (measured at sf1: 2.9 s → 2.5 s from
-    this alone) — then one partial-aggregated shuffle on the bar key;
-    identical shape to the OHLC rollup, so at 100 TB both bars come from
-    the same exchange when computed together."""
-    t = Tables(spark, sf_dir)
-    vol = F.get_json_object("props", "$.k").cast("double")
+    props.$.k plays the size). Reads the SHREDDED events derivative
+    (``scans.events_shredded``): the size lives as a typed parquet
+    column, so the plan is a 3-column scan + one partial-aggregated
+    shuffle on the bar key with ZERO JSON parsing at query time.
+    History: r3 parsed JSON once per row in a pre-aggregation projection
+    (2.5 s at sf1 — the worst oracle-matched DuckDB ratio, 11×, and a
+    storage-format floor: from_json/variant measured the same); the r4
+    verdict's fix is this shred-on-ingest derivative, which IS the
+    100 TB lake design (hot JSON fields become columns at ingest, paid
+    once, every query after reads columnar). The DuckDB oracle still
+    parses the RAW events table's JSON — cross-checking that the shred
+    is lossless."""
+    from fineventstream_spark.queries.scans import events_shredded
+
+    ev = events_shredded(spark, sf_dir)
     return (
-        t.events.select("event_type", "ts", "value", vol.alias("vol"))
+        ev.select("event_type", "ts", "value", F.col("props_k").alias("vol"))
         .groupBy("event_type", F.date_trunc("day", "ts").alias("bar_ts"))
         .agg(
             F.round(F.sum(F.col("value") * F.col("vol")) / F.sum("vol"), 4).alias("vwap"),

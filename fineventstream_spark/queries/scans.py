@@ -111,6 +111,35 @@ def _events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def events_shredded(spark: SparkSession, sf_dir: str):
+    """Events with the hot JSON field shredded into a typed column —
+    the lake's shred-on-ingest step, materialized once per source
+    fingerprint.
+
+    ``props.$.k`` is the quote-size field every VWAP-family query needs
+    (reference src/producer/producer_stock_quotes.py payloads carry
+    price+size); parsing it from the JSON string at query time is the
+    single largest per-query cost left in the event family (measured at
+    sf1: ~2 s of ``get_json_object`` per pass — from_json/variant
+    measure the same, so it is a storage-format floor, not a plan
+    problem). At 100 TB the fix is exactly this derivative: hot fields
+    become parquet columns at ingest, the raw ``props`` string stays for
+    cold fields, and every downstream query reads the column. Returns
+    the shredded DataFrame (schema = events + ``props_k double``)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _cache_dir(sf_dir, "events_shredded", schema_fingerprint(ev))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            ev.withColumn(
+                "props_k", F.get_json_object("props", "$.k").cast("double")
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _prune_stale_siblings(path, "events_shredded")
+    return spark.read.parquet(path)
+
+
 @register(
     "q_scan_parquet",
     oracle="""
@@ -540,6 +569,7 @@ def prewarm_derivatives(spark: SparkSession, sf_dir: str) -> None:
     _events_partitioned_path(spark, sf_dir)
     _documents_drift_path(spark, sf_dir)
     _events_nested_path(spark, sf_dir)
+    events_shredded(spark, sf_dir)
     from fineventstream_spark.registry import REGISTRY
 
     for name in ("q_sink_partitioned_write", "q_scan_csv", "q_scan_orc"):

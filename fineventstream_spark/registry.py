@@ -37,70 +37,32 @@ REGISTRY: dict[str, Query] = {}
 # The external driver hash-checks the registry in iteration order and (as
 # observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-4 rotation: (a) the 29 round-3 additions that have NEVER had
-# a driver row (VERDICT.md "Next round" #1) lead the window, (b) the
-# queries whose implementation changed this round re-check (embedding
-# dedup now self-certifying, multimodal real decode, LSH de-broadcast,
-# chunked-rolling re-numbering, partition-prune cache prebuild), (c) the
-# remainder re-checks greens in least-recently-verified order. Everything
-# past the window is still covered by the local differential suite at the
-# identical compare strictness. Names not present in REGISTRY are skipped.
+# rows. Round-5 rotation (VERDICT r4 "Next round" #6): (a) every query
+# whose behavior changed this round leads — the LSH pair-formation
+# rewrite + its consumers, the new planted-recall/rel_err audits, the
+# substring-dedup min/max window, the vwap shred derivative, the
+# rolling-bucket infinity fix, the multimodal iteration rewrite, and the
+# re-measured order_priority; (b) then the least-recently-verified set:
+# all remaining r1-checked queries (the functions.py family, core aggs,
+# cross join, IVF/fingerprint), then the oldest r2-checked ones until
+# the window runs out. Everything past the window is still covered by
+# the local differential suite at the identical compare strictness.
+# Names not present in REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (all round-3 additions) — 29 names
-    "q_scan_orc",
-    "q_scan_nested",
-    "q_source_datasource_quotes",
-    "q_scd2_user_segment",
-    "q_snapshot_diff",
-    "q_dq_profile",
-    "q_rollup_incremental",
-    "q_join_asof_forward",
-    "q_report_important_stock",
-    "q_report_ship_priority_split",
-    "q_report_supplier_part_count",
-    "q_report_dominant_supplier",
-    "q_event_vwap",
-    "q_event_twap",
-    "q_event_resample_ffill",
-    "q_event_rolling_zscore",
-    "q_event_correlation",
-    "q_event_drawdown",
-    "q_event_volatility",
-    "q_event_gap_detection",
-    "q_event_concentration",
-    "q_event_similar_days",
-    "q_event_wow_change",
-    "q_event_funnel_windowed",
+    # (a) changed in round 5 — re-check with hard driver rows
+    "q_llm_dedup_near",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_ngram_jaccard",
+    "q_llm_dedup_cluster",
+    "q_llm_near_dedup_pipeline",
     "q_llm_substring_dedup",
-    "q_llm_bigram_counts",
-    "q_llm_unigram_logprob",
-    "q_win_share_of_total",
-    "q_agg_count_of_counts",
-    # changed this round — re-check with hard driver rows
-    "q_llm_dedup_embedding",
+    "q_agg_approx_distinct",
+    "q_event_vwap",
+    "q_event_rolling_zscore",
     "q_mm_features",
     "q_mm_frame_sample",
-    "q_llm_near_dedup_pipeline",
-    "q_llm_dedup_cluster",
-    "q_event_ohlc_bars",
-    "q_scan_partition_prune",
-    "q_llm_kmeans",
-    # new this round — first driver rows (self-certifying sketch family,
-    # ordered-set aggregates, count-only token scans)
-    "q_agg_kll_quantile_rollup",
-    "q_event_theta_overlap",
-    "q_agg_median_mode",
-    "q_fn_string_agg",
-    "q_llm_text_stats",
-    "q_llm_token_count",
-    # least-recently-verified greens (r1) — rotate back through the window
-    "q_join_inner",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_range",
+    "q_report_order_priority",
+    # (b) least-recently-verified: the r1-checked remainder
     "q_join_cross",
     "q_agg_groupby_basic",
     "q_agg_global",
@@ -110,7 +72,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_having",
     "q_agg_collect",
     "q_agg_pivot",
-    # deeper re-checks if the window runs past ~50
     "q_json_extract",
     "q_base64_roundtrip",
     "q_date_trunc_format",
@@ -127,11 +88,27 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_hash_stable",
     "q_llm_dedup_exact",
     "q_llm_knn_cosine",
-    "q_llm_text_stats",
     "q_llm_lang_id",
     "q_llm_quality_score",
-    "q_llm_token_count",
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_llm_knn_ivf",
+    "q_llm_fingerprint",
+    # oldest r2-checked fill the rest of the ~50 window
+    "q_agg_stats",
+    "q_agg_approx_percentile",
+    "q_agg_salted",
+    "q_dq_violations",
+    "q_join_asof",
+    "q_udtf_chunk",
+    "q_llm_train_split",
+    "q_llm_decontaminate",
+    "q_llm_pack_sequences",
+    "q_project_rename",
+    "q_derive_epoch_ts",
+    "q_filter_notnull",
 )
+
 
 
 def register(
