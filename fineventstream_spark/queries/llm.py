@@ -744,37 +744,40 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     than one document marks a cross-document duplicated passage; docs
     are ranked by the fraction of their shingles that are duplicated —
     the curation signal for boilerplate / mirrored spans that
-    whole-document dedup cannot see. Spark side: shingling is pure
-    built-in HOFs (sequence → transform(slice) → explode, codegen JVM),
-    and the shingle key is carried as xxhash64 — 8 bytes instead of a
-    ~50-byte string — through both fact-scale shuffles, which at 100 TB
-    cuts shuffle bytes ~6x. The duplicate mark is a WINDOW over the
-    shingle hash, not a groupBy + join-back: the join formulation
-    shingles the fact TWICE and adds a third exchange plus a 10M-row
-    sort-merge (measured at sf1: 9.0 s → 4.0 s from the window form).
-    The "shared by >1 distinct doc" predicate is ``min(doc_id) !=
-    max(doc_id)`` over that window — exact, and constant memory per
-    aggregate even when a boilerplate shingle's partition holds the
-    whole corpus (the r4 ``size(collect_set(doc_id))`` form materialized
-    the full per-shingle doc-id set on every row of a hot partition — an
-    OOM/straggler hazard at 100 TB; min/max stream through the spillable
-    window sorter instead). The oracle joins on the raw shingle string;
-    a 64-bit hash collision would need ~2^32 distinct shingles to matter
-    (birthday bound), far beyond any corpus's shingle count times this
-    query's per-shingle cardinality. Top-50 with (dup_ratio DESC,
-    doc_id) total order."""
+    whole-document dedup cannot see. Spark side: shingling is ONE fused
+    Arrow kernel (``dedup.text_to_shingle_hashes_udf`` — the r5 rewrite;
+    the previous built-in-HOF formulation evaluated every shingle's
+    slice+concat+hash in interpreted CodegenFallback mode, 2.8 s at sf1
+    before any exchange even ran), and the shingle key is a 64-bit
+    blake2b hash — 8 bytes instead of a ~50-byte string — through both
+    fact-scale shuffles, which at 100 TB cuts shuffle bytes ~6x. The
+    duplicate mark is a WINDOW over the shingle hash, not a groupBy +
+    join-back: the join formulation shingles the fact TWICE and adds a
+    third exchange plus a 10M-row sort-merge. The "shared by >1 distinct
+    doc" predicate is ``min(doc_id) != max(doc_id)`` over that window —
+    exact, and constant memory per aggregate even when a boilerplate
+    shingle's partition holds the whole corpus (the r4
+    ``size(collect_set(doc_id))`` form materialized the full per-shingle
+    doc-id set on every row of a hot partition — an OOM/straggler hazard
+    at 100 TB; min/max stream through the spillable window sorter
+    instead). The oracle joins on the raw shingle string; a 64-bit hash
+    collision would need ~2^32 distinct shingles to matter (birthday
+    bound), far beyond any corpus's shingle count times this query's
+    per-shingle cardinality. Top-50 with (dup_ratio DESC, doc_id) total
+    order."""
     t = Tables(spark, sf_dir)
-    toks = t.documents.select("doc_id", F.split("text", " ").alias("ts")).filter(
-        F.size("ts") >= 8
-    )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ts") - 7),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("ts", i, 8))),
-            )
-        ).alias("sh_hash"),
+    n_cores = spark.sparkContext.defaultParallelism
+    # spread docs across all cores BEFORE the CPU-heavy kernel (lake files
+    # can be one huge row group), same pattern as the MinHash kernel
+    sh = (
+        t.documents.select("doc_id", "text")
+        .repartition(n_cores, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(dedup.text_to_shingle_hashes_udf(8)(F.col("text"))).alias(
+                "sh_hash"
+            ),
+        )
     )
     hash_w = Window.partitionBy("sh_hash")
     marked = sh.withColumn(

@@ -678,17 +678,20 @@ def test_snapshot_diff_pushes_both_cutoffs(spark, sf_dir):
     assert "FullOuter" in plan or "full_outer" in plan.lower()
 
 
-def test_substring_dedup_two_exchanges_no_join(spark, sf_dir):
-    """The round-4 rewrite's contract: duplicated-passage detection is one
-    shingling pass feeding exactly TWO exchanges (shingle-hash window,
-    doc groupBy) and ZERO joins — the groupBy+join-back formulation it
-    replaced shingled the fact twice and added a third exchange plus a
-    fact-scale sort-merge join."""
+def test_substring_dedup_single_pass_no_join(spark, sf_dir):
+    """The substring-dedup plan contract (r4 rewrite + r5 kernel): ONE
+    shingling pass (a single ArrowEvalPython kernel stage) feeding
+    exactly THREE exchanges — the pre-kernel core-spread repartition
+    (narrow doc rows), the shingle-hash window, the doc groupBy — and
+    ZERO joins. The groupBy+join-back formulation it replaced shingled
+    the fact twice and added a fact-scale sort-merge join."""
     import re
 
     plan = _plan(spark, sf_dir, "q_llm_substring_dedup")
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
-    assert len(exchanges) == 2, f"expected 2 exchanges, plan has {len(exchanges)}"
+    assert len(exchanges) == 3, f"expected 3 exchanges, plan has {len(exchanges)}"
+    kernels = re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)
+    assert len(kernels) == 1, "shingling must be one fused kernel pass"
     assert "Join" not in plan, "pair-marking must not join"
 
 
