@@ -520,18 +520,35 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges) and assign each row its cluster keeper. Edges here are exact-
     text matches so the result is oracle-checkable; the same operator
     consumes MinHash/SimHash candidate pairs unchanged
-    (operators/cluster.py)."""
+    (operators/cluster.py). Edge generation (r5): group sorted doc ids
+    by sha2(text) — ONE partial-aggregated exchange keyed on 32 bytes,
+    cryptographic so no collision verify is needed — and emit STAR edges
+    (min id → each other id): linear in group size even when one
+    boilerplate text repeats millions of times (a clique explode would
+    be quadratic there), and star edges reach the identical components.
+    The r4 form was a corpus self-join ON the raw text — a sort-merge
+    over ~250-char string keys, measured 3-11 s at sf1 depending on
+    session state vs sub-second for this shape."""
     from fineventstream_spark.operators.cluster import dedup_keepers
 
     t = Tables(spark, sf_dir)
     docs = t.documents
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
-    pairs = (
-        a.join(b, F.col("ta") == F.col("tb"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    groups = (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = groups.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ids")),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), 1).alias("id_a"),
+                    F.element_at(F.col("ids"), j).alias("id_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     return dedup_keepers(docs, pairs, "doc_id").select("doc_id", "keeper_id")
 
 

@@ -94,8 +94,10 @@ class PriceAlertProcessor(StatefulProcessor):
 
 def tws_available() -> bool:
     """transformWithState's Python wire protocol needs google.protobuf,
-    which is not guaranteed in every runtime (absent in this container);
-    callers pick the API accordingly."""
+    which is not guaranteed in every runtime (absent in this container,
+    and the sandbox has no package-install route — checked round 5); the
+    applyInPandasWithState twin carries the tested semantics. Callers
+    pick the API accordingly."""
     try:
         import google.protobuf  # noqa: F401
 

@@ -328,3 +328,199 @@ def spark_part(spark, sf_dir):
 @pytest.mark.parametrize("case_id", range(10))
 def test_fuzz_string_fn_case(case_id, spark_part, duck, sf_dir):
     _run_case(spark_part, duck, _gen_string_fn_case(random.Random(49_000 + case_id)))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 families (VERDICT r4 #10): the grammar was thin on as-of joins,
+# array higher-order functions, and LISTAGG shapes. The first two need a
+# DIALECT-PAIR runner (the semantics are identical but the surface syntax
+# is not shared: Spark `transform`/`LISTAGG ... WITHIN GROUP` vs DuckDB
+# `list_transform`/`string_agg(... ORDER BY)`), and the as-of family
+# compares the engine's asof_join OPERATOR against DuckDB's native ASOF
+# LEFT JOIN — fuzzing the operator itself, not just a SQL string.
+# ---------------------------------------------------------------------------
+
+
+def _run_pair_case(spark, duck, spark_sql: str, duck_sql: str) -> None:
+    srows = [tuple(r) for r in spark.sql(spark_sql).collect()]
+    drows = [tuple(r) for r in duck.execute(duck_sql).fetchall()]
+    assert len(srows) == len(drows), (
+        f"rowcount {len(srows)} vs {len(drows)}\nspark: {spark_sql}\nduck: {duck_sql}"
+    )
+
+    def norm(rows):
+        return sorted(
+            (tuple(round(v, 4) if isinstance(v, float) else v for v in r) for r in rows),
+            key=str,
+        )
+
+    assert norm(srows) == norm(drows), f"value mismatch:\nspark: {spark_sql}\nduck: {duck_sql}"
+
+
+def _gen_hof_case(rng: random.Random) -> tuple[str, str]:
+    """Array HOF compositions over a per-row 4-element array: lambda
+    transform + fold-sum, lambda filter + count, and sorted k-th element.
+    Exercises Spark's transform/filter/aggregate/array_sort against
+    DuckDB's list_transform/list_filter/list_sum/list_sort on identical
+    inputs. Float outputs use the integer-unit discipline (CAST(ROUND(x *
+    1000) AS BIGINT)): ``l_extendedprice / 1000`` has 5 decimal digits, so
+    a plain ROUND(_, 4) sits exactly on the .xxxx5 half-ulp boundary where
+    the engines' decimal rounding of the same binary double disagrees
+    (surfaced by this family's sf0.1 run: 14819.05 / 1000 → 14.819 vs
+    14.8191)."""
+    a = round(rng.uniform(0.5, 3.0), 2)
+    b = round(rng.uniform(-5, 5), 2)
+    c = round(rng.uniform(0, 50), 1)
+    k = rng.randint(1, 4)
+    arr = "l_quantity, l_extendedprice / 1000, l_discount * 100, l_tax * 100"
+    pred = f"l_orderkey % 97 = 0 AND l_quantity {rng.choice(CMP)} {rng.randint(5, 45)}"
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(ROUND(aggregate(transform(array({arr}), x -> x * {a} + {b}), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000) AS BIGINT) AS hof_sum, "
+        f"size(filter(array({arr}), x -> x > {c})) AS nkeep, "
+        f"CAST(ROUND(element_at(array_sort(array({arr})), {k}) * 1000) AS BIGINT) AS kth "
+        f"FROM lineitem WHERE {pred}"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(ROUND(list_sum(list_transform([{arr}], x -> x * {a} + {b})) * 1000) "
+        f"AS BIGINT) AS hof_sum, "
+        f"CAST(len(list_filter([{arr}], x -> x > {c})) AS INTEGER) AS nkeep, "
+        f"CAST(ROUND(list_sort([{arr}])[{k}] * 1000) AS BIGINT) AS kth "
+        f"FROM lineitem WHERE {pred}"
+    )
+    return spark_sql, duck_sql
+
+
+def _gen_listagg_case(rng: random.Random) -> tuple[str, str]:
+    """SQL:2023 LISTAGG / string_agg shapes: DISTINCT ordered-value lists
+    and non-distinct ordered aggregation over a filtered subset, with
+    random separator and direction — both deterministic because WITHIN
+    GROUP / ORDER BY pins element order."""
+    sep = rng.choice([",", "|", "-", ";"])
+    direction = rng.choice(["ASC", "DESC"])
+    group = rng.choice(["o_orderstatus", "o_orderpriority"])
+    if rng.random() < 0.5:
+        val = "o_orderpriority" if group == "o_orderstatus" else "o_orderstatus"
+        spark_sql = (
+            f"SELECT {group}, listagg(DISTINCT {val}, '{sep}') "
+            f"WITHIN GROUP (ORDER BY {val} {direction}) AS lst, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY {group}"
+        )
+        duck_sql = (
+            f"SELECT {group}, string_agg(DISTINCT {val}, '{sep}' "
+            f"ORDER BY {val} {direction}) AS lst, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY {group}"
+        )
+    else:
+        cutoff = rng.randint(400_000, 500_000)
+        spark_sql = (
+            f"SELECT {group}, listagg(CAST(o_orderkey AS STRING), '{sep}') "
+            f"WITHIN GROUP (ORDER BY o_orderkey {direction}) AS lst, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            f"WHERE o_totalprice > {cutoff} GROUP BY {group}"
+        )
+        duck_sql = (
+            f"SELECT {group}, string_agg(CAST(o_orderkey AS VARCHAR), '{sep}' "
+            f"ORDER BY o_orderkey {direction}) AS lst, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            f"WHERE o_totalprice > {cutoff} GROUP BY {group}"
+        )
+    return spark_sql, duck_sql
+
+
+@pytest.mark.parametrize("case_id", range(12))
+def test_fuzz_hof_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_pair_case(spark_two_tables, duck, *_gen_hof_case(random.Random(51_000 + case_id)))
+
+
+@pytest.mark.parametrize("case_id", range(12))
+def test_fuzz_listagg_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_pair_case(
+        spark_two_tables, duck, *_gen_listagg_case(random.Random(52_000 + case_id))
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+def _gen_asof_config(rng: random.Random) -> dict:
+    lt, rt = rng.sample(_EVENT_TYPES, 2)
+    return {
+        "left_type": lt,
+        "right_type": rt,
+        "direction": rng.choice(["backward", "forward"]),
+        # bound the left side so row-level outputs stay comparable-sized
+        "left_pred_mod": rng.choice([1, 2, 3, 5]),
+    }
+
+
+@pytest.fixture(scope="module")
+def spark_events(spark, sf_dir):
+    from fineventstream_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark
+
+
+@pytest.mark.parametrize("case_id", range(10))
+def test_fuzz_asof_case(case_id, spark_events, duck, sf_dir):
+    """Fuzz the asof_join OPERATOR (both directions, random type pairs and
+    left subsets) against DuckDB's native ASOF LEFT JOIN. The right side
+    is pre-deduplicated to unique (user_id, ts) so tie handling cannot
+    differ between the engines."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators.asof import asof_join
+
+    cfg = _gen_asof_config(random.Random(53_000 + case_id))
+    lt, rt, mod = cfg["left_type"], cfg["right_type"], cfg["left_pred_mod"]
+
+    left = spark_events.sql(
+        f"SELECT user_id, event_id, ts FROM events "
+        f"WHERE event_type = '{lt}' AND event_id % {mod} = 0"
+    )
+    right = spark_events.sql(
+        f"SELECT user_id, ts, ROUND(MAX(value), 4) AS rv FROM events "
+        f"WHERE event_type = '{rt}' GROUP BY user_id, ts"
+    )
+    if cfg["direction"] == "backward":
+        joined = asof_join(left, right, "user_id", "ts", "ts", ["rv"])
+        duck_cmp = "r.ts <= l.ts"
+    else:
+        neg = (-F.unix_micros(F.col("ts"))).alias("__nts")
+        joined = asof_join(
+            left.select("user_id", "event_id", "ts", neg),
+            right.select("user_id", "rv", neg),
+            "user_id",
+            "__nts",
+            "__nts",
+            ["rv"],
+        )
+        duck_cmp = "r.ts >= l.ts"
+    srows = [
+        tuple(r)
+        for r in joined.select("user_id", "event_id", "rv_asof").collect()
+    ]
+    duck_sql = f"""
+        WITH l AS (
+          SELECT user_id, event_id, ts FROM events
+          WHERE event_type = '{lt}' AND event_id % {mod} = 0
+        ), r AS (
+          SELECT user_id, ts, ROUND(MAX(value), 4) AS rv FROM events
+          WHERE event_type = '{rt}' GROUP BY user_id, ts
+        )
+        SELECT l.user_id, l.event_id, r.rv
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND {duck_cmp}
+    """
+    drows = duck.execute(duck_sql).fetchall()
+    assert len(srows) == len(drows)
+
+    def norm(rows):
+        return sorted(
+            (tuple(round(v, 4) if isinstance(v, float) else v for v in r) for r in rows),
+            key=str,
+        )
+
+    assert norm(srows) == norm(drows), f"as-of mismatch for {cfg}"
