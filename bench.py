@@ -181,6 +181,15 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt}s", file=sys.stderr)
+        # Per-query cache hygiene: every rep of a persist()-ing query
+        # registers a fresh InMemoryRelation (Python UDF expressions never
+        # canonicalize equal, so reps don't share entries) and nobody
+        # unpersists — by mid-suite the block manager holds GBs of dead
+        # cached blocks whose GC/eviction pressure taxes LATER queries
+        # (observed: q_llm_dedup_cluster 10.9 s in-suite vs 2.5 s solo at
+        # sf1). Clearing between queries makes each recorded number the
+        # query's own cost, the same isolation the solo method has.
+        spark.catalog.clearCache()
 
     result = {
         "metric": "total_headline_sec",
