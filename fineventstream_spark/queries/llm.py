@@ -533,12 +533,22 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     docs = t.documents
+    pairs = exact_dup_star_edges(docs, "text", "doc_id")
+    return dedup_keepers(docs, pairs, "doc_id").select("doc_id", "keeper_id")
+
+
+def exact_dup_star_edges(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id_a, id_b) star edges connecting each exact-duplicate group's
+    minimum id to its other members — the q_llm_dedup_cluster edge
+    generator, exposed so the plan test can audit the edge subtree
+    (connected_components truncates lineage via localCheckpoint, so the
+    final query plan no longer shows it)."""
     groups = (
-        docs.groupBy(F.sha2("text", 256).alias("h"))
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        docs.groupBy(F.sha2(text_col, 256).alias("h"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = groups.select(
+    return groups.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(2), F.size("ids")),
@@ -549,7 +559,6 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
-    return dedup_keepers(docs, pairs, "doc_id").select("doc_id", "keeper_id")
 
 
 @register(

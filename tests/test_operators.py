@@ -1055,3 +1055,51 @@ def test_distributed_row_number_nonfinite_order_values(spark):
     assert {key(r): r.rn for r in got2.collect()} == {
         key(r): r.rn for r in want2.collect()
     }
+
+
+def test_shingle_hash_kernel_matches_hof_formulation(spark):
+    """The fused blake2b shingle kernel must produce the same GROUPING
+    semantics as a direct per-shingle evaluation: same shingle string →
+    same hash, distinct shingles → distinct hashes (64-bit, so any
+    collision in a fixture-scale corpus is a bug), and docs shorter than
+    the shingle length yield no rows."""
+    from fineventstream_spark.operators.dedup import text_to_shingle_hashes_udf
+
+    texts = [
+        "a b c d e f g h i j",          # 10 words -> 3 shingles of 8
+        "a b c d e f g h",               # exactly one shingle
+        "a b c",                          # too short -> none
+        "",                               # empty -> none
+        "a b c d e f g h i j",          # duplicate doc -> identical hashes
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    rows = (
+        df.select("doc_id", F.explode(text_to_shingle_hashes_udf(8)("text")).alias("h"))
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.h)
+    assert sorted(by_doc) == [0, 1, 4]
+    assert len(by_doc[0]) == 3 and len(by_doc[1]) == 1
+    assert by_doc[0] == by_doc[4], "identical docs must hash identically"
+    # shingle 'a b c d e f g h' appears in docs 0, 1 and 4 - same value
+    assert by_doc[1][0] == by_doc[0][0]
+    assert len(set(by_doc[0])) == 3, "distinct shingles must not collide"
+
+
+def test_lsh_pair_agreement_matches_signature_fraction(spark):
+    """est_jaccard from the r5 JVM zip_with formulation must equal the
+    exact fraction of agreeing signature positions (the r4 pandas kernel
+    contract): planted exact copies agree at 1.0, unrelated word-soup
+    docs agree near 0."""
+    from fineventstream_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} " * 3) for i in range(6)]
+    docs.append((100, docs[0][1]))  # exact copy of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in minhash_lsh_candidates(df, "text", "doc_id").collect()}
+    assert pairs[(0, 100)] == 1.0
+    for (a, b), j in pairs.items():
+        assert 0.0 <= j <= 1.0

@@ -762,3 +762,38 @@ def test_distributed_row_number_handles_ntz_order(spark):
     want = {(r.k, r.ts, r.tie): r.rn for r in
             df.withColumn("rn", F.row_number().over(w) - 1).collect()}
     assert got == want
+
+
+def test_vwap_reads_shredded_derivative_no_json(spark, sf_dir):
+    """q_event_vwap's r5 contract: the plan reads the shred-on-ingest
+    derivative (props.$.k as a typed parquet column) with column pruning
+    down to the three columns the bars need, and contains ZERO
+    query-time JSON parsing — the 2 s/1M-row get_json_object cost the r4
+    verdict flagged is paid once at ingest, never per query."""
+    plan = _plan(spark, sf_dir, "q_event_vwap")
+    assert "get_json_object" not in plan, "query-time JSON parse crept back in"
+    assert "events_shredded" in plan, "must scan the shredded derivative"
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "props_k" in read_schema
+    assert "props:" not in read_schema, "raw JSON column must be pruned"
+    assert "user_id" not in read_schema, "unused columns must be pruned"
+
+
+def test_dedup_cluster_star_edges_no_text_join(spark, sf_dir):
+    """q_llm_dedup_cluster's r5 edge generation: sha2-grouped sorted id
+    lists exploded as star edges — the edge subtree (audited directly;
+    connected_components truncates lineage so the final query plan no
+    longer shows it) must hash-group on the digest with partial
+    aggregation and contain NO join at all (the r4 form was a corpus
+    self-join sort-merging ~250-char string keys)."""
+    import re
+
+    from fineventstream_spark.queries.llm import exact_dup_star_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = exact_dup_star_edges(docs, "text", "doc_id")
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "sha2" in plan
+    assert "Join" not in plan, "edge generation must not join"
+    aggs = re.findall(r"^\(\d+\) \w*HashAggregate", plan, re.M)
+    assert len(aggs) >= 2, "edge grouping must partial-aggregate"
