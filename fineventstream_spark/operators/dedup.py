@@ -8,12 +8,15 @@ construction so re-runs and retried tasks agree):
 - SimHash:      64-bit near-dup fingerprint, bucket by rotated prefixes
 - n-gram Jaccard: exact verify on LSH candidate pairs only
 
-Scale design (100 TB): the only shuffles are (a) the band-bucket groupBy,
-whose payload is (band_hash → doc_id, signature) — tiny vs the corpus, and
-(b) the final candidate-pair join-back. The O(n²) trap (all-pairs compare)
-is structurally avoided: pairs are only formed within an LSH bucket, and
-oversized buckets (degenerate content) are capped. Everything up to the
-bucket groupBy is JVM built-ins inside one codegen stage — no Python.
+Scale design (100 TB): band entries — (band, bucket → doc_id, signature),
+tiny vs the corpus — cross the wire ONCE, into the bucket groupBy that
+forms pairs (bounded collect_list + JVM upper-triangle explode; the cap
+count that precedes it is map-side partial-aggregated and its join-back
+is un-hinted, so AQE broadcasts it only while it is actually small). The
+O(n²) trap (all-pairs compare) is structurally avoided: pairs are only
+formed within an LSH bucket, and oversized buckets (degenerate content)
+are capped before any list materializes. Everything downstream of the
+signature kernel is JVM built-ins.
 """
 
 from __future__ import annotations
