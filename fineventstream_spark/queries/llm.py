@@ -653,40 +653,87 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ED_CHARS = "etaonisrhl"  # high-frequency letters → near-independent prunes
+
+
+def _ed_count_conds() -> str:
+    """SQL conjuncts: per-character count difference ≤ 5 for each prune
+    letter — see q_llm_edit_distance."""
+    conds = []
+    for ch in _ED_CHARS:
+        fa = f"(length(a.text) - length(replace(a.text, '{ch}', '')))"
+        fb = f"(length(b.text) - length(replace(b.text, '{ch}', '')))"
+        conds.append(f"abs({fa} - {fb}) <= 5")
+    return " AND ".join(conds)
+
+
 @register(
     "q_llm_edit_distance",
-    oracle="""
+    oracle=f"""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
     FROM documents a
     JOIN documents b
       ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+     AND {_ed_count_conds()}
     WHERE levenshtein(a.text, b.text) <= 5
     """,
     tags=("U5", "F4"),
 )
 def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup verify with length blocking: candidate
-    pairs come from an equi-join on exact length (edit distance ≤ k
-    implies length difference ≤ k — the classic blocking key, here k=0
-    per bucket for an exact equi-join; widen with a band join on
-    |len_a − len_b| ≤ k at recall cost 0). The quadratic levenshtein
-    kernel therefore runs only inside length buckets, never all-pairs —
-    the same cap-the-bucket shape as the MinHash/SimHash candidates.
-    JVM levenshtein on both engines (identical classic DP semantics)."""
+    """Edit-distance near-dup verify with length blocking + character-
+    count pruning. Candidate pairs come from an equi-join on exact
+    length (edit distance ≤ k implies length difference ≤ k — the
+    classic blocking key). Length alone is WEAK blocking on a
+    concentrated length distribution: at sf1 it admits ~10M pairs and a
+    full 250×250 DP per pair ground a single executor core for 30+
+    minutes (caught by the r5 sf1 differential sweep). Two exact
+    refinements fix that without changing one output row:
+
+    1. **Character-count prune** (join condition, whole-stage codegen):
+       one edit changes any single character's count by at most 1, so
+       dist ≤ 5 requires |count_c(a) − count_c(b)| ≤ 5 for EVERY
+       character c. Ten high-frequency letters' counts (length minus
+       translate, computed once per DOC, not per pair) reject word-soup
+       non-dups near-independently — the pair stream collapses before
+       any DP runs. The ORACLE carries the same (necessary, hence
+       semantics-preserving) conjuncts so DuckDB's side of the
+       differential is equally fast.
+    2. **Banded DP**: ``levenshtein(ta, tb, 5)`` (Spark 3.5+ threshold
+       form) runs the O(n·k) band — 23× less work than the full
+       matrix — returning -1 past the threshold, exactly the rows the
+       filter drops anyway.
+
+    Plus a core-spread repartition on the probe side: the corpus scans
+    as ONE task from a single parquet file and a broadcast join inherits
+    that parallelism for its stream side — the third cause of the
+    single-core grind."""
     t = Tables(spark, sf_dir)
-    a = t.documents.select(
+    n_cores = spark.sparkContext.defaultParallelism
+
+    def counts(prefix: str):
+        return [
+            (F.length("text") - F.length(F.translate("text", ch, ""))).alias(
+                f"{prefix}{i}"
+            )
+            for i, ch in enumerate(_ED_CHARS)
+        ]
+
+    a = t.documents.repartition(n_cores, "doc_id").select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("ta"),
-        F.col("n_chars").alias("na"),
+        F.col("n_chars").alias("na"), *counts("ca"),
     )
     b = t.documents.select(
         F.col("doc_id").alias("id_b"), F.col("text").alias("tb"),
-        F.col("n_chars").alias("nb"),
+        F.col("n_chars").alias("nb"), *counts("cb"),
     )
+    cond = (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    for i in range(len(_ED_CHARS)):
+        cond = cond & (F.abs(F.col(f"ca{i}") - F.col(f"cb{i}")) <= 5)
     return (
-        a.join(b, (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("dist", F.levenshtein("ta", "tb").cast("bigint"))
-        .filter(F.col("dist") <= 5)
+        a.join(b, cond)
+        .withColumn("dist", F.levenshtein("ta", "tb", 5).cast("bigint"))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 
