@@ -18,7 +18,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="fes-tests", cpus=8, driver_memory="8g")
+    # 8 cores / 8g keeps parallel pytest invocations friendly; large-sf
+    # sweeps override via env (SPARK_GRAFT_TEST_CPUS=32 halves the sf1
+    # suite wall time)
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    mem = os.environ.get("SPARK_GRAFT_TEST_MEM", "8g")
+    s = get_spark(app_name="fes-tests", cpus=cpus, driver_memory=mem)
     yield s
 
 
