@@ -1103,3 +1103,131 @@ def test_lsh_pair_agreement_matches_signature_fraction(spark):
     assert pairs[(0, 100)] == 1.0
     for (a, b), j in pairs.items():
         assert 0.0 <= j <= 1.0
+
+
+def test_lsh_pair_formation_equals_bruteforce_reference(spark):
+    """Property armor for the r5 pair-formation rewrite (bounded
+    collect_list + JVM upper-triangle explode): the produced pair SET
+    must equal a brute-force reference computed directly from the
+    signature/bucket table — every unordered pair of distinct docs that
+    shares at least one (band, bucket) whose occupancy is in
+    (1, max_bucket], with est_jaccard = exact signature agreement. Runs
+    over several seeded corpora with planted duplicate groups of varied
+    multiplicity (including one group ABOVE the cap, which must vanish)."""
+    import itertools
+    import random as _random
+
+    from fineventstream_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        text_to_minhash_udf,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for seed in (7, 19):
+        rng = _random.Random(seed)
+        docs = []
+        doc_id = 0
+        # unique docs
+        for _ in range(30):
+            docs.append((doc_id, " ".join(rng.choices(words, k=12))))
+            doc_id += 1
+        # planted dup groups of size 2 and 3
+        for gsize in (2, 3):
+            text = " ".join(rng.choices(words, k=12))
+            for _ in range(gsize):
+                docs.append((doc_id, text)); doc_id += 1
+        # one hot group ABOVE the cap → all its bucket entries dropped
+        hot = " ".join(rng.choices(words, k=12))
+        for _ in range(8):
+            docs.append((doc_id, hot)); doc_id += 1
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        max_bucket = 5
+        got = {
+            (r.id_a, r.id_b): r.est_jaccard
+            for r in minhash_lsh_candidates(
+                df, "text", "doc_id", max_bucket=max_bucket
+            ).collect()
+        }
+        # brute-force reference from the raw signature/bucket table
+        sig_rows = df.select(
+            "doc_id",
+            text_to_minhash_udf(64, 3, 16)(F.col("text")).alias("sb"),
+        ).collect()
+        sigs = {r.doc_id: r.sb[:64] for r in sig_rows}
+        buckets = {}
+        for r in sig_rows:
+            for band, bucket in enumerate(r.sb[64:]):
+                buckets.setdefault((band, bucket), []).append(r.doc_id)
+        want = {}
+        for members in buckets.values():
+            if 1 < len(members) <= max_bucket:
+                for a, b in itertools.combinations(sorted(members), 2):
+                    agree = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64.0
+                    want[(a, b)] = round(agree, 4)
+        assert got == want, (
+            f"seed {seed}: pair sets differ "
+            f"(extra={set(got) - set(want)}, missing={set(want) - set(got)})"
+        )
+
+
+def test_substring_dedup_matches_bruteforce_reference(spark):
+    """The full substring-dedup aggregation (kernel shingling + min≠max
+    window + doc rollup) must match a pure-python reference on corpora
+    with shared passages, intra-doc repeated shingles (which must NOT
+    count as cross-doc dups), and short docs (excluded)."""
+    from fineventstream_spark.registry import all_queries  # noqa: F401 — registration
+    import itertools
+
+    w = "red blue green gold iron stone river cloud".split()
+    shared = "one two three four five six seven eight"
+    docs = [
+        (0, shared + " nine ten"),                      # shares 8-gram with doc 1
+        (1, shared + " eleven twelve"),
+        (2, " ".join(w) + " " + " ".join(w)),           # intra-doc repeat only
+        (3, "tiny doc"),                                # too short
+        (4, " ".join(reversed(w)) + " unique tail words here"),
+    ]
+    # python reference
+    def shingles(text):
+        ws = text.split(" ")
+        return [" ".join(ws[i:i+8]) for i in range(len(ws) - 7)]
+    owners = {}
+    for did, text in docs:
+        for sh in shingles(text):
+            owners.setdefault(sh, set()).add(did)
+    want = {}
+    for did, text in docs:
+        shs = shingles(text)
+        if not shs:
+            continue
+        ndup = sum(1 for sh in shs if len(owners[sh]) > 1)
+        if ndup > 0:
+            want[did] = (len(shs), ndup, round(ndup / len(shs), 4))
+
+    import fineventstream_spark.queries.llm as llm_mod
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.operators.dedup import text_to_shingle_hashes_udf
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = df.select(
+        "doc_id",
+        F.explode(text_to_shingle_hashes_udf(8)(F.col("text"))).alias("sh_hash"),
+    )
+    hash_w = Window.partitionBy("sh_hash")
+    marked = sh.withColumn(
+        "dup",
+        (F.min("doc_id").over(hash_w) != F.max("doc_id").over(hash_w)).cast("long"),
+    )
+    got = {
+        r.doc_id: (r.n, r.nd, r.ratio)
+        for r in marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dup").alias("nd"),
+            F.round(F.sum("dup") / F.count("*"), 4).alias("ratio"),
+        )
+        .filter(F.col("nd") > 0)
+        .collect()
+    }
+    assert got == want
