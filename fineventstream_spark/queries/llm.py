@@ -653,52 +653,65 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ED_CHARS = "etaonisrhl"  # high-frequency letters → near-independent prunes
+_ED_CHARS = "abcdefghijklmnopqrstuvwxyz "  # full letter alphabet + space
 
 
-def _ed_count_conds() -> str:
-    """SQL conjuncts: per-character count difference ≤ 5 for each prune
-    letter — see q_llm_edit_distance."""
-    conds = []
-    for ch in _ED_CHARS:
-        fa = f"(length(a.text) - length(replace(a.text, '{ch}', '')))"
-        fb = f"(length(b.text) - length(replace(b.text, '{ch}', '')))"
-        conds.append(f"abs({fa} - {fb}) <= 5")
-    return " AND ".join(conds)
+def _ed_count_cols() -> str:
+    """CTE projection: one count column per alphabet character, computed
+    once per DOC — inlining length(replace(...)) into the join condition
+    made DuckDB evaluate the O(n) string scans per PAIR (~67B char ops
+    at sf3, minutes of single-core grind caught by the r5 sf3 sweep)."""
+    return ", ".join(
+        f"(length(text) - length(replace(text, '{ch}', ''))) AS c{i}"
+        for i, ch in enumerate(_ED_CHARS)
+    )
+
+
+def _ed_l1_cond() -> str:
+    """SQL conjunct over the CTE's per-doc count columns: the character-
+    multiset L1 lower bound — see q_llm_edit_distance."""
+    l1 = " + ".join(f"abs(a.c{i} - b.c{i})" for i in range(len(_ED_CHARS)))
+    return f"({l1}) <= 10"
 
 
 @register(
     "q_llm_edit_distance",
     oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text, n_chars, {_ed_count_cols()}
+      FROM documents
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-    FROM documents a
-    JOIN documents b
+    FROM d a
+    JOIN d b
       ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-     AND {_ed_count_conds()}
+     AND {_ed_l1_cond()}
     WHERE levenshtein(a.text, b.text) <= 5
     """,
     tags=("U5", "F4"),
 )
 def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup verify with length blocking + character-
-    count pruning. Candidate pairs come from an equi-join on exact
-    length (edit distance ≤ k implies length difference ≤ k — the
-    classic blocking key). Length alone is WEAK blocking on a
-    concentrated length distribution: at sf1 it admits ~10M pairs and a
+    """Edit-distance near-dup verify with length blocking + the
+    character-multiset L1 prune. Candidate pairs come from an equi-join
+    on exact length (edit distance ≤ k implies length difference ≤ k —
+    the classic blocking key). Length alone is WEAK blocking on a
+    concentrated length distribution: at sf1 it admits ~3M pairs, and a
     full 250×250 DP per pair ground a single executor core for 30+
-    minutes (caught by the r5 sf1 differential sweep). Two exact
-    refinements fix that without changing one output row:
+    minutes (caught by the r5 sf1 differential sweep — and DuckDB's
+    unbanded C DP needed 74 s on the same pairs). Two exact refinements
+    fix both engines without changing one output row:
 
-    1. **Character-count prune** (join condition, whole-stage codegen):
-       one edit changes any single character's count by at most 1, so
-       dist ≤ 5 requires |count_c(a) − count_c(b)| ≤ 5 for EVERY
-       character c. Ten high-frequency letters' counts (length minus
-       translate, computed once per DOC, not per pair) reject word-soup
-       non-dups near-independently — the pair stream collapses before
-       any DP runs. The ORACLE carries the same (necessary, hence
-       semantics-preserving) conjuncts so DuckDB's side of the
-       differential is equally fast.
+    1. **L1 multiset prune** (join condition, whole-stage codegen): one
+       edit changes any character's count by at most 1, so the count
+       vectors' L1 distance satisfies lev ≥ L1/2 — dist ≤ 5 requires
+       L1 ≤ 10 over the per-character counts (computed once per DOC via
+       length-minus-translate; a SUBSET of the alphabet is still a valid
+       lower bound, so unlisted characters cost recall nothing). On the
+       word-soup fixture this collapses 809k length-blocked sf1 pairs to
+       157 — the DP volume disappears on BOTH engines (the ORACLE
+       carries the identical conjunct over a materialized per-doc CTE:
+       8.4 s total in DuckDB at sf1, down from 74 s).
     2. **Banded DP**: ``levenshtein(ta, tb, 5)`` (Spark 3.5+ threshold
        form) runs the O(n·k) band — 23× less work than the full
        matrix — returning -1 past the threshold, exactly the rows the
@@ -719,17 +732,26 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, ch in enumerate(_ED_CHARS)
         ]
 
+    # repartition BOTH sides: whichever one the planner picks as the
+    # broadcast build, the OTHER is the probe whose parallelism equals
+    # its partition count — and a single-file corpus scans as one task
     a = t.documents.repartition(n_cores, "doc_id").select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("ta"),
         F.col("n_chars").alias("na"), *counts("ca"),
     )
-    b = t.documents.select(
+    b = t.documents.repartition(n_cores, "doc_id").select(
         F.col("doc_id").alias("id_b"), F.col("text").alias("tb"),
         F.col("n_chars").alias("nb"), *counts("cb"),
     )
-    cond = (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    l1 = None
     for i in range(len(_ED_CHARS)):
-        cond = cond & (F.abs(F.col(f"ca{i}") - F.col(f"cb{i}")) <= 5)
+        term = F.abs(F.col(f"ca{i}") - F.col(f"cb{i}"))
+        l1 = term if l1 is None else l1 + term
+    cond = (
+        (F.col("na") == F.col("nb"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (l1 <= F.lit(10))
+    )
     return (
         a.join(b, cond)
         .withColumn("dist", F.levenshtein("ta", "tb", 5).cast("bigint"))
