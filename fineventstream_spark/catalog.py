@@ -77,6 +77,39 @@ def schema_fingerprint(df: DataFrame) -> str:
     return hashlib.sha256(df.schema.json().encode()).hexdigest()[:12]
 
 
+def data_fingerprint(sf_dir: str, name: str) -> str:
+    """Short stable hash of a source table's FILES (relative names, sizes,
+    mtimes). Complements :func:`schema_fingerprint`: a regenerated fixture
+    with an unchanged schema still changes this, so derivative caches keyed
+    on it can never serve rows from superseded source data (the round-5
+    advisor finding: ``events_shredded`` was schema-keyed only)."""
+    import hashlib
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(root):
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for f in sorted(filenames):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                parts.append(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:12]
+
+
+def source_fingerprint(df: DataFrame, sf_dir: str, name: str) -> str:
+    """Cache key for derived materializations of ``name``: schema fingerprint
+    (catches normalization/semantics changes) × data fingerprint (catches
+    same-schema data regeneration)."""
+    import hashlib
+
+    return hashlib.sha256(
+        (schema_fingerprint(df) + data_fingerprint(sf_dir, name)).encode()
+    ).hexdigest()[:12]
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 

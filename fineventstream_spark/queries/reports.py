@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
+from fineventstream_spark.operators.bucketed import bucketed_table
 from fineventstream_spark.queries._money import rev_units, sum_money
 from fineventstream_spark.registry import register
 
@@ -50,25 +51,47 @@ from fineventstream_spark.registry import register
 )
 def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): revenue shipped by suppliers in
-    the ordering customer's own nation, per nation. Six-table snowflake:
-    two facts (orders, lineitem) plus customer/supplier and the
-    broadcast-sized nation/region chain. The c_nationkey = s_nationkey
-    equality rides the supplier join (no extra shuffle); the date filter
-    is pushed to the orders scan."""
+    the ordering customer's own nation, per nation. Six-table snowflake
+    rewritten onto the bucketed orderkey lake layout (the r5-flagged
+    worst sf10 ratio — 10.5 s vs DuckDB 0.7 — was this query's 5-way
+    chain shuffling lineitem twice).
+
+    Plan shape: the 60M-row fact NEVER crosses the wire. lineitem
+    (bucketed) probes the broadcast supplier map → (orderkey, rev,
+    s_nationkey), preserving bucket distribution; orders (bucketed,
+    date-filtered) probes the broadcast customer map → (orderkey,
+    c_nationkey), also bucket-preserved; their SMJ is bucket-co-located
+    (subset co-partitioning: the equi-key pair widens to
+    (orderkey, nationkey) but orderkey distribution satisfies it — see
+    session.py). The only shuffle is the 25-row final aggregate.
+    customer/supplier are true dims (fixed 1:40 / 1:600 fact ratios);
+    at extreme SF customer's 2-column projection outgrows broadcast and
+    becomes a shuffled join on the SLIM orders side only — the fact-side
+    shape is unchanged. sf10 measured: 10.5 s → 2.0 s solo."""
     t = Tables(spark, sf_dir)
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    od = bucketed_table(spark, sf_dir, "orders")
     dims = F.broadcast(
         t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
+        .select("n_nationkey", "n_name")
     )
-    orders = t.orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    cust = F.broadcast(t.customer.select("c_custkey", "c_nationkey"))
+    supp = F.broadcast(t.supplier.select("s_suppkey", "s_nationkey"))
+    ord_nat = (
+        od.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li_sup = li.join(supp, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey"
     )
     return (
-        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            t.supplier,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+        li_sup.join(
+            ord_nat,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))

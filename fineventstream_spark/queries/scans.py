@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fineventstream_spark.catalog import Tables, load_table, schema_fingerprint
+from fineventstream_spark.catalog import Tables, load_table, source_fingerprint
 from fineventstream_spark.registry import register
 
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache")
@@ -44,15 +44,18 @@ EVENTS_JSON_SCHEMA = T.StructType(
 
 
 def _cache_dir(sf_dir: str, name: str, fingerprint: str = "") -> str:
-    """Derived-copy cache path, keyed on the SOURCE schema fingerprint.
+    """Derived-copy cache path, keyed on the SOURCE fingerprint
+    (schema × data — catalog.source_fingerprint).
 
     The fingerprint keys the directory name so a change in the lake's
-    source schema — or in catalog normalization semantics — regenerates
-    the derivative instead of silently reusing a stale one (round-2
-    lesson: a ``_SUCCESS``-gated JSONL copy outlived a timestamp-type
-    change and poisoned every downstream read). Pure path arithmetic —
-    stale-sibling pruning happens in :func:`_prune_stale_siblings`, only
-    after a replacement is fully written."""
+    source schema, catalog normalization semantics, OR the source data
+    itself regenerates the derivative instead of silently reusing a stale
+    one (round-2 lesson: a ``_SUCCESS``-gated JSONL copy outlived a
+    timestamp-type change; round-5 advisor: a schema-only key would serve
+    stale rows after a same-schema fixture regeneration). Pure path
+    arithmetic — stale-sibling pruning happens in
+    :func:`_prune_stale_siblings`, only after a replacement is fully
+    written."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     leaf = f"{name}-{fingerprint}" if fingerprint else name
     return os.path.join(_CACHE_ROOT, sf_name, leaf)
@@ -78,7 +81,7 @@ def _prune_stale_siblings(path: str, name: str) -> None:
 def _events_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize events as JSONL once (S7-style sink), return the path."""
     ev = load_table(spark, sf_dir, "events")
-    path = _cache_dir(sf_dir, "events_jsonl", schema_fingerprint(ev))
+    path = _cache_dir(sf_dir, "events_jsonl", source_fingerprint(ev, sf_dir, "events"))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             ev.write.mode("overwrite")
@@ -97,7 +100,7 @@ def _events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     what an analytics lake wants for pruning.
     """
     ev = load_table(spark, sf_dir, "events")
-    path = _cache_dir(sf_dir, "events_partitioned", schema_fingerprint(ev))
+    path = _cache_dir(sf_dir, "events_partitioned", source_fingerprint(ev, sf_dir, "events"))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             ev.withColumn("year", F.year("ts"))
@@ -127,7 +130,7 @@ def events_shredded(spark: SparkSession, sf_dir: str):
     cold fields, and every downstream query reads the column. Returns
     the shredded DataFrame (schema = events + ``props_k double``)."""
     ev = load_table(spark, sf_dir, "events")
-    path = _cache_dir(sf_dir, "events_shredded", schema_fingerprint(ev))
+    path = _cache_dir(sf_dir, "events_shredded", source_fingerprint(ev, sf_dir, "events"))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             ev.withColumn(
@@ -259,7 +262,7 @@ def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    path = _cache_dir(sf_dir, "lineitem_jsonl_by_flag", schema_fingerprint(t.lineitem))
+    path = _cache_dir(sf_dir, "lineitem_jsonl_by_flag", source_fingerprint(t.lineitem, sf_dir, "lineitem"))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             t.lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
@@ -283,7 +286,7 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    path = _cache_dir(sf_dir, "orders_csv", schema_fingerprint(orders))
+    path = _cache_dir(sf_dir, "orders_csv", source_fingerprint(orders, sf_dir, "orders"))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             orders
@@ -376,7 +379,7 @@ def _documents_drift_path(spark: SparkSession, sf_dir: str) -> str:
     even doc_ids without the source column, gen 2 = odd doc_ids with it.
     """
     docs = load_table(spark, sf_dir, "documents")
-    path = _cache_dir(sf_dir, "documents_drift", schema_fingerprint(docs))
+    path = _cache_dir(sf_dir, "documents_drift", source_fingerprint(docs, sf_dir, "documents"))
     if not os.path.exists(os.path.join(path, "gen=2", "_SUCCESS")):
         docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.mode(
             "overwrite"
@@ -440,7 +443,7 @@ def q_scan_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"]
-    path = _cache_dir(sf_dir, "lineitem_orc", schema_fingerprint(li))
+    path = _cache_dir(sf_dir, "lineitem_orc", source_fingerprint(li, sf_dir, "lineitem"))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         li.select(*cols).write.mode("overwrite").orc(path)
         _prune_stale_siblings(path, "lineitem_orc")
@@ -457,7 +460,7 @@ def _events_nested_path(spark: SparkSession, sf_dir: str) -> str:
     columns). ``noise`` exists solely so nested-field pruning has
     something to prune."""
     ev = load_table(spark, sf_dir, "events")
-    path = _cache_dir(sf_dir, "events_nested", schema_fingerprint(ev))
+    path = _cache_dir(sf_dir, "events_nested", source_fingerprint(ev, sf_dir, "events"))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         nested = ev.select(
             "event_id",
@@ -570,6 +573,10 @@ def prewarm_derivatives(spark: SparkSession, sf_dir: str) -> None:
     _documents_drift_path(spark, sf_dir)
     _events_nested_path(spark, sf_dir)
     events_shredded(spark, sf_dir)
+    from fineventstream_spark.operators.bucketed import BUCKET_KEYS, ensure_bucketed
+
+    for tbl in BUCKET_KEYS:
+        ensure_bucketed(spark, sf_dir, tbl)
     from fineventstream_spark.registry import REGISTRY
 
     for name in ("q_sink_partitioned_write", "q_scan_csv", "q_scan_orc"):

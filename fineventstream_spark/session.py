@@ -62,6 +62,17 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Bucketed-derivative support (operators/bucketed.py). Subset
+        # co-partitioning: a join whose equi-keys are (orderkey, x) is
+        # satisfied by data hash-distributed on orderkey alone — without
+        # this, a bucketed-on-orderkey SMJ that also carries a second
+        # equality re-shuffles BOTH fact sides on the widened key pair
+        # (measured at sf10: the entire lineitem exchange came back).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # Bucketed scans report per-bucket sort order when each bucket is
+        # one file (our derivatives write exactly one — repartition(n, key)
+        # ahead of bucketBy), letting SMJ skip its Sort (sf10: −17%).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -379,6 +379,35 @@ def test_exact_percentiles_joined_fallback_path(spark):
     assert got == ref
 
 
+def test_exact_percentiles_high_cardinality_groups_stay_distributed(spark):
+    """~10^5 groups: the joined path must (a) be exact and (b) never
+    materialize a per-group structure on the driver — the only collect in
+    the operator is the LITERAL_MAX_GROUPS+1 cardinality probe (r5 verdict:
+    the old full-stats collect was a driver OOM at high group cardinality).
+    (b) is pinned structurally: _refine_joined's source contains no
+    .collect() / .toPandas() / createDataFrame (driver-side data)."""
+    import inspect
+
+    from fineventstream_spark.operators import percentiles as P
+
+    src = inspect.getsource(P._refine_joined)
+    for banned in (".collect(", ".toPandas(", "createDataFrame("):
+        assert banned not in src, f"_refine_joined materializes on the driver: {banned}"
+
+    n_groups = 100_000
+    df = spark.range(n_groups * 7).select(
+        (F.col("id") % n_groups).alias("g"),
+        (F.xxhash64("id") % 10_000).cast("double").alias("v"),
+    )
+    got = P.exact_percentiles(df, "g", "v", [0.5, 0.9], n_buckets=8)
+    ref = df.groupBy("g").agg(
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(v, 0.9)"), 4).alias("p90"),
+    )
+    assert got.count() == n_groups
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
 def test_connected_components_warns_on_nonconvergence(spark):
     """A chain far beyond the doubling horizon must surface a warning."""
     import warnings

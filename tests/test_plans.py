@@ -126,12 +126,39 @@ def test_q10_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "top-20 report should not global-sort"
 
 
+def _shuffle_exchanges(plan: str) -> int:
+    """Count shuffle Exchange nodes in a formatted explain (each node has
+    exactly one ``(n) Exchange`` details header; broadcasts don't match)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
 def test_q5_broadcasts_dim_chain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_report_nation_volume")
     assert "BroadcastHashJoin" in plan
-    # date range must reach the orders scan
-    pushed = plan.split("orders.parquet")[0]
+    # date range must reach the (bucketed) orders scan
     assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter not pushed to scan"
+
+
+def test_q5_fact_never_shuffles(spark, sf_dir):
+    """Q5 on the bucketed layout: lineitem and orders join bucket-co-located
+    (subset co-partitioning on orderkey); customer/supplier/nation/region
+    ride broadcasts. The ONLY shuffle is the 25-row final aggregate."""
+    plan = _plan(spark, sf_dir, "q_report_nation_volume")
+    n = _shuffle_exchanges(plan)
+    assert n <= 1, f"Q5 fact-side shuffle came back ({n} exchanges):\n{plan}"
+    assert "Bucketed: true" in plan, "Q5 is not reading the bucketed derivative"
+
+
+def test_q3_join_inner_zero_shuffle(spark, sf_dir):
+    """q_join_inner on the bucketed layout: the orders⋈lineitem SMJ is
+    bucket-co-located and the groupBy key contains the bucket key —
+    ZERO shuffle exchanges end to end."""
+    plan = _plan(spark, sf_dir, "q_join_inner")
+    n = _shuffle_exchanges(plan)
+    assert n == 0, f"q_join_inner shuffles ({n} exchanges):\n{plan}"
+    assert "Bucketed: true" in plan
 
 
 def test_pack_sequences_prefix_sum_is_distributed(spark, sf_dir):
