@@ -118,6 +118,32 @@ def text_to_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, bands: int = 0
     return _sig
 
 
+# --- persisted-intermediate registry (cache-hygiene contract) ---------------
+# The dedup operators persist() small intermediates that feed 2+ consumers
+# (signature tables, candidate sets). The consuming ACTION happens in the
+# caller, so an operator cannot unpersist eagerly without discarding the
+# cache it just paid for (and UDF-derived plans never canonicalize equal, so
+# repeated calls would otherwise accumulate dead blocks — the r5 advisor
+# finding). The contract: a caller that owns a long-lived session calls
+# release_intermediates() after consuming the returned plan; bench.py's
+# per-query clearCache() is the blunt equivalent; short-lived sessions drop
+# everything at exit anyway.
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() + register for :func:`release_intermediates`."""
+    _PERSISTED.append(df)
+    return df.persist()
+
+
+def release_intermediates() -> None:
+    """Unpersist every intermediate the dedup operators (and the dedup
+    query wrappers in queries/llm.py) persisted since the last release."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -157,7 +183,8 @@ def minhash_lsh_candidates(
     )
     # signatures feed two consumers (bucket-size counts and the a×b pair
     # join) — persist the tiny (id, sig) table instead of recomputing
-    sig = sig_and_buckets.persist()
+    # (tracked: see release_intermediates)
+    sig = persist_tracked(sig_and_buckets)
 
     band_entries = sig.select(
         "id", "sig", F.posexplode("buckets").alias("band", "bucket")
@@ -248,8 +275,8 @@ def ngram_jaccard_verify(
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     # the candidate plan is consumed three times (two id projections + the
     # final join); persist the small pair set instead of recomputing the
-    # whole LSH pipeline per consumer
-    candidates = candidates.persist()
+    # whole LSH pipeline per consumer (tracked: see release_intermediates)
+    candidates = persist_tracked(candidates)
     # shingle only documents that appear in a candidate pair (semi join):
     # the verify set is orders of magnitude smaller than the corpus
     ids = (
@@ -386,7 +413,9 @@ def simhash_candidates(
     # (id, simhash) feeds two consumers post-r5 (bucket counts + the pair
     # join) — persist the 16-byte-per-doc table instead of re-running the
     # CPU-heavy kernel
-    sh = with_simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash").persist()
+    sh = persist_tracked(
+        with_simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    )
     rotations = [0, 16, 32, 48]
     bucketed = sh.select(
         "id",

@@ -116,19 +116,43 @@ def _planted_text_corpus(t: Tables):
     return src, corpus
 
 
-def _with_planted_recall(pairs: DataFrame, src: DataFrame) -> DataFrame:
+def _with_planted_recall(
+    pairs: DataFrame, src: DataFrame, offset: int = _PLANT_OFFSET
+) -> DataFrame:
     """Attach (planted_pairs, planted_recall) audit columns: the fraction
-    of planted (orig, orig+offset) pairs present in ``pairs``."""
+    of planted (orig, orig+offset) pairs present in ``pairs``.
+
+    The audit must never degrade silently in exactly the cases it exists
+    to certify (r5 advisor): a zero denominator (tiny fixture planted
+    nothing) yields an explicit NULL recall, not a divide-null surprise;
+    and an EMPTY pair set (total pipeline failure) emits one sentinel row
+    with null pair columns and planted_recall = 0.0 — visible, instead of
+    an empty result that reads as "nothing to report"."""
     n_planted = src.agg(F.count("*").alias("planted_pairs"))
     n_found = pairs.filter(
-        (F.col("id_b") >= _PLANT_OFFSET)
-        & (F.col("id_a") == F.col("id_b") - _PLANT_OFFSET)
+        (F.col("id_b") >= offset) & (F.col("id_a") == F.col("id_b") - offset)
     ).agg(F.count("*").alias("found"))
     audit = n_planted.crossJoin(n_found).select(
         "planted_pairs",
-        F.round(F.col("found") / F.col("planted_pairs"), 4).alias("planted_recall"),
+        F.when(
+            F.col("planted_pairs") > 0,
+            F.round(F.col("found") / F.col("planted_pairs"), 4),
+        ).alias("planted_recall"),  # NULL only when nothing was planted
     )
-    return pairs.crossJoin(F.broadcast(audit))
+    enriched = pairs.crossJoin(F.broadcast(audit)).select(
+        *pairs.columns, "planted_pairs", "planted_recall"
+    )
+    # sentinel branch: the 1-row audit anti-joined against a 1-row probe of
+    # pairs — survives only when pairs is empty (both sides broadcast-tiny)
+    null_pair_cols = [
+        F.lit(None).cast(f.dataType).alias(f.name) for f in pairs.schema.fields
+    ]
+    sentinel = audit.join(
+        F.broadcast(pairs.select(F.lit(1).alias("__probe")).limit(1)),
+        F.lit(True),
+        "left_anti",
+    ).select(*null_pair_cols, "planted_pairs", "planted_recall")
+    return enriched.unionByName(sentinel)
 
 
 @register("q_llm_dedup_near", oracle=None, tags=("U5",))
@@ -139,9 +163,11 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row (see _planted_text_corpus)."""
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
-    pairs = dedup.minhash_lsh_candidates(corpus, "text", "doc_id").filter(
-        F.col("est_jaccard") >= 0.5
-    ).persist()
+    pairs = dedup.persist_tracked(
+        dedup.minhash_lsh_candidates(corpus, "text", "doc_id").filter(
+            F.col("est_jaccard") >= 0.5
+        )
+    )
     return _with_planted_recall(pairs, src)
 
 
@@ -155,9 +181,11 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
     cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id")
-    verified = dedup.ngram_jaccard_verify(cands, corpus, "text", "doc_id").filter(
-        F.col("jaccard") >= 0.5
-    ).persist()
+    verified = dedup.persist_tracked(
+        dedup.ngram_jaccard_verify(cands, corpus, "text", "doc_id").filter(
+            F.col("jaccard") >= 0.5
+        )
+    )
     return _with_planted_recall(verified, src)
 
 
@@ -168,9 +196,11 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical fingerprint → Hamming 0) + ``planted_recall`` in-row."""
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
-    pairs = dedup.simhash_candidates(corpus, "text", "doc_id").filter(
-        F.col("hamming") <= 6
-    ).persist()
+    pairs = dedup.persist_tracked(
+        dedup.simhash_candidates(corpus, "text", "doc_id").filter(
+            F.col("hamming") <= 6
+        )
+    )
     return _with_planted_recall(pairs, src)
 
 
@@ -198,18 +228,12 @@ def q_llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    pairs = similarity.cosine_near_dup_pairs(
-        corpus, "embedding", "vec_id", dim=64, threshold=0.9
-    ).persist()
-    n_planted = planted_src.agg(F.count("*").alias("planted_pairs"))
-    n_found = pairs.filter(
-        (F.col("id_b") >= offset) & (F.col("id_a") == F.col("id_b") - offset)
-    ).agg(F.count("*").alias("found"))
-    audit = n_planted.crossJoin(n_found).select(
-        "planted_pairs",
-        F.round(F.col("found") / F.col("planted_pairs"), 4).alias("planted_recall"),
+    pairs = dedup.persist_tracked(
+        similarity.cosine_near_dup_pairs(
+            corpus, "embedding", "vec_id", dim=64, threshold=0.9
+        )
     )
-    return pairs.crossJoin(F.broadcast(audit))
+    return _with_planted_recall(pairs, planted_src, offset=offset)
 
 
 # --------------------------------------------------------------------------

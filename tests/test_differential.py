@@ -61,6 +61,13 @@ def _canon_pandas(tbl):
     for f in tbl.schema:
         if pa.types.is_nested(f.type) or pa.types.is_decimal(f.type):
             return None
+        # SQL NULL vs NaN must stay distinguishable (the authority compares
+        # None vs 'NaN'); to_pandas maps float validity-nulls to NaN, which
+        # would certify NULL==NaN as equal. Arrow still sees the difference
+        # (null_count is validity-based, NaN is a value) — any float column
+        # carrying true nulls goes to the row-at-a-time authority.
+        if pa.types.is_floating(f.type) and tbl.column(f.name).null_count > 0:
+            return None
     pdf = tbl.to_pandas()
     out = {}
     for c in pdf.columns:
@@ -108,6 +115,18 @@ def _fast_equal(sdf, duck, oracle_sql):
         return True if s.equals(d) else None
     except Exception:
         return None
+
+
+def test_fast_path_refuses_float_nulls():
+    """A float column with a SQL NULL must fall to the authority (r5
+    advisor: to_pandas maps nulls to NaN, so the fast path would certify
+    Spark NULL == oracle NaN). NaN VALUES alone stay on the fast path."""
+    import pyarrow as pa
+
+    with_null = pa.table({"x": pa.array([1.0, None], type=pa.float64())})
+    assert _canon_pandas(with_null) is None
+    with_nan = pa.table({"x": pa.array([1.0, float("nan")], type=pa.float64())})
+    assert _canon_pandas(with_nan) is not None
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

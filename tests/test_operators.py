@@ -115,6 +115,52 @@ def test_minhash_finds_exact_dupes(spark, sf_dir):
     assert not missing, f"exact dupes missed by LSH: {missing}"
 
 
+def test_release_intermediates_unpersists_tracked_caches(spark, sf_dir):
+    """Cache-hygiene contract (r5 advisor): every persist() in the dedup
+    family is tracked, and release_intermediates() drops them all — a
+    library consumer composing dedup calls in a long-lived session can
+    release without nuking the whole session cache."""
+    from fineventstream_spark.operators import dedup
+
+    dedup.release_intermediates()  # clean slate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    cands = minhash_lsh_candidates(docs, "text", "doc_id")
+    cands.count()  # materialize (fills the tracked persist)
+    assert dedup._PERSISTED, "minhash persist was not tracked"
+    tracked = list(dedup._PERSISTED)
+    assert any(df.storageLevel.useMemory for df in tracked)
+    dedup.release_intermediates()
+    assert not dedup._PERSISTED
+    assert all(not df.storageLevel.useMemory for df in tracked)
+
+
+def test_planted_recall_audit_never_silently_empty(spark):
+    """The audit row survives the failure modes it certifies (r5 advisor):
+    an empty pair set yields ONE sentinel row with planted_recall = 0.0;
+    a zero-planted corpus yields an explicit NULL recall."""
+    from fineventstream_spark.queries.llm import _with_planted_recall
+
+    src = spark.createDataFrame([(41,), (82,)], "doc_id long")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long, est_jaccard double")
+    out = _with_planted_recall(empty_pairs, src).collect()
+    assert len(out) == 1
+    assert out[0].planted_pairs == 2 and out[0].planted_recall == 0.0
+    assert out[0].id_a is None  # sentinel, not a fabricated pair
+
+    no_plants = src.limit(0)
+    out2 = _with_planted_recall(empty_pairs, no_plants).collect()
+    assert len(out2) == 1
+    assert out2[0].planted_pairs == 0 and out2[0].planted_recall is None
+
+    # normal path unchanged: every pair row carries the audit columns
+    pairs = spark.createDataFrame(
+        [(41, 100_000_041, 1.0), (1, 2, 0.9)], "id_a long, id_b long, est_jaccard double"
+    )
+    out3 = _with_planted_recall(pairs, src).collect()
+    assert len(out3) == 2
+    assert all(r.planted_recall == 0.5 for r in out3)
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     """Docs with a one-word edit must surface as SimHash candidates with a
     small Hamming distance (planted ground truth — the fixture corpus alone
