@@ -37,76 +37,78 @@ REGISTRY: dict[str, Query] = {}
 # The external driver hash-checks the registry in iteration order and (as
 # observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-5 rotation (VERDICT r4 "Next round" #6): (a) every query
-# whose behavior changed this round leads — the LSH pair-formation
-# rewrite + its consumers, the new planted-recall/rel_err audits, the
-# substring-dedup min/max window, the vwap shred derivative, the
-# rolling-bucket infinity fix, the multimodal iteration rewrite, and the
-# re-measured order_priority; (b) then the least-recently-verified set:
-# all remaining r1-checked queries (the functions.py family, core aggs,
-# cross join, IVF/fingerprint), then the oldest r2-checked ones until
-# the window runs out. Everything past the window is still covered by
-# the local differential suite at the identical compare strictness.
-# Names not present in REGISTRY are skipped.
+# rows. Round-6 rotation (VERDICT r5 "Next round" #4): (a) every query
+# whose behavior changed this round leads — the two bucketed-layout
+# rewires (q_join_inner / q_report_nation_volume) and the four rows-only
+# dedup queries whose planted-recall audit gained the sentinel row;
+# (b) then the least-recently-verified set: the ENTIRE set last
+# hard-checked in round 2 (projection/filter family, sorts/set ops,
+# windows tier 1, streaming-batch ladder, subqueries, scan/sink edges,
+# decontaminate/pack), then the oldest r3-checked queries (sketch
+# rollup, the events ladder head, curation family) until the window runs
+# out. Everything past the window is still covered by the local
+# differential suite at the identical compare strictness. Names not
+# present in REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 5 — re-check with hard driver rows
+    # (a) changed in round 6 — re-check with hard driver rows
+    "q_join_inner",
+    "q_report_nation_volume",
     "q_llm_dedup_near",
     "q_llm_dedup_simhash",
     "q_llm_dedup_ngram_jaccard",
-    "q_llm_dedup_cluster",
-    "q_llm_near_dedup_pipeline",
-    "q_llm_substring_dedup",
-    "q_agg_approx_distinct",
-    "q_event_vwap",
-    "q_event_rolling_zscore",
-    "q_mm_features",
-    "q_mm_frame_sample",
-    "q_report_order_priority",
-    # (b) least-recently-verified: the r1-checked remainder
-    "q_join_cross",
-    "q_agg_groupby_basic",
-    "q_agg_global",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_having",
-    "q_agg_collect",
-    "q_agg_pivot",
-    "q_json_extract",
-    "q_base64_roundtrip",
-    "q_date_trunc_format",
-    "q_date_extract",
-    "q_date_arith",
-    "q_string_basic",
-    "q_string_regexp",
-    "q_math_basic",
-    "q_case_when",
-    "q_try_cast",
-    "q_array_explode",
-    "q_array_hof",
-    "q_map_ops",
-    "q_hash_stable",
-    "q_llm_dedup_exact",
-    "q_llm_knn_cosine",
-    "q_llm_lang_id",
-    "q_llm_quality_score",
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_llm_knn_ivf",
-    "q_llm_fingerprint",
-    # oldest r2-checked fill the rest of the ~50 window
-    "q_agg_stats",
-    "q_agg_approx_percentile",
-    "q_agg_salted",
-    "q_dq_violations",
-    "q_join_asof",
-    "q_udtf_chunk",
-    "q_llm_train_split",
+    "q_llm_dedup_embedding",
+    # (b) least-recently-verified: the full r2-checked set
+    "q_cte",
+    "q_dedup_highwater",
+    "q_derive_epoch_ts",
+    "q_distinct",
+    "q_filter_boolean",
+    "q_filter_compare",
+    "q_filter_malformed",
+    "q_filter_notnull",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_limit_topk",
     "q_llm_decontaminate",
     "q_llm_pack_sequences",
+    "q_news_lookback",
+    "q_null_safe_eq",
     "q_project_rename",
-    "q_derive_epoch_ts",
-    "q_filter_notnull",
+    "q_repartition_sorted",
+    "q_scan_parquet",
+    "q_session_window",
+    "q_sink_partitioned_write",
+    "q_sort_desc_nulls",
+    "q_sort_multikey",
+    "q_source_decode_json",
+    "q_sql_api",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_union_all",
+    "q_unpivot",
+    "q_upsert_latest",
+    "q_win_frame_rows",
+    "q_win_lag_lead",
+    "q_win_rank",
+    "q_win_topk_per_group",
+    # oldest r3-checked fill the rest of the ~50 window
+    "q_agg_sketch_rollup",
+    "q_coalesce_default",
+    "q_event_funnel",
+    "q_event_histogram",
+    "q_event_outliers",
+    "q_event_retention",
+    "q_event_rolling_active",
+    "q_event_sessionize",
+    "q_except",
+    "q_filter_in_between_like",
+    "q_join_asof_tolerance",
+    "q_llm_curation_pipeline",
+    "q_llm_domain_mix",
+    "q_llm_edit_distance",
 )
 
 
