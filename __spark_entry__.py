@@ -51,6 +51,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # 200-400 near-empty tasks per shuffle at oracle scale
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            # bucketed-derivative plans (see session.py): subset
+            # co-partitioning + trusted per-bucket sort order — results are
+            # identical without these, but the zero-exchange plan shape the
+            # bucketed queries exist for is not
+            spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+            spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
             return fn(spark, sf_dir)
 
         return run

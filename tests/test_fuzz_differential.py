@@ -442,6 +442,159 @@ def test_fuzz_listagg_case(case_id, spark_two_tables, duck, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 families (VERDICT r5 #6): lateral joins / UNNEST-style
+# compositions, QUALIFY-style window filters, and map-function
+# compositions. Lateral(a) is shared-text (both engines parse ANSI
+# `, LATERAL (subquery)`); the rest are dialect pairs. The map family
+# deliberately gives DuckDB a map-free twin (CASE/arithmetic with the
+# same semantics): the subject under test is SPARK's map kernels, and an
+# independent formulation is a stronger oracle than the same bug twice.
+# ---------------------------------------------------------------------------
+
+
+def _gen_lateral_case(rng: random.Random) -> tuple[str, str]:
+    if rng.random() < 0.5:
+        # (a) correlated LATERAL aggregate — identical text on both engines
+        cutoff = rng.randint(150_000, 400_000)
+        agg_col = rng.choice(NUMERIC_COLS)
+        sql = (
+            f"SELECT o.o_orderkey, o.o_orderstatus, t.n, t.mx, t.s "
+            f"FROM orders o, LATERAL ("
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX({agg_col}) AS mx, "
+            f"{_exact_sum(agg_col)} AS s "
+            f"FROM lineitem WHERE l_orderkey = o.o_orderkey) t "
+            f"WHERE o.o_totalprice > {cutoff}"
+        )
+        return sql, sql
+    # (b) positional array explode: Spark LATERAL VIEW posexplode vs
+    # DuckDB's positionally-zipped unnest pair
+    pool = [
+        "l_quantity",
+        "l_extendedprice / 1000",
+        "l_discount * 100",
+        "l_tax * 100",
+        "l_quantity * 2 + 1",
+    ]
+    arr = ", ".join(rng.sample(pool, 3))
+    mod = rng.choice([30, 40, 50, 70])
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, pos, "
+        f"CAST(ROUND(x * 1000) AS BIGINT) AS xv "
+        f"FROM lineitem LATERAL VIEW posexplode(array({arr})) t AS pos, x "
+        f"WHERE l_orderkey % {mod} = 0"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"unnest(generate_series(0, 2)) AS pos, "
+        f"CAST(ROUND(unnest([{arr}]) * 1000) AS BIGINT) AS xv "
+        f"FROM lineitem WHERE l_orderkey % {mod} = 0"
+    )
+    return spark_sql, duck_sql
+
+
+_QUALIFY_TIEBREAK = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_shipdate"
+)
+
+
+def _gen_qualify_case(rng: random.Random) -> tuple[str, str]:
+    """QUALIFY-style window filters: DuckDB's native QUALIFY vs Spark's
+    subquery-filter formulation of the identical semantics."""
+    part = rng.choice(STRING_COLS)
+    c = rng.choice(NUMERIC_COLS)
+    lit = {"l_quantity": 30, "l_extendedprice": 40000,
+           "l_discount": 0.07, "l_tax": 0.06}[c]
+    if rng.random() < 0.6:
+        fn = rng.choice(["ROW_NUMBER", "RANK", "DENSE_RANK"])
+        order = rng.choice(NUMERIC_COLS)
+        k = rng.randint(1, 5)
+        w = f"PARTITION BY {part} ORDER BY {order} DESC, {_QUALIFY_TIEBREAK}"
+        spark_sql = (
+            f"SELECT l_orderkey, l_linenumber, rn FROM ("
+            f"SELECT l_orderkey, l_linenumber, {fn}() OVER ({w}) AS rn "
+            f"FROM lineitem WHERE {c} < {lit}) WHERE rn <= {k}"
+        )
+        duck_sql = (
+            f"SELECT l_orderkey, l_linenumber, {fn}() OVER ({w}) AS rn "
+            f"FROM lineitem WHERE {c} < {lit} QUALIFY rn <= {k}"
+        )
+        return spark_sql, duck_sql
+    # windowed-aggregate qualify: rows above their partition average
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, qv FROM ("
+        f"SELECT l_orderkey, l_linenumber, l_quantity, "
+        f"ROUND(AVG(l_quantity) OVER (PARTITION BY {part}), 4) AS qv "
+        f"FROM lineitem WHERE {c} < {lit}) WHERE l_quantity > qv"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"ROUND(AVG(l_quantity) OVER (PARTITION BY {part}), 4) AS qv "
+        f"FROM lineitem WHERE {c} < {lit} QUALIFY l_quantity > qv"
+    )
+    return spark_sql, duck_sql
+
+
+def _gen_map_case(rng: random.Random) -> tuple[str, str]:
+    """Spark map-function compositions (map_from_arrays / element_at /
+    map_filter / map_values folds) vs a map-free DuckDB twin computing the
+    same values directly."""
+    entries = [
+        ("q", "l_quantity", 1),
+        ("p", "l_extendedprice / 1000", 1000),
+        ("d", "l_discount * 100", 1000),
+        ("t", "l_tax * 100", 1000),
+    ]
+    picked = rng.sample(entries, 3)
+    keys = ", ".join(f"'{k}'" for k, _, _ in picked)
+    vals = ", ".join(v for _, v, _ in picked)
+    get_k, get_v, get_u = picked[rng.randint(0, 2)]
+    thr = rng.randint(1, 40)
+    mod = rng.choice([40, 60, 80])
+    m = f"map_from_arrays(array({keys}), array({vals}))"
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(ROUND(element_at({m}, '{get_k}') * {get_u}) AS BIGINT) AS mv, "
+        f"size(map_filter({m}, (k, v) -> v > {thr})) AS nbig, "
+        f"CAST(ROUND(aggregate(map_values({m}), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x) * 1000) AS BIGINT) AS vsum "
+        f"FROM lineitem WHERE l_orderkey % {mod} = 0"
+    )
+    big_terms = " + ".join(
+        f"CASE WHEN {v} > {thr} THEN 1 ELSE 0 END" for _, v, _ in picked
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(ROUND(({get_v}) * {get_u}) AS BIGINT) AS mv, "
+        f"CAST({big_terms} AS INTEGER) AS nbig, "
+        f"CAST(ROUND(({' + '.join(v for _, v, _ in picked)}) * 1000) AS BIGINT) AS vsum "
+        f"FROM lineitem WHERE l_orderkey % {mod} = 0"
+    )
+    return spark_sql, duck_sql
+
+
+@pytest.mark.parametrize("case_id", range(12))
+def test_fuzz_lateral_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_pair_case(
+        spark_two_tables, duck, *_gen_lateral_case(random.Random(54_000 + case_id))
+    )
+
+
+@pytest.mark.parametrize("case_id", range(12))
+def test_fuzz_qualify_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_pair_case(
+        spark_two_tables, duck, *_gen_qualify_case(random.Random(55_000 + case_id))
+    )
+
+
+@pytest.mark.parametrize("case_id", range(12))
+def test_fuzz_map_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_pair_case(
+        spark_two_tables, duck, *_gen_map_case(random.Random(56_000 + case_id))
+    )
+
+
 _EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
 
 
