@@ -28,6 +28,7 @@ Implementation notes:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,19 +43,39 @@ _CACHE_ROOT = os.path.join(
 # the bucket keys the engine's headline queries co-locate on
 BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 
+# Spark bucketed writes encode the bucket id in the file name:
+# part-<task>-<uuid>_<bucketId>.c000.snappy.parquet
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d{3}")
 
-def _bucketed_paths(sf_dir: str, table: str, fingerprint: str) -> tuple[str, str]:
-    """(external data dir, session-catalog table name) for one derivative."""
+
+def _bucketed_paths(sf_dir: str, table: str, key: str, fingerprint: str) -> tuple[str, str]:
+    """(external data dir, session-catalog table name) for one derivative.
+
+    The bucket SPEC (count + key) is part of both names (r6 advisor): a
+    future N_BUCKETS or key change must regenerate the derivative, never
+    re-register old files under new CLUSTERED BY metadata — Spark trusts
+    catalog bucketing blindly, so a spec/file mismatch silently returns
+    wrong rows from co-located SMJs and bucket-pruned scans.
+    """
     sf = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_CACHE_ROOT, sf, f"{table}_bucketed-{fingerprint}")
-    name = f"fes_{table}_bkt_{sf}_{fingerprint}".replace(".", "_").replace("-", "_")
+    spec = f"b{N_BUCKETS}-{key}"
+    path = os.path.join(_CACHE_ROOT, sf, f"{table}_bucketed-{spec}-{fingerprint}")
+    name = f"fes_{table}_bkt_{spec}_{sf}_{fingerprint}".replace(".", "_").replace("-", "_")
     return path, name
 
 
 def _prune_stale(path: str, table: str) -> None:
-    """Drop superseded fingerprints of this table's bucketed dir — only
-    after the replacement is fully written (same race discipline as
-    queries/scans.py derivatives)."""
+    """Drop superseded variants (older fingerprint OR older bucket spec) of
+    this table's bucketed dir — only after the replacement is fully written
+    (same race discipline as queries/scans.py derivatives).
+
+    SINGLE-WRITER ASSUMPTION (r6 advisor): pruning deletes files another
+    live session may still have registered as an external table; its
+    in-flight scans would fail mid-read. This matches the repo-wide
+    derivative discipline (queries/scans.py): one process owns a given
+    ``.cache/<sf>`` tree at a time — true for the driver, bench.py and the
+    test suite. Multi-writer deployments should prune at startup instead.
+    """
     import shutil
 
     parent, leaf = os.path.split(path)
@@ -65,14 +86,43 @@ def _prune_stale(path: str, table: str) -> None:
             shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
 
+def _assert_one_file_per_bucket(path: str, table: str) -> None:
+    """The trusted-sort scan (``legacy.bucketedTableScan.outputOrdering``,
+    session.py) is only sound when every bucket is a single file — multiple
+    files per bucket would be concatenated UNSORTED while the scan still
+    claims per-bucket order, and SMJ would silently merge unsorted input
+    (the pre-3.0 bug the default config fixed). Verify the invariant from
+    the actual file layout at register time, both branches (r6 advisor)."""
+    seen: dict[str, str] = {}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        m = _BUCKET_ID_RE.search(f)
+        if m is None:
+            raise AssertionError(
+                f"bucketed derivative {table} at {path}: file {f!r} has no "
+                "bucket-id suffix — layout is not a Spark bucketed write"
+            )
+        if m.group(1) in seen:
+            raise AssertionError(
+                f"bucketed derivative {table} at {path}: bucket {m.group(1)} "
+                f"has multiple files ({seen[m.group(1)]!r}, {f!r}) — the "
+                "trusted per-bucket sort order would be wrong; delete the "
+                "directory to regenerate"
+            )
+        seen[m.group(1)] = f
+    if not seen:
+        raise AssertionError(f"bucketed derivative {table} at {path}: no data files")
+
+
 def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str | None = None) -> str:
-    """Materialize (once per source fingerprint) and register (once per
-    session) a bucketed+sorted copy of ``table``. Returns the catalog
-    table name."""
+    """Materialize (once per source fingerprint × bucket spec) and register
+    (once per session) a bucketed+sorted copy of ``table``. Returns the
+    catalog table name."""
     key = key or BUCKET_KEYS[table]
     df = load_table(spark, sf_dir, table)
     fp = source_fingerprint(df, sf_dir, table)
-    path, name = _bucketed_paths(sf_dir, table, fp)
+    path, name = _bucketed_paths(sf_dir, table, key, fp)
     if spark.catalog.tableExists(name):
         return name
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -85,9 +135,14 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str | Non
             .option("path", path)
             .saveAsTable(name)
         )
+        _assert_one_file_per_bucket(path, table)
         _prune_stale(path, table)
         return name
-    # files already on disk from an earlier session: re-register metadata
+    # files already on disk from an earlier session: re-register metadata —
+    # but only after proving the layout still satisfies the invariant the
+    # DDL will claim (the _SUCCESS gate alone says nothing about file/bucket
+    # cardinality)
+    _assert_one_file_per_bucket(path, table)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     spark.sql(
         f"CREATE TABLE {name} ({ddl}) USING PARQUET "

@@ -21,10 +21,12 @@ signature kernel is JVM built-ins.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Large prime < 2^31 keeps rolling-hash arithmetic inside exact long range
@@ -128,20 +130,49 @@ def text_to_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, bands: int = 0
 # release_intermediates() after consuming the returned plan; bench.py's
 # per-query clearCache() is the blunt equivalent; short-lived sessions drop
 # everything at exit anyway.
-_PERSISTED: list[DataFrame] = []
+#
+# Scoped PER SESSION (r6 advisor): a process-global list would let one
+# consumer's release unpersist intermediates a concurrent consumer in a
+# DIFFERENT session still relies on, and would call unpersist on DataFrames
+# whose context has since stopped (which raises). The registry is keyed by
+# the owning SparkSession, mutations are lock-guarded, and unpersist is
+# skipped for stopped contexts (their cached blocks died with the JVM
+# context anyway).
+_PERSISTED: dict[SparkSession, list[DataFrame]] = {}
+_PERSISTED_LOCK = threading.Lock()
+
+
+def _context_stopped(spark: SparkSession) -> bool:
+    try:
+        sc = spark.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
-    """persist() + register for :func:`release_intermediates`."""
-    _PERSISTED.append(df)
+    """persist() + register under the owning session for
+    :func:`release_intermediates`."""
+    with _PERSISTED_LOCK:
+        _PERSISTED.setdefault(df.sparkSession, []).append(df)
     return df.persist()
 
 
-def release_intermediates() -> None:
+def release_intermediates(spark: SparkSession | None = None) -> None:
     """Unpersist every intermediate the dedup operators (and the dedup
-    query wrappers in queries/llm.py) persisted since the last release."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    query wrappers in queries/llm.py) persisted under ``spark`` (default:
+    the active session) since the last release. Other sessions' tracked
+    caches are left alone; entries whose session has stopped are swept
+    without touching the dead context."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    with _PERSISTED_LOCK:
+        dfs = _PERSISTED.pop(spark, []) if spark is not None else []
+        for s in [s for s in _PERSISTED if _context_stopped(s)]:
+            del _PERSISTED[s]
+    for df in dfs:
+        if not _context_stopped(df.sparkSession):
+            df.unpersist()
 
 
 def minhash_lsh_candidates(

@@ -37,78 +37,70 @@ REGISTRY: dict[str, Query] = {}
 # The external driver hash-checks the registry in iteration order and (as
 # observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-6 rotation (VERDICT r5 "Next round" #4): (a) every query
-# whose behavior changed this round leads — the two bucketed-layout
-# rewires (q_join_inner / q_report_nation_volume) and the four rows-only
-# dedup queries whose planted-recall audit gained the sentinel row;
-# (b) then the least-recently-verified set: the ENTIRE set last
-# hard-checked in round 2 (projection/filter family, sorts/set ops,
-# windows tier 1, streaming-batch ladder, subqueries, scan/sink edges,
-# decontaminate/pack), then the oldest r3-checked queries (sketch
-# rollup, the events ladder head, curation family) until the window runs
-# out. Everything past the window is still covered by the local
-# differential suite at the identical compare strictness. Names not
-# present in REGISTRY are skipped.
+# rows. Round-7 rotation: nothing changed query SEMANTICS this round
+# (the bucketed-derivative and persist-registry fixes are identity/
+# hygiene, plans unchanged), so the window is purely the least-recently-
+# verified set, computed from the CORRECTNESS_r0N history: the ENTIRE
+# r3-checked remainder (reports tier 2-4, the llm curation/sampling
+# family, scan formats, window tier 2 — 37 queries), then the oldest
+# r4-checked (agg sketches/stats, dq_profile, the events analytics
+# ladder head) until the window fills. After this round every declared
+# query's last hard check is r4+. Everything past the window is still
+# covered by the local differential suite at the identical compare
+# strictness. Names not present in REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 6 — re-check with hard driver rows
-    "q_join_inner",
-    "q_report_nation_volume",
-    "q_llm_dedup_near",
-    "q_llm_dedup_simhash",
-    "q_llm_dedup_ngram_jaccard",
-    "q_llm_dedup_embedding",
-    # (b) least-recently-verified: the full r2-checked set
-    "q_cte",
-    "q_dedup_highwater",
-    "q_derive_epoch_ts",
-    "q_distinct",
-    "q_filter_boolean",
-    "q_filter_compare",
-    "q_filter_malformed",
-    "q_filter_notnull",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_limit_topk",
-    "q_llm_decontaminate",
-    "q_llm_pack_sequences",
-    "q_news_lookback",
-    "q_null_safe_eq",
-    "q_project_rename",
-    "q_repartition_sorted",
-    "q_scan_parquet",
-    "q_session_window",
-    "q_sink_partitioned_write",
-    "q_sort_desc_nulls",
-    "q_sort_multikey",
-    "q_source_decode_json",
-    "q_sql_api",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_subquery_correlated",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_union_all",
-    "q_unpivot",
-    "q_upsert_latest",
-    "q_win_frame_rows",
-    "q_win_lag_lead",
-    "q_win_rank",
-    "q_win_topk_per_group",
-    # oldest r3-checked fill the rest of the ~50 window
-    "q_agg_sketch_rollup",
-    "q_coalesce_default",
-    "q_event_funnel",
-    "q_event_histogram",
-    "q_event_outliers",
-    "q_event_retention",
-    "q_event_rolling_active",
-    "q_event_sessionize",
+    # last hard-checked r3
     "q_except",
     "q_filter_in_between_like",
     "q_join_asof_tolerance",
     "q_llm_curation_pipeline",
     "q_llm_domain_mix",
     "q_llm_edit_distance",
+    "q_llm_embed_quantize",
+    "q_llm_idf",
+    "q_llm_pii_redact",
+    "q_llm_quality_quantile",
+    "q_llm_repetition",
+    "q_llm_sample_hash",
+    "q_llm_sample_stratified",
+    "q_llm_stopword_filter",
+    "q_llm_tfidf_top",
+    "q_report_customer_distribution",
+    "q_report_disjunctive_revenue",
+    "q_report_forecast_revenue",
+    "q_report_large_orders",
+    "q_report_market_share",
+    "q_report_min_cost_supplier",
+    "q_report_pricing_summary",
+    "q_report_product_profit",
+    "q_report_promo_effect",
+    "q_report_returned_items",
+    "q_report_sales_opportunity",
+    "q_report_shipping_priority",
+    "q_report_small_qty_revenue",
+    "q_report_top_supplier",
+    "q_report_volume_shipping",
+    "q_report_waiting_suppliers",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_scan_schema_drift",
+    "q_union_distinct",
+    "q_win_frame_range",
+    "q_win_pct_rank",
+    # oldest r4-checked fill the rest of the ~50 window
+    "q_agg_count_of_counts",
+    "q_agg_kll_quantile_rollup",
+    "q_agg_median_mode",
+    "q_dq_profile",
+    "q_event_concentration",
+    "q_event_correlation",
+    "q_event_drawdown",
+    "q_event_funnel_windowed",
+    "q_event_gap_detection",
+    "q_event_ohlc_bars",
+    "q_event_resample_ffill",
+    "q_event_similar_days",
+    "q_event_theta_overlap",
 )
 
 

@@ -122,16 +122,61 @@ def test_release_intermediates_unpersists_tracked_caches(spark, sf_dir):
     release without nuking the whole session cache."""
     from fineventstream_spark.operators import dedup
 
-    dedup.release_intermediates()  # clean slate
+    dedup.release_intermediates(spark)  # clean slate
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     cands = minhash_lsh_candidates(docs, "text", "doc_id")
     cands.count()  # materialize (fills the tracked persist)
-    assert dedup._PERSISTED, "minhash persist was not tracked"
-    tracked = list(dedup._PERSISTED)
+    tracked = list(dedup._PERSISTED.get(spark, []))
+    assert tracked, "minhash persist was not tracked under its session"
     assert any(df.storageLevel.useMemory for df in tracked)
-    dedup.release_intermediates()
-    assert not dedup._PERSISTED
+    # registry is per-session (r6 advisor): releasing a DIFFERENT session
+    # must not touch this session's caches
+    other = object()  # stands in for another session key
+    dedup._PERSISTED[other] = []  # type: ignore[index]
+    dedup.release_intermediates(other)  # type: ignore[arg-type]
+    assert spark in dedup._PERSISTED, "release of another session swept ours"
+    assert any(df.storageLevel.useMemory for df in tracked)
+    dedup.release_intermediates(spark)
+    assert spark not in dedup._PERSISTED
     assert all(not df.storageLevel.useMemory for df in tracked)
+
+
+def test_bucketed_spec_is_part_of_derivative_identity(sf_dir, monkeypatch):
+    """A bucket-spec change (count or key) must REGENERATE the derivative,
+    never re-register old files under new CLUSTERED BY metadata (r6
+    advisor: Spark trusts catalog bucketing blindly, so a spec/file
+    mismatch silently returns wrong rows). Spec therefore lives in both
+    the directory name and the session-catalog table name."""
+    from fineventstream_spark.operators import bucketed
+
+    p32, n32 = bucketed._bucketed_paths(sf_dir, "orders", "o_orderkey", "fp0")
+    assert f"b{bucketed.N_BUCKETS}-o_orderkey" in p32
+    monkeypatch.setattr(bucketed, "N_BUCKETS", bucketed.N_BUCKETS * 2)
+    p64, n64 = bucketed._bucketed_paths(sf_dir, "orders", "o_orderkey", "fp0")
+    assert p64 != p32 and n64 != n32, "bucket count not part of identity"
+    pk, nk = bucketed._bucketed_paths(sf_dir, "orders", "o_custkey", "fp0")
+    assert pk != p64 and nk != n64, "bucket key not part of identity"
+
+
+def test_bucketed_layout_assertion_rejects_multi_file_buckets(tmp_path):
+    """The trusted per-bucket sort (session.py outputOrdering pin) is only
+    sound with one file per bucket; register-time verification must reject
+    a dir where a bucket has two files or a file lacks a bucket id."""
+    from fineventstream_spark.operators.bucketed import _assert_one_file_per_bucket
+
+    d = tmp_path / "orders_bucketed-b32-o_orderkey-fp0"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    (d / "part-00000-aaaa_00003.c000.snappy.parquet").write_bytes(b"x")
+    (d / "part-00001-bbbb_00007.c000.snappy.parquet").write_bytes(b"x")
+    _assert_one_file_per_bucket(str(d), "orders")  # valid layout passes
+    (d / "part-00002-cccc_00007.c000.snappy.parquet").write_bytes(b"x")
+    with pytest.raises(AssertionError, match="multiple files"):
+        _assert_one_file_per_bucket(str(d), "orders")
+    (d / "part-00002-cccc_00007.c000.snappy.parquet").unlink()
+    (d / "plain-unbucketed.parquet").write_bytes(b"x")
+    with pytest.raises(AssertionError, match="no bucket-id suffix"):
+        _assert_one_file_per_bucket(str(d), "orders")
 
 
 def test_planted_recall_audit_never_silently_empty(spark):
