@@ -37,6 +37,16 @@ Bucket skew degrades only parallelism, never correctness: offsets are
 exact counts, so ``__rn`` is identical to the serial pass (ties on the
 order columns may renumber among themselves — the same nondeterminism a
 plain window has) and chunk membership is unchanged.
+
+CONFIG HAZARD (r7 incident): the payload join on ``(key, __bkt)`` is
+what forces the keys × buckets distribution. Under
+``spark.sql.requireAllClusterKeysForCoPartition=false`` (a NON-default
+a consumer session might set), the bookkeeping side's hash(key)
+partitioning satisfies the join by SUBSET, dragging the payload down to
+key-cardinality parallelism — the exact serialization this operator
+exists to escape (measured: 38.7 s vs 7.7 s at sf10 on the zscore
+query). The engine pins the default (session.py); the plan test
+``test_numbering_join_partitions_on_key_and_bucket`` guards the shape.
 """
 
 from __future__ import annotations

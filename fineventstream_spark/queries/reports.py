@@ -61,9 +61,20 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_nationkey), preserving bucket distribution; orders (bucketed,
     date-filtered) probes the broadcast customer map → (orderkey,
     c_nationkey), also bucket-preserved; their SMJ is bucket-co-located
-    (subset co-partitioning: the equi-key pair widens to
-    (orderkey, nationkey) but orderkey distribution satisfies it — see
-    session.py). The only shuffle is the 25-row final aggregate.
+    on the bucket key ONLY. The customer-nation = supplier-nation
+    equality is written as ``(c_nationkey - s_nationkey) == 0`` ON
+    PURPOSE: as a plain equality Catalyst's ExtractEquiJoinKeys widens
+    the SMJ keys to (orderkey, nationkey), whose distribution the
+    bucket layout no longer satisfies under default co-partition rules
+    (the r6 global relaxation that made it satisfiable serialized
+    unrelated operators — 5× on chunked rolling; see session.py). The
+    subtraction form stays a RESIDUAL merge condition: evaluated per
+    matched pair inside the SMJ — same early filtering as a key, no
+    widened-key exchange, identical inner-join semantics (both forms
+    drop null nations; keys are tiny ints, no overflow). sf10 measured
+    (r7, default configs): 2.05 s solo min-of-3 — same as the r6
+    subset-config number, without the global hazard.
+    The only shuffle is the 25-row final aggregate.
     customer/supplier are true dims (fixed 1:40 / 1:600 fact ratios);
     at extreme SF customer's 2-column projection outgrows broadcast and
     becomes a shuffled join on the SLIM orders side only — the fact-side
@@ -92,7 +103,9 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_sup.join(
             ord_nat,
             (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            # subtraction form on purpose — residual SMJ condition, not a
+            # widened join key (see docstring)
+            & ((F.col("c_nationkey") - F.col("s_nationkey")) == 0),
         )
         .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

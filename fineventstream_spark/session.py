@@ -62,13 +62,18 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Bucketed-derivative support (operators/bucketed.py). Subset
-        # co-partitioning: a join whose equi-keys are (orderkey, x) is
-        # satisfied by data hash-distributed on orderkey alone — without
-        # this, a bucketed-on-orderkey SMJ that also carries a second
-        # equality re-shuffles BOTH fact sides on the widened key pair
-        # (measured at sf10: the entire lineitem exchange came back).
-        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # NOTE (r7): spark.sql.requireAllClusterKeysForCoPartition stays at
+        # its DEFAULT (true). Round 6 set it false so a bucketed-on-orderkey
+        # SMJ whose equi-keys widened to (orderkey, nationkey) could reuse
+        # the bucket distribution — but globally, the relaxation let joins
+        # whose small side is partitioned on a key SUBSET drag the big side
+        # down to that subset's distribution: chunked_rolling's bookkeeping
+        # join (key, __bkt) was satisfied by hash(key) alone, collapsing the
+        # heavy window to key-cardinality parallelism (sf10 measured: 38.7 s
+        # vs 7.7 s — a 5× regression on q_event_rolling_zscore). The one
+        # query that needed the widened-key reuse (Q5) now joins on the
+        # bucket key ONLY and applies the second equality as a post-join
+        # filter — identical semantics, single-key SMJ, default configs.
         # Bucketed scans report per-bucket sort order when each bucket is
         # one file (our derivatives write exactly one — repartition(n, key)
         # ahead of bucketBy), letting SMJ skip its Sort (sf10: −17%).

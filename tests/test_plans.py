@@ -486,6 +486,45 @@ def test_resample_ffill_is_asof_shaped(spark, sf_dir):
     assert "Union" in plan, "grid and ticks should union into one keyed window"
 
 
+def test_numbering_join_partitions_on_key_and_bucket(spark):
+    """Runtime guard for the r7 parallelism-collapse incident: the
+    distributed numbering's PAYLOAD join must execute partitioned on
+    (key, __bkt), never on key alone. The collapse is an AQE RUNTIME
+    replan decision (the static plans are identical), triggered when
+    requireAllClusterKeysForCoPartition=false lets the bookkeeping
+    side's hash(key) satisfy the join by subset — dragging the payload
+    down to key-cardinality parallelism (sf10: 38.7 s vs 7.7 s on
+    q_event_rolling_zscore). The guard therefore inspects the EXECUTED
+    adaptive plan: both the payload exchange and the bookkeeping-count
+    exchange must hash on (key, __bkt) — the collapsed plan carries only
+    the bookkeeping one (payload re-keys on k alone; verified to
+    discriminate between the two configs)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators.rolling import with_distributed_row_number
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 16).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    out = with_distributed_row_number(df, ["k"], ["v"], n_buckets=32)
+    out.write.format("noop").mode("overwrite").save()
+    final = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    bkt_parts = {
+        p
+        for p in re.findall(r"hashpartitioning\([^)]*\)", final)
+        if "__bkt" in p
+    }
+    assert len(bkt_parts) >= 2, (
+        "payload exchange lost its (key, __bkt) partitioning — only "
+        f"{bkt_parts or '{}'} hash on __bkt in the executed plan (subset "
+        "co-partitioning collapse):\n" + final
+    )
+
+
 def test_rolling_zscore_chunked_parallelism(spark, sf_dir):
     """The heavy frame pass must partition by (symbol, chunk) — not by
     symbol alone (which serializes each symbol into one task) — and
