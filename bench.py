@@ -85,6 +85,9 @@ HEADLINE = [
     "q_agg_kll_quantile_rollup",
     "q_event_theta_overlap",
     "q_llm_token_count",
+    # round-7 addition: MG-candidate heavy hitters (Python candidate pass
+    # + candidate-broadcast exact verify)
+    "q_event_heavy_hitters",
 ]
 
 

@@ -51,8 +51,16 @@ from fineventstream_spark.registry import register
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Violations report over lineitem: one (rule, n_viol) row per declared
     expectation, one scan, partial-aggregated. Rules are chosen so the
-    fixture actually violates some (nonzero counts) and passes others."""
-    t = Tables(spark, sf_dir)
+    fixture actually violates some (nonzero counts) and passes others.
+
+    r7: reads the bucketed orderkey layout — the ``unique(l_orderkey)``
+    rule plans as an Expand + distinct aggregate whose first grouping is
+    on the orderkey; on a hash-shuffled scan that is a DOMAIN-SIZED
+    exchange (every distinct key crosses the wire — the dominant cost at
+    sf10), on the bucketed scan the distribution is already satisfied and
+    the whole report runs shuffle-free up to the final scalar collapse."""
+    from fineventstream_spark.operators.bucketed import bucketed_table
+
     rules = [
         not_null("l_quantity"),
         in_range("l_discount", 0.0, 0.05),
@@ -60,7 +68,7 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches("l_linestatus", "^[FO]$"),
         unique("l_orderkey"),
     ]
-    return expectation_summary(t.lineitem, rules)
+    return expectation_summary(bucketed_table(spark, sf_dir, "lineitem"), rules)
 
 
 @register(

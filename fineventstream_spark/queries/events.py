@@ -922,3 +922,66 @@ def q_event_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "event_type", "d")
         .limit(10)
     )
+
+
+@register(
+    "q_event_heavy_hitters",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(value) AS BIGINT) AS bucket
+        FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+    g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_events FROM b GROUP BY bucket)
+    SELECT bucket, n_events, n_total,
+           ROUND(n_events / CAST(n_total AS DOUBLE), 6) AS share
+    FROM g, tot
+    WHERE n_events >= n_total * 0.01
+    """,
+    tags=("E18", "A4", "U6"),
+)
+def q_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy-hitters (phi = 1%) over the quantized value domain:
+    every integer value bucket holding >= 1% of all events, with exact
+    counts and shares — mode/anomaly detection over an event lake (a
+    handful of hot price points, error codes, or status values out of an
+    unbounded domain).
+
+    Scale shape (operators/frequent.py): a naive GROUP BY shuffles the
+    whole key domain to count items of which at most 1/phi = 100 can
+    qualify. Instead: (1) per-partition Misra-Gries candidate pass —
+    shuffle-free, Arrow-batched, bounded at 200 entries/partition, with
+    the no-false-negative guarantee (any key with a >= 1% global share
+    must survive some partition's summary; mergeable-summaries deficit
+    bound, see the operator docstring); (2) exact verify — the fact joins
+    the BROADCAST candidate set, so only candidate keys enter the
+    count shuffle, then the exact HAVING kills false positives. Output is
+    therefore exactly the true heavy-hitter set, independent of
+    partitioning — hash-checkable against the plain GROUP BY/HAVING
+    oracle (the candidate pass can only add keys the verify removes).
+    The threshold comparison (BIGINT count vs n_total * 0.01 DOUBLE) is
+    the identical IEEE expression on both engines."""
+    from fineventstream_spark.operators.frequent import mg_frequent_candidates
+
+    t = Tables(spark, sf_dir)
+    buckets = (
+        t.events.where(F.col("value").isNotNull())
+        .select(F.floor("value").cast("bigint").alias("bucket"))
+    )
+    cand = mg_frequent_candidates(buckets, "bucket", capacity=200).withColumnRenamed(
+        "__mg_key", "bucket"
+    )
+    total = buckets.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        buckets.join(F.broadcast(cand), "bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_events") >= F.col("n_total") * 0.01)
+        .select(
+            "bucket",
+            "n_events",
+            "n_total",
+            F.round(F.col("n_events") / F.col("n_total"), 6).alias("share"),
+        )
+    )

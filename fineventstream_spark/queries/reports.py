@@ -176,17 +176,24 @@ def q_report_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 (order-priority checking): orders in a window that had at
     least one line shipped after the order date, counted per priority.
     The EXISTS is a LEFT SEMI join on orderkey — the correlated
-    l_shipdate > o_orderdate predicate rides the join condition, so no
-    row from lineitem survives the join (no dedup needed, no
-    explosion). One semi-join shuffle + one 5-group aggregate."""
-    t = Tables(spark, sf_dir)
-    orders = t.orders.filter(
+    l_shipdate > o_orderdate predicate is an INEQUALITY, so it rides the
+    SMJ as a residual condition (never a widened join key), and no row
+    from lineitem survives the join (no dedup needed, no explosion).
+
+    r7: both sides read the bucketed orderkey layout
+    (operators/bucketed.py), so the semi-join is bucket-co-located with
+    ZERO exchange (plan-asserted); the only shuffle left is the 5-group
+    partial-aggregated count. sf10: 3.1 s (r5 shuffled semi-join,
+    in-suite) → 1.4 s solo."""
+    od = bucketed_table(spark, sf_dir, "orders")
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    orders = od.filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     return (
         orders.join(
-            t.lineitem,
+            li,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("l_shipdate") > F.col("o_orderdate")),
             "left_semi",
@@ -351,21 +358,34 @@ def q_report_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment's pre-cutoff orders, top 10. Both date predicates and the
     segment filter are pushed into their respective parquet scans before
     either join; the top-10 compiles to TakeOrderedAndProject (per-partition
-    heap + driver merge of 10-row heads), so the only full shuffles are
-    the two fact joins and the per-orderkey aggregate — no global sort
-    materializes at any scale."""
+    heap + driver merge of 10-row heads), so no global sort materializes
+    at any scale.
+
+    r7: rewritten onto the bucketed orderkey layout — the BUILDING
+    customer keyset (dim-scale, 1:40 fact ratio) broadcasts as a
+    semi-join gate on orders, the orders⋈lineitem SMJ is
+    bucket-co-located, and the per-(orderkey, orderdate) aggregate's
+    grouping contains the bucket key so it reuses the same distribution:
+    ZERO shuffle exchanges end-to-end (plan-asserted — the same shape as
+    q_join_inner, which this query extends with the revenue top-k).
+    sf10: 3.5 s (r5 two-shuffle plan, in-suite) → 1.1 s solo."""
     t = Tables(spark, sf_dir)
+    od = bucketed_table(spark, sf_dir, "orders")
+    li = bucketed_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1997-06-15").cast("timestamp")
-    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    orders = t.orders.filter(F.col("o_orderdate") < cutoff).select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    cust_keys = F.broadcast(
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     )
-    lines = t.lineitem.filter(F.col("l_shipdate") > cutoff).select(
+    orders = (
+        od.filter(F.col("o_orderdate") < cutoff)
+        .join(cust_keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lines = li.filter(F.col("l_shipdate") > cutoff).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lines, F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(lines, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(

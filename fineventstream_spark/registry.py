@@ -37,9 +37,10 @@ REGISTRY: dict[str, Query] = {}
 # The external driver hash-checks the registry in iteration order and (as
 # observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-7 rotation: nothing changed query SEMANTICS this round
-# (the bucketed-derivative and persist-registry fixes are identity/
-# hygiene, plans unchanged), so the window is purely the least-recently-
+# rows. Round-7 rotation: behavior-adjacent changes first — the NEW
+# q_event_heavy_hitters (MG candidates + exact verify) and
+# q_report_nation_volume (join rewritten to a residual-condition SMJ;
+# same semantics, new expression tree) — then the least-recently-
 # verified set, computed from the CORRECTNESS_r0N history: the ENTIRE
 # r3-checked remainder (reports tier 2-4, the llm curation/sampling
 # family, scan formats, window tier 2 — 37 queries), then the oldest
@@ -49,6 +50,9 @@ REGISTRY: dict[str, Query] = {}
 # covered by the local differential suite at the identical compare
 # strictness. Names not present in REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # round-7 behavior changes front the window
+    "q_event_heavy_hitters",
+    "q_report_nation_volume",
     # last hard-checked r3
     "q_except",
     "q_filter_in_between_like",

@@ -1351,3 +1351,85 @@ def test_substring_dedup_matches_bruteforce_reference(spark):
         .collect()
     }
     assert got == want
+
+
+def test_mg_candidates_contain_all_planted_heavies(spark):
+    """The no-false-negative guarantee: with capacity 2/phi, every key
+    whose global share is >= phi must appear in the candidate union,
+    regardless of how rows are partitioned — over a high-cardinality
+    noise domain where a plain GROUP BY would shuffle every key."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators.frequent import mg_frequent_candidates
+
+    # 100k noise rows over ~50k distinct keys + 5 planted heavies at ~2%
+    # each (phi = 1% -> capacity 200 gives a 2x margin)
+    noise = spark.range(100_000).select(
+        (F.abs(F.xxhash64("id")) % 50_000 + 1_000_000).alias("k")
+    )
+    heavies = (
+        spark.range(5 * 2_000)
+        .select((F.col("id") % 5).alias("k"))
+    )
+    df = noise.union(heavies).repartition(16)  # planted rows spread everywhere
+    cand = mg_frequent_candidates(df, "k", capacity=200)
+    got = {r["__mg_key"] for r in cand.collect()}
+    assert {0, 1, 2, 3, 4} <= got, f"planted heavies missing: { {0,1,2,3,4} - got }"
+    # bounded output: at most partitions x capacity candidates
+    assert len(got) <= 16 * 200
+
+
+def test_mg_trim_keeps_deficit_bound(spark):
+    """Property: per-partition undercount <= n_p/(capacity+1). Run the
+    whole stream through ONE partition and compare MG survivors' implied
+    threshold against exact counts: every key with exact count >
+    n/(cap+1) must survive."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators.frequent import mg_frequent_candidates
+
+    rng = random.Random(7)
+    # zipf-ish: key i with multiplicity ~ 3000/(i+1)
+    rows = [i for i in range(1, 400) for _ in range(3000 // i)] + [
+        rng.randrange(10_000, 90_000) for _ in range(20_000)
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], "k long").coalesce(1)
+    n = len(rows)
+    cap = 100
+    cand = {r["__mg_key"] for r in mg_frequent_candidates(df, "k", capacity=cap).collect()}
+    from collections import Counter
+
+    exact = Counter(rows)
+    must_survive = {k for k, c in exact.items() if c > n / (cap + 1)}
+    assert must_survive <= cand, f"lost keys above the deficit bound: {must_survive - cand}"
+
+
+def test_heavy_hitters_exact_verify_kills_false_positives(spark, sf_dir):
+    """End-to-end: q_event_heavy_hitters output equals the plain exact
+    GROUP BY/HAVING computed in Spark itself (the differential suite
+    checks the DuckDB twin; this pins partition-independence by running
+    the query at a hostile partitioning)."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.queries.events import q_event_heavy_hitters
+
+    got = {
+        (r["bucket"], r["n_events"])
+        for r in q_event_heavy_hitters(spark, sf_dir).collect()
+    }
+    t = Tables(spark, sf_dir)
+    b = t.events.where(F.col("value").isNotNull()).select(
+        F.floor("value").cast("bigint").alias("bucket")
+    )
+    n = b.count()
+    exact = {
+        (r["bucket"], r["n"])
+        for r in b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= n * 0.01)
+        .collect()
+    }
+    assert got == exact

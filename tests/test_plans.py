@@ -161,6 +161,45 @@ def test_q3_join_inner_zero_shuffle(spark, sf_dir):
     assert "Bucketed: true" in plan
 
 
+def test_shipping_priority_zero_shuffle(spark, sf_dir):
+    """TPC-H Q3 (r7 bucketed rewrite): broadcast customer semi-gate +
+    bucket-co-located orders⋈lineitem + distribution-reusing aggregate +
+    TakeOrderedAndProject top-10 — ZERO shuffle exchanges, no global
+    sort."""
+    plan = _plan(spark, sf_dir, "q_report_shipping_priority")
+    n = _shuffle_exchanges(plan)
+    assert n == 0, f"q_report_shipping_priority shuffles ({n}):\n{plan}"
+    assert "Bucketed: true" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan, "top-10 must not globally sort"
+
+
+def test_order_priority_single_tiny_shuffle(spark, sf_dir):
+    """TPC-H Q4 (r7 bucketed rewrite): the orderkey semi-join is
+    bucket-co-located (the l_shipdate > o_orderdate inequality stays a
+    residual condition — it cannot widen the equi-keys), so the ONLY
+    exchange is the 5-group partial-aggregated count."""
+    plan = _plan(spark, sf_dir, "q_report_order_priority")
+    n = _shuffle_exchanges(plan)
+    assert n == 1, f"q_report_order_priority should shuffle once ({n}):\n{plan}"
+    assert "Bucketed: true" in plan
+    assert "LeftSemi" in plan
+
+
+def test_heavy_hitters_candidate_broadcast_shape(spark, sf_dir):
+    """q_event_heavy_hitters: the MG candidate pass is a shuffle-free
+    MapInPandas (its distinct is candidate-sized), the candidate set
+    BROADCASTS into the exact verify, and the fact-side count is
+    partial-aggregated — every shuffle exchange in the plan is
+    candidate- or scalar-sized, never domain-sized."""
+    plan = _plan(spark, sf_dir, "q_event_heavy_hitters")
+    assert "MapInPandas" in plan, "candidate pass missing"
+    assert "BroadcastHashJoin" in plan, "candidates must broadcast into the verify"
+    # candidate distinct + candidate-bounded count + scalar total only
+    n = _shuffle_exchanges(plan)
+    assert n <= 3, f"unexpected exchanges ({n}):\n{plan}"
+
+
 def test_pack_sequences_prefix_sum_is_distributed(spark, sf_dir):
     """The cumulative sum must be range-bucketed: the only unpartitioned
     window may be over the tiny per-bucket offsets frame (≤ n_buckets
@@ -699,6 +738,20 @@ def test_risk_stats_single_fact_shuffle(spark, sf_dir, name):
     assert plan.count("- Window (") == 1
     assert plan.count("- Exchange (") == 1, f"{name} should shuffle the fact once"
     assert "rangepartitioning" not in plan
+
+
+def test_dq_violations_no_domain_shuffle(spark, sf_dir):
+    """The unique(l_orderkey) rule's distinct aggregate must reuse the
+    bucketed scan's distribution: the only exchange left is the scalar
+    collapse to the 5-rule report (SinglePartition), never a
+    domain-sized hashpartitioning on the orderkey."""
+    plan = _plan(spark, sf_dir, "q_dq_violations")
+    assert "Bucketed: true" in plan
+    n = _shuffle_exchanges(plan)
+    assert n == 1, f"expected only the scalar collapse ({n} exchanges):\n{plan}"
+    assert "hashpartitioning(l_orderkey" not in plan, (
+        "distinct agg re-shuffled the key domain:\n" + plan
+    )
 
 
 def test_dq_profile_single_scan(spark, sf_dir):
