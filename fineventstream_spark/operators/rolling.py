@@ -38,15 +38,22 @@ exact counts, so ``__rn`` is identical to the serial pass (ties on the
 order columns may renumber among themselves — the same nondeterminism a
 plain window has) and chunk membership is unchanged.
 
-CONFIG HAZARD (r7 incident): the payload join on ``(key, __bkt)`` is
-what forces the keys × buckets distribution. Under
+CONFIG HAZARD (r7 incident, now structurally closed): the first r7 cut
+ran the payload join as a co-partitioned SMJ on ``(key, __bkt)``; under
 ``spark.sql.requireAllClusterKeysForCoPartition=false`` (a NON-default
 a consumer session might set), the bookkeeping side's hash(key)
-partitioning satisfies the join by SUBSET, dragging the payload down to
+partitioning satisfied the join by SUBSET, dragging the payload down to
 key-cardinality parallelism — the exact serialization this operator
 exists to escape (measured: 38.7 s vs 7.7 s at sf10 on the zscore
-query). The engine pins the default (session.py); the plan test
-``test_numbering_join_partitions_on_key_and_bucket`` guards the shape.
+query). The offsets side is keys × buckets — bookkeeping-sized under
+this operator's stated contract (key cardinality ≪ rows; a
+high-cardinality caller wants the plain window, which already
+parallelizes) — so it now BROADCASTS into the payload: no
+co-partitioned join exists to collapse, and the fact is sorted once
+(for the numbering window) instead of twice (SMJ sort + window sort).
+The plan test ``test_numbering_join_partitions_on_key_and_bucket``
+still pins the numbering window's exchange to the full ``(key, __bkt)``
+cluster keys.
 """
 
 from __future__ import annotations
@@ -158,8 +165,13 @@ def with_distributed_row_number(
         F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
     )
     local_w = Window.partitionBy(*key_cols, "__bkt").orderBy(*order_cols)
+    # offsets is keys × buckets (bookkeeping scale under the operator's
+    # low-key-cardinality contract): broadcast it so the payload needs no
+    # join exchange/sort — the numbering window's clusterBy(key, __bkt) is
+    # then the ONLY fact distribution, and there is no co-partitioned join
+    # for subset co-partitioning to collapse (module docstring, r7 hazard)
     return (
-        bucketed.join(offsets, [*key_cols, "__bkt"])
+        bucketed.join(F.broadcast(offsets), [*key_cols, "__bkt"])
         .withColumn(out_col, F.row_number().over(local_w) - 1 + F.col("__off"))
         .drop("__bkt", "__off")
     )

@@ -527,17 +527,16 @@ def test_resample_ffill_is_asof_shaped(spark, sf_dir):
 
 def test_numbering_join_partitions_on_key_and_bucket(spark):
     """Runtime guard for the r7 parallelism-collapse incident: the
-    distributed numbering's PAYLOAD join must execute partitioned on
-    (key, __bkt), never on key alone. The collapse is an AQE RUNTIME
-    replan decision (the static plans are identical), triggered when
-    requireAllClusterKeysForCoPartition=false lets the bookkeeping
-    side's hash(key) satisfy the join by subset — dragging the payload
-    down to key-cardinality parallelism (sf10: 38.7 s vs 7.7 s on
-    q_event_rolling_zscore). The guard therefore inspects the EXECUTED
-    adaptive plan: both the payload exchange and the bookkeeping-count
-    exchange must hash on (key, __bkt) — the collapsed plan carries only
-    the bookkeeping one (payload re-keys on k alone; verified to
-    discriminate between the two configs)."""
+    distributed numbering must execute its payload at (key, __bkt)
+    parallelism, never key alone. The original collapse was an AQE
+    RUNTIME replan (requireAllClusterKeysForCoPartition=false let the
+    bookkeeping side's hash(key) satisfy the co-partitioned SMJ by
+    subset; sf10: 38.7 s vs 7.7 s on q_event_rolling_zscore). The
+    offsets side now BROADCASTS (bookkeeping-sized by contract), so no
+    co-partitioned join exists to collapse — this guard pins that shape:
+    the payload join is a BroadcastHashJoin, and the executed adaptive
+    plan still hashes on the FULL (key, __bkt) cluster keys for both the
+    numbering window and the bookkeeping count."""
     import re
 
     from pyspark.sql import functions as F
@@ -551,6 +550,10 @@ def test_numbering_join_partitions_on_key_and_bucket(spark):
     out.write.format("noop").mode("overwrite").save()
     final = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in final, (
+        "offsets must broadcast into the payload (no co-partitioned join "
+        "to collapse):\n" + final
     )
     bkt_parts = {
         p
