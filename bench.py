@@ -88,6 +88,10 @@ HEADLINE = [
     # round-7 addition: MG-candidate heavy hitters (Python candidate pass
     # + candidate-broadcast exact verify)
     "q_event_heavy_hitters",
+    # round-7 additions: relational Count-Min sketch (the only exactly-
+    # oracled sketch) and A-Res weighted sampling (TakeOrdered, 0 exchanges)
+    "q_agg_count_min_freq",
+    "q_llm_sample_weighted",
 ]
 
 

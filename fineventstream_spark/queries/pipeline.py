@@ -639,3 +639,59 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("eval")
         .alias("split"),
     )
+
+
+@register(
+    "q_llm_sample_weighted",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           ROUND(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+                     / 4503599627370496.0) / n_chars, 6) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+                 / 4503599627370496.0) / n_chars,
+             doc_id
+    LIMIT 100
+    """,
+    tags=("PL3",),
+)
+def q_llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    inclusion probability proportional to document length, the standard
+    size-biased draw for training-mix construction. Each doc gets a
+    deterministic uniform u from the 52-bit md5 prefix of its key —
+    (v + 0.5) / 2^52 is EXACT in IEEE doubles (53-bit mantissa holds
+    v + 0.5; the divisor is a power of two), so u is bit-identical in
+    Spark and DuckDB — and the A-Res key -ln(u)/w ranks the draw: the k
+    smallest keys ARE the weighted sample. No RNG state, no driver
+    round-trips, identical on any cluster size or data layout.
+
+    Physically a TakeOrderedAndProject: per-partition top-k heaps, one
+    k-row merge — no global sort at 100 TB (same shape as
+    q_llm_sample_hash, which this generalizes from uniform to weighted)."""
+    t = Tables(spark, sf_dir)
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        t.documents.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            key.alias("__key"),
+        )
+        .orderBy("__key", "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("__key", 6).alias("sample_key"),
+        )
+    )

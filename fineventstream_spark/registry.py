@@ -52,7 +52,12 @@ REGISTRY: dict[str, Query] = {}
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # round-7 behavior changes front the window
     "q_event_heavy_hitters",
+    "q_agg_count_min_freq",
+    "q_llm_sample_weighted",
     "q_report_nation_volume",
+    "q_report_order_priority",
+    "q_dq_violations",
+    "q_event_rolling_zscore",
     # last hard-checked r3
     "q_except",
     "q_filter_in_between_like",

@@ -1433,3 +1433,39 @@ def test_heavy_hitters_exact_verify_kills_false_positives(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_count_min_estimate_upper_bounds_exact(spark, sf_dir):
+    """CMS structural guarantee: every estimate >= the exact count (the
+    min over d cells can only over-count — collisions add, never
+    subtract). A violation means the probe hit the wrong cell, i.e. the
+    Spark-side and sketch-side hash expressions diverged."""
+    from fineventstream_spark.queries.aggregates import q_agg_count_min_freq
+
+    rows = q_agg_count_min_freq(spark, sf_dir).collect()
+    # capped at 20 probe keys; small fixtures have fewer distinct users
+    assert 1 <= len(rows) <= 20
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"], r
+        assert r["rel_err"] >= 0.0, r
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """A-Res size bias sanity: the weighted sample's mean n_chars must
+    exceed the corpus mean (inclusion probability grows with weight).
+    Deterministic — the uniforms are md5-derived, so this can't flake."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.queries.pipeline import q_llm_sample_weighted
+
+    sample = q_llm_sample_weighted(spark, sf_dir).collect()
+    assert len(sample) == 100
+    keys = [r["sample_key"] for r in sample]
+    assert keys == sorted(keys) and all(k >= 0 for k in keys)
+    t = Tables(spark, sf_dir)
+    corpus_mean = t.documents.where(F.col("n_chars") > 0).agg(
+        F.avg("n_chars")
+    ).first()[0]
+    sample_mean = sum(r["n_chars"] for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
