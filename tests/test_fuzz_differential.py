@@ -677,3 +677,79 @@ def test_fuzz_asof_case(case_id, spark_events, duck, sf_dir):
         )
 
     assert norm(srows) == norm(drows), f"as-of mismatch for {cfg}"
+
+
+def _gen_hash_bridge_case(rng: random.Random) -> tuple[str, str]:
+    """Portable-hash bridge compositions: the md5-prefix-to-integer
+    arithmetic that q_agg_count_min_freq / q_llm_sample_weighted build
+    their cross-engine determinism on — Spark's
+    conv(substr(md5(CAST(k AS BINARY)), a, b), 16, 10) against DuckDB's
+    ('0x' || substr(md5(k), a, b))::BIGINT — fuzzed over random key
+    expressions, prefix windows, and moduli, in three shapes: cell
+    histogram (GROUP BY + HAVING), global cell stats, and total-order
+    top-k by hash value. Any divergence in md5 bytes, hex slicing, int
+    parsing, or % semantics breaks a shape."""
+    keys = [
+        ("CAST(o_orderkey AS STRING)", "CAST(o_orderkey AS VARCHAR)"),
+        ("o_orderpriority", "o_orderpriority"),
+        (
+            "CAST(o_custkey AS STRING) || ':' || o_orderstatus",
+            "CAST(o_custkey AS VARCHAR) || ':' || o_orderstatus",
+        ),
+        (
+            "o_orderpriority || '#' || CAST(o_orderdate AS STRING)",
+            "o_orderpriority || '#' || CAST(o_orderdate AS VARCHAR)",
+        ),
+    ]
+    skey, dkey = rng.choice(keys)
+    if rng.random() < 0.4:
+        salt = rng.randint(1, 99)
+        skey, dkey = f"{skey} || ':{salt}'", f"{dkey} || ':{salt}'"
+    a = rng.randint(1, 3)
+    b = rng.randint(4, 13)
+    w = rng.choice([7, 64, 97, 256, 513, 1024])
+    scell = f"CAST(conv(substring(md5(CAST({skey} AS BINARY)), {a}, {b}), 16, 10) AS BIGINT) % {w}"
+    dcell = f"CAST(('0x' || substr(md5({dkey}), {a}, {b})) AS BIGINT) % {w}"
+    pred = f"o_orderkey % {rng.randint(3, 9)} = 0"
+    shape = rng.randrange(3)
+    if shape == 0:
+        h = rng.randint(1, 4)
+        spark_sql = (
+            f"SELECT {scell} AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            f"WHERE {pred} GROUP BY cell HAVING COUNT(*) > {h}"
+        )
+        duck_sql = (
+            f"SELECT {dcell} AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            f"WHERE {pred} GROUP BY cell HAVING COUNT(*) > {h}"
+        )
+    elif shape == 1:
+        spark_sql = (
+            f"SELECT MIN({scell}) AS lo, MAX({scell}) AS hi, "
+            f"CAST(SUM({scell}) AS BIGINT) AS s, "
+            f"CAST(COUNT(DISTINCT {scell}) AS BIGINT) AS nd "
+            f"FROM orders WHERE {pred}"
+        )
+        duck_sql = (
+            f"SELECT MIN({dcell}) AS lo, MAX({dcell}) AS hi, "
+            f"CAST(SUM({dcell}) AS BIGINT) AS s, "
+            f"CAST(COUNT(DISTINCT {dcell}) AS BIGINT) AS nd "
+            f"FROM orders WHERE {pred}"
+        )
+    else:
+        k = rng.randint(10, 60)
+        spark_sql = (
+            f"SELECT o_orderkey, {scell} AS cell FROM orders WHERE {pred} "
+            f"ORDER BY cell, o_orderkey LIMIT {k}"
+        )
+        duck_sql = (
+            f"SELECT o_orderkey, {dcell} AS cell FROM orders WHERE {pred} "
+            f"ORDER BY cell, o_orderkey LIMIT {k}"
+        )
+    return spark_sql, duck_sql
+
+
+@pytest.mark.parametrize("case_id", range(12))
+def test_fuzz_hash_bridge_case(case_id, spark_two_tables, duck, sf_dir):
+    _run_pair_case(
+        spark_two_tables, duck, *_gen_hash_bridge_case(random.Random(97_000 + case_id))
+    )
