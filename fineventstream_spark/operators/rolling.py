@@ -230,3 +230,135 @@ def chunked_rolling(
         *[expr.over(w).alias(name) for name, expr in aggs.items()],
     )
     return out.filter(F.col("__emit")).drop("__emit")
+
+
+def with_distributed_prefix(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    prefix_aggs: dict[str, tuple[str, str]],
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Running (UNBOUNDED PRECEDING) aggregates at keys × buckets
+    parallelism — the distributed prefix scan completing the chunked
+    family: ``chunked_rolling`` covers bounded trailing frames, this
+    covers the unbounded ones (running max/min/sum: drawdown peaks,
+    cumulative volume, high-water marks).
+
+    ``prefix_aggs`` maps output name → ("max" | "min" | "sum", value_col).
+    Decomposition: rows bucket by order-column value ranges (monotone, so
+    every earlier row is in an earlier-or-equal bucket); per-(key, bucket)
+    partials form a bookkeeping table whose EXCLUSIVE per-key prefix is
+    the carry-in offset; the offset broadcasts back and merges with the
+    in-bucket running aggregate (greatest / least / +). With a total
+    order (unique tiebreak in ``order_cols``) results are bit-identical
+    to the serial window; null handling matches (window aggs skip nulls,
+    greatest/least skip nulls, sum stays null only when both sides are).
+    """
+    ops = {"max": F.max, "min": F.min, "sum": F.sum}
+    for name, (kind, _) in prefix_aggs.items():
+        if kind not in ops:
+            raise ValueError(f"unsupported prefix agg {kind!r} for {name!r}")
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bucketed = _with_order_bucket(df, order_cols[0], n_buckets)
+    partials = bucketed.groupBy(*key_cols, "__bkt").agg(
+        *[
+            ops[kind](col).alias(f"__p_{name}")
+            for name, (kind, col) in prefix_aggs.items()
+        ]
+    )
+    off_w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        *key_cols,
+        "__bkt",
+        *[
+            ops[kind](f"__p_{name}").over(off_w).alias(f"__o_{name}")
+            for name, (kind, _) in prefix_aggs.items()
+        ],
+    )
+    local_w = (
+        Window.partitionBy(*key_cols, "__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = bucketed.join(F.broadcast(offsets), [*key_cols, "__bkt"])
+    for name, (kind, col) in prefix_aggs.items():
+        local = ops[kind](col).over(local_w)
+        off = F.col(f"__o_{name}")
+        if kind == "max":
+            merged = F.greatest(local, off)
+        elif kind == "min":
+            merged = F.least(local, off)
+        else:  # sum: null only when BOTH sides carry no non-null input
+            merged = F.when(
+                local.isNull() & off.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0)))
+        out = out.withColumn(name, merged)
+    return out.drop("__bkt", *[f"__o_{n}" for n in prefix_aggs])
+
+
+def with_distributed_lag(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    lag_cols: dict[str, str],
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """``lag(col, 1)`` at keys × buckets parallelism. ``lag_cols`` maps
+    output name → source column.
+
+    In-bucket lag covers every row except each bucket's first; that row's
+    predecessor is the LAST row of the key's previous non-empty bucket,
+    recovered from bookkeeping: per-(key, bucket) ``max_by(col,
+    struct(order_cols))`` (the bucket-final value), then ``last`` over the
+    exclusive per-key bucket prefix — empty buckets never emit a
+    bookkeeping row, so the previous finals row IS the previous non-empty
+    bucket, and a genuinely-NULL bucket-final value propagates as null
+    exactly like serial lag would. The first-row case keys off an explicit
+    in-bucket row_number, NOT coalesce, so null lagged values elsewhere
+    pass through unchanged."""
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bucketed = _with_order_bucket(df, order_cols[0], n_buckets)
+    order_struct = F.struct(*[F.col(c) for c in order_cols])
+    finals = bucketed.groupBy(*key_cols, "__bkt").agg(
+        *[
+            F.max_by(src, order_struct).alias(f"__f_{name}")
+            for name, src in lag_cols.items()
+        ]
+    )
+    off_w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = finals.select(
+        *key_cols,
+        "__bkt",
+        *[
+            F.last(f"__f_{name}", ignorenulls=False)
+            .over(off_w)
+            .alias(f"__o_{name}")
+            for name in lag_cols
+        ],
+    )
+    local_w = Window.partitionBy(*key_cols, "__bkt").orderBy(*order_cols)
+    out = (
+        bucketed.join(F.broadcast(offsets), [*key_cols, "__bkt"])
+        .withColumn("__rnl", F.row_number().over(local_w))
+    )
+    for name, src in lag_cols.items():
+        out = out.withColumn(
+            name,
+            F.when(F.col("__rnl") == 1, F.col(f"__o_{name}")).otherwise(
+                F.lag(src).over(local_w)
+            ),
+        )
+    return out.drop("__bkt", "__rnl", *[f"__o_{n}" for n in lag_cols])

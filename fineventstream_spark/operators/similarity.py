@@ -48,6 +48,35 @@ def cosine_similarity_col(vec_col, query: list[float]):
     return _dot(vec_col.cast("array<double>"), q) / (_norm(vec_col.cast("array<double>")) * F.lit(qn))
 
 
+def _balanced_sum(cols):
+    """Sum a list of Columns as a balanced tree: expression DEPTH stays
+    log2(n) instead of n, keeping the generated Java inside codegen's
+    nesting limits for wide vectors."""
+    while len(cols) > 1:
+        cols = [
+            cols[i] + cols[i + 1] if i + 1 < len(cols) else cols[i]
+            for i in range(0, len(cols), 2)
+        ]
+    return cols[0]
+
+
+def cosine_vs_query_expr(vec_col, query: list[float]):
+    """Cosine vs a literal query vector as an UNROLLED codegen expression:
+    one getItem + multiply-add per dimension, whole-stage-compiled — no
+    Python worker, no interpreted HOF fold. For bounded dims (≤ a few
+    hundred) this keeps the scan's codegen span intact and beats the
+    Arrow round-trip: the UDF path serializes every vector batch to a
+    Python worker to do 64 flops on it. Dot terms sum left-to-right
+    within a balanced tree; the ROUND(_, 6) consumers absorb the
+    last-ulp summation-order differences exactly as they do for numpy's
+    pairwise order."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    elems = [vec_col.getItem(j).cast("double") for j in range(len(query))]
+    dot = _balanced_sum([e * F.lit(float(qj)) for e, qj in zip(elems, query)])
+    nrm = F.sqrt(_balanced_sum([e * e for e in elems]))
+    return dot / (F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm) * F.lit(qn))
+
+
 def _stack(series: pd.Series) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in series])
 

@@ -701,19 +701,25 @@ def q_event_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown per symbol: the deepest peak-to-trough loss over
     the running maximum — the risk statistic every price series gets.
-    Plan: one keyed window (running max over the total tick order) and
-    one aggregate over the same key — the window's hash exchange is
-    reused by the groupBy (same partitioning expression), so the fact
-    shuffles once; the running max is an UNBOUNDED PRECEDING frame,
-    which Spark evaluates incrementally (no per-row rescan)."""
+    Plan: the running max is an UNBOUNDED PRECEDING frame over a
+    LOW-CARDINALITY key — a plain per-symbol window serializes each
+    symbol into one task (the same failure mode the rolling z-score
+    escapes), so it evaluates through the distributed prefix scan
+    (operators/rolling.py::with_distributed_prefix): in-bucket running
+    max merged with the exclusive prefix of per-bucket maxima
+    (bookkeeping-sized, broadcast back) — bit-identical to the serial
+    window at symbols × buckets parallelism. The drawdown aggregate then
+    reduces per key."""
+    from fineventstream_spark.operators.rolling import with_distributed_prefix
+
     t = Tables(spark, sf_dir)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"), "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ticks = t.events.select(
-        "event_type", "value", F.max("value").over(w).alias("peak")
+    ticks = with_distributed_prefix(
+        t.events.select(
+            "event_type", "value", "event_id", F.unix_micros("ts").alias("__us")
+        ),
+        ["event_type"],
+        ["__us", "event_id"],
+        {"peak": ("max", "value")},
     )
     # a non-positive running peak (a series opening at 0.0, present in the
     # sf0.1 fixture) has no defined drawdown ratio — skip those ticks in
@@ -757,18 +763,30 @@ def q_event_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard close-to-open gap), then aggregates per day; days with a
     single return are suppressed (stddev undefined) and non-positive
     prices produce no return (log undefined; the fixture contains exact
-    zeros at sf0.1). One keyed window
-    shuffle, then an aggregate on a prefix of the same key."""
+    zeros at sf0.1). The return lag runs through the distributed lag
+    (operators/rolling.py::with_distributed_lag) — a plain per-symbol
+    window serializes each symbol's full timeline into one task —
+    then aggregates per (symbol, day)."""
+    from fineventstream_spark.operators.rolling import with_distributed_lag
+
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(F.unix_micros("ts"), "event_id")
-    prev = F.lag("value").over(w)
+    lagged = with_distributed_lag(
+        t.events.select(
+            "event_type", "ts", "value", "event_id",
+            F.unix_micros("ts").alias("__us"),
+        ),
+        ["event_type"],
+        ["__us", "event_id"],
+        {"__prev_v": "value"},
+    )
+    prev = F.col("__prev_v")
     # log returns exist only for positive prices: zero/negative ticks (the
     # sf0.1 fixture has a handful of exact 0.0 values) produce NULL rather
     # than an ANSI divide-by-zero / ln-domain error, in BOTH engines
     log_ret = F.when(
         (F.col("value") > 0) & (prev > 0), F.log(F.col("value") / prev)
     )
-    rets = t.events.select(
+    rets = lagged.select(
         "event_type",
         F.date_trunc("day", "ts").alias("d"),
         log_ret.alias("log_ret"),
@@ -807,18 +825,27 @@ def q_event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive ticks of a symbol — the SLA monitor that catches a dead
     producer or a dropped shard before consumers notice stale bars
     (the reference's producers poll every 60 s, so any multi-hour gap
-    is an incident; reference producer_stock_quotes.py:45). One keyed
-    window (lag), filter, and a tiny ordered output — the fact shuffles
-    once and only gap rows survive."""
+    is an incident; reference producer_stock_quotes.py:45). lag over a
+    LOW-CARDINALITY key serializes each symbol into one task, so it
+    evaluates through the distributed lag
+    (operators/rolling.py::with_distributed_lag): in-bucket lag plus the
+    previous bucket's final timestamp from broadcast bookkeeping —
+    bit-identical to the serial window at symbols × buckets parallelism;
+    only gap rows survive the filter."""
+    from fineventstream_spark.operators.rolling import with_distributed_lag
+
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(F.unix_micros("ts"), "event_id")
-    gaps = t.events.select(
-        "event_type",
-        "ts",
-        F.lag("ts").over(w).alias("gap_start"),
-    ).filter(
+    lagged = with_distributed_lag(
+        t.events.select(
+            "event_type", "ts", "event_id", F.unix_micros("ts").alias("__us")
+        ),
+        ["event_type"],
+        ["__us", "event_id"],
+        {"gap_start": "ts"},
+    )
+    gaps = lagged.filter(
         F.col("gap_start").isNotNull()
-        & (F.unix_micros("ts") - F.unix_micros("gap_start") > 2 * 3600 * 1_000_000)
+        & (F.col("__us") - F.unix_micros("gap_start") > 2 * 3600 * 1_000_000)
     )
     return gaps.select(
         "event_type",

@@ -1469,3 +1469,67 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     ).first()[0]
     sample_mean = sum(r["n_chars"] for r in sample) / len(sample)
     assert sample_mean > corpus_mean
+
+
+def _prefix_fixture(spark):
+    """Keyed series with nulls, duplicate order values, and a 0-opening
+    key — the serial-window edge cases the distributed forms must match."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b", "c"):
+        for i in range(400):
+            v = None if rng.random() < 0.1 else round(rng.uniform(-5, 100), 3)
+            # duplicate order values every ~7 rows exercise tie handling
+            o = i - (i % 7 == 0)
+            rows.append((k, o, i, v))
+    rows.append(("z", 0, 0, 0.0))  # single-row key
+    return spark.createDataFrame(rows, "k string, o long, uid long, v double")
+
+
+def test_distributed_prefix_matches_serial_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators.rolling import with_distributed_prefix
+
+    df = _prefix_fixture(spark)
+    got = with_distributed_prefix(
+        df, ["k"], ["o", "uid"],
+        {"run_max": ("max", "v"), "run_min": ("min", "v"), "run_sum": ("sum", "v")},
+        n_buckets=7,
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("o", "uid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.select(
+        "k", "uid",
+        F.max("v").over(w).alias("run_max"),
+        F.min("v").over(w).alias("run_min"),
+        F.sum("v").over(w).alias("run_sum"),
+    )
+    g = {(r["k"], r["uid"]): (r["run_max"], r["run_min"],
+                              None if r["run_sum"] is None else round(r["run_sum"], 6))
+         for r in got.collect()}
+    e = {(r["k"], r["uid"]): (r["run_max"], r["run_min"],
+                              None if r["run_sum"] is None else round(r["run_sum"], 6))
+         for r in want.collect()}
+    assert g == e
+
+
+def test_distributed_lag_matches_serial_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators.rolling import with_distributed_lag
+
+    df = _prefix_fixture(spark)
+    got = with_distributed_lag(df, ["k"], ["o", "uid"], {"prev_v": "v"}, n_buckets=7)
+    w = Window.partitionBy("k").orderBy("o", "uid")
+    want = df.select("k", "uid", F.lag("v").over(w).alias("prev_v"))
+    g = {(r["k"], r["uid"]): r["prev_v"] for r in got.collect()}
+    e = {(r["k"], r["uid"]): r["prev_v"] for r in want.collect()}
+    assert g == e
