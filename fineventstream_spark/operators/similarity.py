@@ -18,7 +18,14 @@ Design note (measured): Spark HOFs (``aggregate``/``zip_with``) are
 CodegenFallback — interpreted per element — so a 64-dim dot product via
 built-ins costs ~200 interpreted evals/row. A JVM-fold variant
 (:func:`cosine_similarity_col`) is kept for pure-SQL composability, but
-every hot path uses the numpy kernels.
+every hot path uses the numpy kernels. A third form was tried and
+REJECTED on measurement (r7): :func:`cosine_vs_query_expr` unrolls the
+query-vector dot product into per-dimension multiply-adds hoping to stay
+inside whole-stage codegen — but at dim 64 the 128-term tree exceeds
+codegen's generated-method limits and executes interpreted, measuring 3×
+SLOWER than the Arrow UDF (sf30, 600k vectors: 5.4 s vs 1.8 s warmed
+min-of-3). Kept for narrow vectors (≤ ~16 dims) and as the recorded
+experiment.
 """
 
 from __future__ import annotations
@@ -97,7 +104,13 @@ def cosine_vs_query_udf(query: list[float]):
 
 
 def cosine_topk(df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10) -> DataFrame:
-    """Exact brute-force cosine top-k (ties broken by id for determinism)."""
+    """Exact brute-force cosine top-k (ties broken by id for determinism).
+
+    The Arrow/numpy UDF is the measured winner (sf30 / 600k vectors,
+    warmed min-of-3: UDF 1.8 s vs unrolled expression 5.4 s — the
+    128-term expression tree exceeds codegen's method limits and falls
+    back to interpreted evaluation, while numpy's matrix-vector product
+    amortizes the Arrow round-trip)."""
     sim = cosine_vs_query_udf(query)(F.col(vec_col))
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))

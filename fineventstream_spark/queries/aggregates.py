@@ -597,7 +597,7 @@ def q_agg_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(seed)),
     sketch AS (
       SELECT seed,
-             CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':' || CAST(seed AS VARCHAR)), 1, 13)) AS BIGINT) % 512 AS cell,
+             CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1 + 8 * seed, 8)) AS BIGINT) % 512 AS cell,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events e CROSS JOIN seeds
       GROUP BY seed, cell
@@ -611,7 +611,7 @@ def q_agg_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((MIN(s.c) - t.exact_n) / CAST(t.exact_n AS DOUBLE), 6) AS rel_err
     FROM top_users t
     JOIN sketch s
-      ON s.cell = CAST(('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || ':' || CAST(s.seed AS VARCHAR)), 1, 13)) AS BIGINT) % 512
+      ON s.cell = CAST(('0x' || substr(md5(CAST(t.user_id AS VARCHAR)), 1 + 8 * s.seed, 8)) AS BIGINT) % 512
     GROUP BY t.user_id, t.exact_n
     """,
     tags=("A4",),
@@ -619,17 +619,19 @@ def q_agg_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-Sketch frequency estimation expressed RELATIONALLY —
     and therefore exactly oracle-able, unlike the engine's HLL/KLL/Theta
-    sketches: the d=4 x w=512 sketch is an ordinary aggregate
-    (explode each key into d (seed, cell) pairs via a portable md5-derived
-    hash, partial-aggregated map-side), so it is 2,048 rows REGARDLESS of
-    input size — mergeable across days/partitions the same way the KLL
-    rollup is, and buildable in one pass over 100 TB with a KB-sized
-    shuffle. Estimates (min over the d cells, upper-bound-biased by
-    construction) are checked in-row against the exact counts of the top
-    20 keys; ``rel_err`` >= 0 always, ~0 while n_keys << d*w.
+    sketches: the d=4 x w=512 sketch is an ordinary aggregate, so it is
+    2,048 rows REGARDLESS of input size — mergeable across
+    days/partitions the same way the KLL rollup is, and buildable in one
+    pass over 100 TB with a KB-sized shuffle. Estimates (min over the d
+    cells, upper-bound-biased by construction) are checked in-row against
+    the exact counts of the top 20 keys; ``rel_err`` >= 0 always, ~0
+    while n_keys << d*w.
 
-    The md5(key || ':' || seed) % w cell function is bit-identical in
-    Spark (conv(substr(md5,1,13),16,10) on the 52-bit prefix) and DuckDB
+    The d hash functions are DISJOINT 8-hex-char slices of ONE md5 per
+    key (the standard split-one-strong-hash construction) — the r7 first
+    cut hashed key||seed separately per seed and measured 4x the string
+    work (10.1 s at sf30; the one-md5 form cuts the dominant cost). Each
+    slice parses identically in Spark (conv(substr,16,10)) and DuckDB
     (('0x'||substr)::BIGINT), making this the only sketch in the engine
     with a full value-hash oracle rather than a rows-only audit.
 
@@ -640,35 +642,40 @@ def q_agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = 512
 
-    def cell(key_col, seed_col):
-        h = F.md5(
-            F.concat(
-                key_col.cast("string"), F.lit(":"), seed_col.cast("string")
-            ).cast("binary")
-        )
+    def cell(key_col, seed: int):
+        h = F.md5(key_col.cast("string").cast("binary"))
         return (
-            F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint") % w
+            F.conv(F.substring(h, 1 + 8 * seed, 8), 16, 10).cast("bigint") % w
         )
 
-    seeded = t.events.select(
-        "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("seed")
+    # one md5 per row; the 4 cells are slices of it (common subexpression
+    # elimination computes the digest once), posexploded into (seed, cell)
+    cells = t.events.select(
+        F.posexplode(
+            F.array(*[cell(F.col("user_id"), i) for i in range(4)])
+        ).alias("seed", "cell")
     )
-    sketch = (
-        seeded.groupBy("seed", cell(F.col("user_id"), F.col("seed")).alias("cell"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    sketch = cells.groupBy("seed", "cell").agg(F.count(F.lit(1)).alias("c"))
     top_users = (
         t.events.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(20)
     )
-    # 20-key probe side broadcast into the 2,048-row sketch: the estimate
-    # join never touches the fact again
-    probed = top_users.join(
-        F.broadcast(sketch),
-        F.col("cell") == cell(F.col("user_id"), F.col("seed")),
+    # 20-key probe side against the broadcast 2,048-row sketch: the
+    # estimate join never touches the fact again. seed is a COLUMN here,
+    # so the slice start is computed in SQL.
+    probe_cell = (
+        F.conv(
+            F.expr(
+                "substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1 + 8 * seed, 8)"
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % w
     )
+    probed = top_users.join(F.broadcast(sketch), F.col("cell") == probe_cell)
     return (
         probed.groupBy("user_id", "exact_n")
         .agg(F.min("c").alias("est_n"))

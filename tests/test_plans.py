@@ -919,3 +919,18 @@ def test_dedup_cluster_star_edges_no_text_join(spark, sf_dir):
     assert "Join" not in plan, "edge generation must not join"
     aggs = re.findall(r"^\(\d+\) \w*HashAggregate", plan, re.M)
     assert len(aggs) >= 2, "edge grouping must partial-aggregate"
+
+
+def test_product_profit_single_tiny_shuffle(spark, sf_dir):
+    """TPC-H Q9 (r7 rewrite): the fact is never exchanged — the
+    orders⋈lineitem SMJ is bucket-co-located, part/supplier/nation
+    broadcast, and the only Exchange left is the 175-group
+    (nation, year) aggregate, which is map-side partial-aggregated
+    (KB-scale). The r5 form's un-hinted part join flipped to a
+    full-fact SMJ past the autoBroadcast threshold at sf30 (16.9 s vs
+    4.8 s rewritten)."""
+    plan = _plan(spark, sf_dir, "q_report_product_profit")
+    n = _shuffle_exchanges(plan)
+    assert n <= 1, f"q_report_product_profit fact shuffle came back ({n}):\n{plan}"
+    assert "Bucketed: true" in plan, "Q9 is not reading the bucketed derivative"
+    assert plan.count("BroadcastHashJoin") >= 2, plan
