@@ -733,14 +733,33 @@ def test_nested_scan_prunes_struct_fields(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", ["q_event_drawdown", "q_event_volatility"])
-def test_risk_stats_single_fact_shuffle(spark, sf_dir, name):
-    """Drawdown and realized volatility: one keyed window whose hash
-    exchange the downstream aggregate reuses — the fact shuffles exactly
-    once, and the window sort never goes global."""
+def test_risk_stats_distributed_scan_shape(spark, sf_dir, name):
+    """Drawdown and realized volatility (r7 rewrite): the running
+    max / return lag evaluates through the distributed prefix/lag — the
+    fact's window partitions on the FULL (event_type, __bkt) cluster
+    keys (keys × buckets parallelism, never a per-symbol serial task),
+    the bookkeeping offsets BROADCAST back (no co-partitioned join to
+    collapse), and no sort ever goes global. The r5 shape — one window
+    hash-exchanged on event_type alone — serialized each symbol's full
+    timeline into one task."""
+    import re
+
     plan = _plan(spark, sf_dir, name)
-    assert plan.count("- Window (") == 1
-    assert plan.count("- Exchange (") == 1, f"{name} should shuffle the fact once"
+    assert "BroadcastHashJoin" in plan, f"{name}: offsets must broadcast\n{plan}"
     assert "rangepartitioning" not in plan
+    parts = set(re.findall(r"hashpartitioning\([^)]*\)", plan))
+    assert any("__bkt" in p and "event_type" in p for p in parts), (
+        f"{name}: no (event_type, __bkt) distribution found:\n{plan}"
+    )
+    # the serialization regression: a fact-side WINDOW partitioned on the
+    # key alone. The bookkeeping offsets window (over per-bucket partials)
+    # legitimately partitions per key — it holds counts, not rows — so
+    # inspect Window nodes' partition specs, not raw exchanges.
+    win_specs = re.findall(r"partitionBy=\[([^\]]*)\]", plan)
+    fact_serial = [s for s in win_specs if "event_type" in s and "__bkt" not in s]
+    assert len(fact_serial) <= 1, (
+        f"{name}: more than the bookkeeping window runs per-key serial:\n{plan}"
+    )
 
 
 def test_dq_violations_no_domain_shuffle(spark, sf_dir):
