@@ -58,6 +58,8 @@ cluster keys.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -232,12 +234,55 @@ def chunked_rolling(
     return out.filter(F.col("__emit")).drop("__emit")
 
 
+# Below this input size the two-level machinery (bookkeeping aggregate +
+# broadcast + merge) costs more than it saves: the whole input sorts in a
+# handful of tasks anyway. Measured crossover on the events ladder:
+# distributed wins at sf10 (174 MB: drawdown 3.4→2.5 s, gap 5.0→3.3 s) and
+# loses at sf0.1 (2 MB: +0.7-0.9 s/query). Unknown input size (non-file
+# sources, remote URIs) defaults to DISTRIBUTED — the scale-safe choice.
+# Override per session via the conf key (0 disables the serial fallback).
+SERIAL_WINDOW_MAX_INPUT_BYTES = 64 << 20
+SERIAL_WINDOW_CONF_KEY = "spark.fineventstream.serialWindowMaxInputBytes"
+
+
+def _serial_threshold(spark, override: int | None) -> int:
+    if override is not None:
+        return override
+    return int(
+        spark.conf.get(SERIAL_WINDOW_CONF_KEY, str(SERIAL_WINDOW_MAX_INPUT_BYTES))
+    )
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Total size of the scan's backing files, or None when unknowable
+    (in-memory relations, non-local filesystems). Metadata-only — no job."""
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return None
+    return total
+
+
 def with_distributed_prefix(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[str],
     prefix_aggs: dict[str, tuple[str, str]],
     n_buckets: int | None = None,
+    serial_below_bytes: int | None = None,
 ) -> DataFrame:
     """Running (UNBOUNDED PRECEDING) aggregates at keys × buckets
     parallelism — the distributed prefix scan completing the chunked
@@ -254,12 +299,31 @@ def with_distributed_prefix(
     order (unique tiebreak in ``order_cols``) results are bit-identical
     to the serial window; null handling matches (window aggs skip nulls,
     greatest/least skip nulls, sum stays null only when both sides are).
-    """
+
+    Physical strategy is SIZE-SELECTED like a join strategy: inputs under
+    the serial threshold (when the scan size is knowable) emit the plain
+    serial window — same semantics, no bookkeeping pass. The threshold is
+    ``serial_below_bytes`` if given, else the session conf
+    ``spark.fineventstream.serialWindowMaxInputBytes`` (default 64 MiB);
+    0 forces the distributed form."""
     ops = {"max": F.max, "min": F.min, "sum": F.sum}
     for name, (kind, _) in prefix_aggs.items():
         if kind not in ops:
             raise ValueError(f"unsupported prefix agg {kind!r} for {name!r}")
     spark = df.sparkSession
+    threshold = _serial_threshold(spark, serial_below_bytes)
+    if threshold > 0:
+        nbytes = _scan_bytes(df)
+        if nbytes is not None and nbytes < threshold:
+            w = (
+                Window.partitionBy(*key_cols)
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            out = df
+            for name, (kind, col) in prefix_aggs.items():
+                out = out.withColumn(name, ops[kind](col).over(w))
+            return out
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     bucketed = _with_order_bucket(df, order_cols[0], n_buckets)
@@ -309,9 +373,12 @@ def with_distributed_lag(
     order_cols: list[str],
     lag_cols: dict[str, str],
     n_buckets: int | None = None,
+    serial_below_bytes: int | None = None,
 ) -> DataFrame:
     """``lag(col, 1)`` at keys × buckets parallelism. ``lag_cols`` maps
-    output name → source column.
+    output name → source column. Physical strategy is size-selected the
+    same way as :func:`with_distributed_prefix` (serial window below the
+    threshold; explicit 0 — or the conf key — forces distributed).
 
     In-bucket lag covers every row except each bucket's first; that row's
     predecessor is the LAST row of the key's previous non-empty bucket,
@@ -324,6 +391,15 @@ def with_distributed_lag(
     in-bucket row_number, NOT coalesce, so null lagged values elsewhere
     pass through unchanged."""
     spark = df.sparkSession
+    threshold = _serial_threshold(spark, serial_below_bytes)
+    if threshold > 0:
+        nbytes = _scan_bytes(df)
+        if nbytes is not None and nbytes < threshold:
+            w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+            out = df
+            for name, src in lag_cols.items():
+                out = out.withColumn(name, F.lag(src).over(w))
+            return out
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     bucketed = _with_order_bucket(df, order_cols[0], n_buckets)

@@ -735,16 +735,32 @@ def test_nested_scan_prunes_struct_fields(spark, sf_dir):
 @pytest.mark.parametrize("name", ["q_event_drawdown", "q_event_volatility"])
 def test_risk_stats_distributed_scan_shape(spark, sf_dir, name):
     """Drawdown and realized volatility (r7 rewrite): the running
-    max / return lag evaluates through the distributed prefix/lag — the
-    fact's window partitions on the FULL (event_type, __bkt) cluster
-    keys (keys × buckets parallelism, never a per-symbol serial task),
-    the bookkeeping offsets BROADCAST back (no co-partitioned join to
-    collapse), and no sort ever goes global. The r5 shape — one window
-    hash-exchanged on event_type alone — serialized each symbol's full
-    timeline into one task."""
+    max / return lag evaluates through the SIZE-SELECTED prefix/lag.
+    Below the serial threshold (all test fixtures) the plan is the plain
+    per-symbol window — no bookkeeping machinery for data that sorts in
+    one task anyway. Forced distributed (conf threshold 0, the ≥64 MiB
+    shape), the fact's window partitions on the FULL (event_type, __bkt)
+    cluster keys, the bookkeeping offsets BROADCAST back (no
+    co-partitioned join to collapse), and no sort goes global. The r5
+    shape — ALWAYS one window hash-exchanged on event_type alone —
+    serialized each symbol's full timeline into one task at every sf."""
     import re
 
+    from fineventstream_spark.operators.rolling import SERIAL_WINDOW_CONF_KEY
+
+    # small input → serial window, zero extra machinery
     plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" not in plan, (
+        f"{name}: tiny input should take the serial window:\n{plan}"
+    )
+    assert "__bkt" not in plan
+
+    # forced distributed → keys × buckets parallelism
+    spark.conf.set(SERIAL_WINDOW_CONF_KEY, "0")
+    try:
+        plan = _plan(spark, sf_dir, name)
+    finally:
+        spark.conf.unset(SERIAL_WINDOW_CONF_KEY)
     assert "BroadcastHashJoin" in plan, f"{name}: offsets must broadcast\n{plan}"
     assert "rangepartitioning" not in plan
     parts = set(re.findall(r"hashpartitioning\([^)]*\)", plan))
