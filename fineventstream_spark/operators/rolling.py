@@ -186,6 +186,7 @@ def chunked_rolling(
     frame_rows: int,
     aggs: dict[str, Column],
     chunk_rows: int = 10_000,
+    serial_below_bytes: int | None = None,
 ) -> DataFrame:
     """Evaluate trailing ``ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT
     ROW`` aggregates at keys × chunks parallelism.
@@ -193,12 +194,31 @@ def chunked_rolling(
     ``aggs`` maps output column name → an aggregate Column built over
     ``F.col(...)`` inputs (e.g. ``{"m": F.avg("value")}``); each is
     evaluated ``.over()`` the chunked trailing frame. Results are exactly
-    those of the plain per-key window."""
+    those of the plain per-key window.
+
+    Physical strategy is SIZE-SELECTED like the prefix/lag operators:
+    below the serial threshold (``serial_below_bytes`` if given, else the
+    ``spark.fineventstream.serialWindowMaxInputBytes`` conf, default
+    64 MiB) the plain per-key window evaluates directly — at small inputs
+    the numbering + carry-in machinery costs more than it saves (zscore
+    at sf0.1: 2.3 s chunked vs sub-second serial); 0 forces chunked."""
     if chunk_rows < frame_rows - 1:
         raise ValueError(
             f"chunk_rows ({chunk_rows}) must be >= frame_rows-1 "
             f"({frame_rows - 1}): a chunk must hold a full carry-in frame"
         )
+    threshold = _serial_threshold(df.sparkSession, serial_below_bytes)
+    if threshold > 0:
+        nbytes = _scan_bytes(df)
+        if nbytes is not None and nbytes < threshold:
+            w = (
+                Window.partitionBy(*key_cols)
+                .orderBy(*order_cols)
+                .rowsBetween(-(frame_rows - 1), 0)
+            )
+            return df.select(
+                *df.columns, *[expr.over(w).alias(n) for n, expr in aggs.items()]
+            )
     numbered = with_distributed_row_number(df, key_cols, order_cols, "__rn")
     numbered = numbered.withColumn("__chunk", (F.col("__rn") / chunk_rows).cast("long"))
 

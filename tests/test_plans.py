@@ -568,15 +568,25 @@ def test_numbering_join_partitions_on_key_and_bucket(spark):
 
 
 def test_rolling_zscore_chunked_parallelism(spark, sf_dir):
-    """The heavy frame pass must partition by (symbol, chunk) — not by
-    symbol alone (which serializes each symbol into one task) — and
-    mean/stddev/count must still share a single Window node there. Since
-    round 4, the NUMBERING pass is distributed too: a value-derived
-    bucket (``__bkt``) keys a local row_number window at (key, bucket)
-    parallelism, and the only per-key window runs over the tiny
-    (key, bucket) counts table. Exactly three Window nodes: counts
-    prefix-sum, local numbering, chunked frame."""
+    """Size-selected since r7: at test-fixture scale the rolling frame
+    evaluates as the plain per-key window (no numbering machinery for
+    data that sorts in one task). Forced chunked (conf threshold 0 — the
+    ≥64 MiB shape), the heavy frame pass must partition by
+    (symbol, chunk) — not by symbol alone — with mean/stddev/count
+    sharing a single Window node; the numbering pass is value-bucketed
+    and the only per-key window runs over the tiny (key, bucket) counts
+    table. Exactly three Window nodes: counts prefix-sum, local
+    numbering, chunked frame."""
+    from fineventstream_spark.operators.rolling import SERIAL_WINDOW_CONF_KEY
+
     plan = _plan(spark, sf_dir, "q_event_rolling_zscore")
+    assert "__chunk" not in plan, "tiny input should take the serial window"
+
+    spark.conf.set(SERIAL_WINDOW_CONF_KEY, "0")
+    try:
+        plan = _plan(spark, sf_dir, "q_event_rolling_zscore")
+    finally:
+        spark.conf.unset(SERIAL_WINDOW_CONF_KEY)
     assert "hashpartitioning(event_type#" in plan, "counts prefix-sum window missing"
     assert "__bkt" in plan, "numbering pass is not value-bucketed"
     assert "__chunk" in plan, "frame pass is not chunk-partitioned"
