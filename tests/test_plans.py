@@ -979,3 +979,17 @@ def test_product_profit_single_tiny_shuffle(spark, sf_dir):
     assert n <= 1, f"q_report_product_profit fact shuffle came back ({n}):\n{plan}"
     assert "Bucketed: true" in plan, "Q9 is not reading the bucketed derivative"
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_topk_per_group_partial_window_limit(spark, sf_dir):
+    """Top-k per group must push a PARTIAL WindowGroupLimit below the
+    shuffle (Spark 3.5+ rank-limit pushdown): each map partition keeps
+    only its local top-5 per key, so the exchange carries
+    partitions × keys × 5 rows regardless of fact size. If this
+    optimization regresses (e.g. a filter form the optimizer can't
+    match), the full fact sorts per key."""
+    plan = _plan(spark, sf_dir, "q_win_topk_per_group")
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "rank-limit pushdown missing (need partial + final):\n" + plan
+    )
+    assert "Partial" in plan
