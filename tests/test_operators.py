@@ -1533,3 +1533,52 @@ def test_distributed_lag_matches_serial_window(spark):
     g = {(r["k"], r["uid"]): r["prev_v"] for r in got.collect()}
     e = {(r["k"], r["uid"]): r["prev_v"] for r in want.collect()}
     assert g == e
+
+
+def test_asof_distributed_fill_matches_serial(spark, tmp_path):
+    """The size-selected struct-max fill (forced via conf threshold 0)
+    must reproduce the serial window fill exactly: backward-inclusive
+    ties, present-but-NULL right values shadowing older rows, tolerance
+    masking, and null before the first right row. The inputs are written
+    to parquet so the serial run sees a knowable (tiny) scan size —
+    in-memory relations have unknown size and default to distributed."""
+    import random
+
+    from fineventstream_spark.operators.asof import asof_join
+    from fineventstream_spark.operators.rolling import SERIAL_WINDOW_CONF_KEY
+
+    rng = random.Random(11)
+    spark.createDataFrame(
+        [(k, i * 10 + rng.randrange(10), i)
+         for k in ("a", "b") for i in range(300)],
+        "k string, lts long, lid long",
+    ).select("k", F.timestamp_seconds("lts").alias("lts"), "lid").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "l"))
+    spark.createDataFrame(
+        [(k, i * 25 + rng.randrange(25),
+          None if rng.random() < 0.15 else round(rng.uniform(0, 9), 3), i)
+         for k in ("a", "b") for i in range(120)],
+        "k string, rts long, v double, rid long",
+    ).select("k", F.timestamp_seconds("rts").alias("rts"), "v", "rid").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "r"))
+    left = spark.read.parquet(str(tmp_path / "l"))
+    right = spark.read.parquet(str(tmp_path / "r"))
+
+    def run(tol):
+        out = asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_values=["v"], right_tiebreak="rid", tolerance=tol,
+            low_cardinality_keys=True,
+        )
+        return {(r["k"], r["lid"]): r["v_asof"] for r in out.collect()}
+
+    for tol in (None, "1 minute"):
+        serial = run(tol)  # tiny file-backed input → serial window
+        spark.conf.set(SERIAL_WINDOW_CONF_KEY, "0")
+        try:
+            dist = run(tol)  # forced distributed struct-max
+        finally:
+            spark.conf.unset(SERIAL_WINDOW_CONF_KEY)
+        assert serial == dist, f"tolerance={tol}"
