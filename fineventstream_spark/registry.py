@@ -58,6 +58,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_report_order_priority",
     "q_dq_violations",
     "q_event_rolling_zscore",
+    "q_report_product_profit",
+    "q_event_resample_ffill",
+    "q_event_drawdown",
+    "q_event_volatility",
+    "q_event_gap_detection",
     # last hard-checked r3
     "q_except",
     "q_filter_in_between_like",
