@@ -687,3 +687,68 @@ def q_agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_agg_approx_topk_rollup",
+    oracle=None,  # sketch internals are engine-specific → rows-only + audit
+    tags=("A4",),
+)
+def q_agg_approx_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate top-k rollup (Spark 4.1 approx_top_k family):
+    per-day sketches of the busiest (symbol, hour-of-day) cells
+    accumulate once and COMBINE to the month without rescanning the fact
+    — the persisted-sketch pattern of the HLL/KLL/Theta rollups,
+    completing the sketch shelf with frequency-ranked items.
+
+    DOMAIN CONTRACT (found empirically, r7): Spark's approx_top_k state
+    EMPTIES once distinct items exceed maxItemsTracked — accumulate at
+    capacity 100 over 1,500 users returned an empty estimate, and plain
+    approx_top_k over 450k users at sf30 returned [] (not approximate
+    answers — none at all). The family is therefore only trustworthy on
+    domains BOUNDED below the capacity by construction; this query uses
+    (event_type × hour), fixed-cardinality at any scale, with capacity
+    4096 far above it. Unbounded domains (user ids, URLs) belong to the
+    engine's Misra-Gries heavy-hitters (q_event_heavy_hitters), whose
+    candidate bound degrades gracefully instead of vanishing.
+
+    Self-certifying (rows-only driver check, the house pattern): each
+    estimated cell carries its in-plan exact count (``rel_err``) and
+    membership in the exact top-10 (``in_exact_topk``)."""
+    t = Tables(spark, sf_dir)
+    cell = F.concat_ws(":", "event_type", F.hour("ts").cast("string"))
+    daily = t.events.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), cell.alias("cell")
+    ).groupBy("day").agg(F.expr("approx_top_k_accumulate(cell, 4096)").alias("acc"))
+    est = daily.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(acc, 4096), 10)").alias(
+            "topk"
+        )
+    )
+    items = est.select(F.explode("topk").alias("e")).select(
+        F.col("e.item").alias("cell"), F.col("e.count").alias("est_n")
+    )
+    exact_counts = t.events.groupBy(cell.alias("cell")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    exact_top = (
+        exact_counts.orderBy(F.desc("exact_n"), "cell")
+        .limit(10)
+        .select("cell", F.lit(True).alias("__hit"))
+    )
+    return (
+        items.join(exact_counts, "cell")
+        .join(exact_top, "cell", "left")
+        .select(
+            "cell",
+            "est_n",
+            "exact_n",
+            F.round(
+                F.abs(F.col("est_n") - F.col("exact_n"))
+                / F.col("exact_n").cast("double"),
+                6,
+            ).alias("rel_err"),
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy(F.desc("est_n"), "cell")
+    )

@@ -37,10 +37,11 @@ REGISTRY: dict[str, Query] = {}
 # The external driver hash-checks the registry in iteration order and (as
 # observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-7 rotation: behavior-adjacent changes first — the NEW
-# q_event_heavy_hitters (MG candidates + exact verify) and
-# q_report_nation_volume (join rewritten to a residual-condition SMJ;
-# same semantics, new expression tree) — then the least-recently-
+# rows. Round-7 rotation: behavior-adjacent changes first — the four NEW
+# queries (heavy-hitters, CMS, weighted sample, approx-top-k rollup) and
+# everything whose plan or expression tree changed this round (Q5/Q4/DQ
+# bucketed layout, Q9 zero-fact-exchange rewrite, the size-selected
+# distributed window family callers) — then the least-recently-
 # verified set, computed from the CORRECTNESS_r0N history: the ENTIRE
 # r3-checked remainder (reports tier 2-4, the llm curation/sampling
 # family, scan formats, window tier 2 — 37 queries), then the oldest
@@ -54,6 +55,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_heavy_hitters",
     "q_agg_count_min_freq",
     "q_llm_sample_weighted",
+    "q_agg_approx_topk_rollup",
     "q_report_nation_volume",
     "q_report_order_priority",
     "q_dq_violations",
