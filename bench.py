@@ -92,6 +92,7 @@ HEADLINE = [
     # oracled sketch) and A-Res weighted sampling (TakeOrdered, 0 exchanges)
     "q_agg_count_min_freq",
     "q_llm_sample_weighted",
+    "q_agg_approx_topk_rollup",
 ]
 
 
