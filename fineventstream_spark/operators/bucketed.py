@@ -48,26 +48,46 @@ BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d{3}")
 
 
-def _bucketed_paths(sf_dir: str, table: str, key: str, fingerprint: str) -> tuple[str, str]:
+def _bucket_spec(key: str, columns: tuple[str, ...] | None) -> str:
+    """Canonical spec string for one layout: bucket count × key × (for
+    covering projections) the projected column set. Everything that affects
+    the file layout is in the spec, so a spec change can never re-register
+    old files under new metadata."""
+    spec = f"b{N_BUCKETS}-{key}"
+    if columns:
+        import hashlib
+
+        spec += "-p" + hashlib.md5(",".join(columns).encode()).hexdigest()[:8]
+    return spec
+
+
+def _bucketed_paths(
+    sf_dir: str, table: str, spec: str, fingerprint: str
+) -> tuple[str, str]:
     """(external data dir, session-catalog table name) for one derivative.
 
-    The bucket SPEC (count + key) is part of both names (r6 advisor): a
-    future N_BUCKETS or key change must regenerate the derivative, never
-    re-register old files under new CLUSTERED BY metadata — Spark trusts
-    catalog bucketing blindly, so a spec/file mismatch silently returns
-    wrong rows from co-located SMJs and bucket-pruned scans.
+    The bucket SPEC (count + key + projection) is part of both names (r6
+    advisor): a future N_BUCKETS or key change must regenerate the
+    derivative, never re-register old files under new CLUSTERED BY
+    metadata — Spark trusts catalog bucketing blindly, so a spec/file
+    mismatch silently returns wrong rows from co-located SMJs and
+    bucket-pruned scans.
     """
     sf = os.path.basename(os.path.normpath(sf_dir))
-    spec = f"b{N_BUCKETS}-{key}"
     path = os.path.join(_CACHE_ROOT, sf, f"{table}_bucketed-{spec}-{fingerprint}")
     name = f"fes_{table}_bkt_{spec}_{sf}_{fingerprint}".replace(".", "_").replace("-", "_")
     return path, name
 
 
-def _prune_stale(path: str, table: str) -> None:
-    """Drop superseded variants (older fingerprint OR older bucket spec) of
-    this table's bucketed dir — only after the replacement is fully written
-    (same race discipline as queries/scans.py derivatives).
+def _prune_stale(path: str, table: str, spec: str) -> None:
+    """Drop superseded FINGERPRINTS of this exact table × layout spec —
+    only after the replacement is fully written (same race discipline as
+    queries/scans.py derivatives). Scoped to the spec on purpose: a table
+    legitimately holds several live layouts at once (lineitem bucketed by
+    orderkey for Q5/Q9 AND the partkey covering projection), so pruning
+    across specs would delete a layout other queries still serve from.
+    A deliberate N_BUCKETS/key retirement therefore leaves the old spec's
+    files as orphans; reclaim them by clearing ``.cache/<sf>``.
 
     SINGLE-WRITER ASSUMPTION (r6 advisor): pruning deletes files another
     live session may still have registered as an external table; its
@@ -82,7 +102,7 @@ def _prune_stale(path: str, table: str) -> None:
     if not os.path.isdir(parent):
         return
     for entry in os.listdir(parent):
-        if entry != leaf and entry.startswith(f"{table}_bucketed-"):
+        if entry != leaf and entry.startswith(f"{table}_bucketed-{spec}-"):
             shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
 
@@ -115,14 +135,36 @@ def _assert_one_file_per_bucket(path: str, table: str) -> None:
         raise AssertionError(f"bucketed derivative {table} at {path}: no data files")
 
 
-def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str | None = None) -> str:
-    """Materialize (once per source fingerprint × bucket spec) and register
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str | None = None,
+    columns: tuple[str, ...] | None = None,
+) -> str:
+    """Materialize (once per source fingerprint × layout spec) and register
     (once per session) a bucketed+sorted copy of ``table``. Returns the
-    catalog table name."""
+    catalog table name.
+
+    With ``columns``, the derivative is a COVERING PROJECTION: only those
+    columns, bucket-sorted by ``key`` (which must be among them) — the
+    Vertica-style secondary projection / C-Store answer to "this fact is
+    repeatedly joined on a key it isn't laid out by". A narrow projection
+    keeps the per-layout storage cost proportional to the columns the
+    workload actually enriches, and the zero-exchange SMJ it enables
+    replaces BOTH the fact shuffle (at any scale) and the broadcast
+    relation build (which is driver-serial and O(|dim|) on the critical
+    path of every query that hints it).
+    """
     key = key or BUCKET_KEYS[table]
     df = load_table(spark, sf_dir, table)
+    if columns:
+        if key not in columns:
+            raise ValueError(f"projection columns {columns} must include key {key!r}")
+        df = df.select(*columns)
     fp = source_fingerprint(df, sf_dir, table)
-    path, name = _bucketed_paths(sf_dir, table, key, fp)
+    spec = _bucket_spec(key, columns)
+    path, name = _bucketed_paths(sf_dir, table, spec, fp)
     if spark.catalog.tableExists(name):
         return name
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -136,7 +178,7 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str | Non
             .saveAsTable(name)
         )
         _assert_one_file_per_bucket(path, table)
-        _prune_stale(path, table)
+        _prune_stale(path, table, spec)
         return name
     # files already on disk from an earlier session: re-register metadata —
     # but only after proving the layout still satisfies the invariant the
@@ -152,10 +194,17 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str | Non
     return name
 
 
-def bucketed_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str | None = None,
+    columns: tuple[str, ...] | None = None,
+) -> DataFrame:
     """The bucketed derivative of ``table`` as a DataFrame (schema identical
-    to :func:`load_table`; scan reports bucketing + per-bucket sort)."""
-    return spark.table(ensure_bucketed(spark, sf_dir, table))
+    to :func:`load_table`, or to the projected columns when ``columns`` is
+    given; scan reports bucketing + per-bucket sort)."""
+    return spark.table(ensure_bucketed(spark, sf_dir, table, key=key, columns=columns))
 
 
 def bucketed_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,11 +163,23 @@ def release_intermediates(spark: SparkSession | None = None) -> None:
     query wrappers in queries/llm.py) persisted under ``spark`` (default:
     the active session) since the last release. Other sessions' tracked
     caches are left alone; entries whose session has stopped are swept
-    without touching the dead context."""
+    without touching the dead context.
+
+    When called with no argument from a thread with NO active session
+    (r7 advisor: getActiveSession() is thread-local and returns None off
+    the driver thread), silently releasing nothing would quietly leak the
+    tracked caches — instead every LIVE session's intermediates are
+    released: an argument-less release is a "clean up after my work"
+    call, and a caller that wants session-scoped precision passes the
+    session."""
     if spark is None:
         spark = SparkSession.getActiveSession()
     with _PERSISTED_LOCK:
-        dfs = _PERSISTED.pop(spark, []) if spark is not None else []
+        if spark is not None:
+            dfs = _PERSISTED.pop(spark, [])
+        else:  # no active session: release everything still alive
+            dfs = [df for lst in _PERSISTED.values() for df in lst]
+            _PERSISTED.clear()
         for s in [s for s in _PERSISTED if _context_stopped(s)]:
             del _PERSISTED[s]
     for df in dfs:

@@ -58,8 +58,6 @@ cluster keys.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -274,26 +272,13 @@ def _serial_threshold(spark, override: int | None) -> int:
 
 
 def _scan_bytes(df: DataFrame) -> int | None:
-    """Total size of the scan's backing files, or None when unknowable
-    (in-memory relations, non-local filesystems). Metadata-only — no job."""
-    from urllib.parse import urlparse
+    """Total size of the scan's backing files, or None when unknowable.
+    Shared with the broadcast guard — see operators/sizing.py (which also
+    percent-decodes inputFiles() URIs so exotic paths keep the fast path).
+    """
+    from fineventstream_spark.operators.sizing import scan_input_bytes
 
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
-    total = 0
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("", "file"):
-            return None
-        try:
-            total += os.path.getsize(u.path)
-        except OSError:
-            return None
-    return total
+    return scan_input_bytes(df)
 
 
 def with_distributed_prefix(

@@ -1,0 +1,79 @@
+"""Metadata-only input sizing + size-guarded broadcast.
+
+One audited code path for every "pick the physical strategy from the scan
+size" decision in the engine: the distributed-window family
+(operators/rolling.py) and the broadcast-join guard below. The size probe
+reads file metadata only — no Spark job.
+
+Why a GUARD and not a blanket ``F.broadcast``: a forced broadcast hint on
+a side that grows with the data (e.g. TPC-H ``part``, fixed ~1:30 ratio to
+lineitem) is a scale-killer — Spark hard-fails broadcasts over 8 GB and
+the driver/executors OOM collecting one long before that. The engine's
+discipline is: hint only what is KNOWABLY small at plan time; otherwise
+state the join declaratively and let AQE pick from runtime stats (which
+also handles the case where a filter shrank the side at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Default ceiling for the broadcast guard. Deliberately far under Spark's
+# 8 GB hard limit and driver-memory comfort: a compressed-parquet scan of
+# this size decompresses several-fold in the in-memory hash relation.
+BROADCAST_MAX_INPUT_BYTES = 256 << 20
+BROADCAST_CONF_KEY = "spark.fineventstream.broadcastMaxInputBytes"
+
+
+def scan_input_bytes(df: DataFrame) -> int | None:
+    """Total size of the scan's backing files, or None when unknowable
+    (in-memory relations, non-local filesystems). Metadata-only — no job.
+
+    ``inputFiles()`` returns percent-encoded file URIs (spaces, non-ASCII
+    in paths), so the path is unquoted before ``getsize`` — otherwise such
+    datasets would always probe as unknowable and silently lose the
+    fast-path selection.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    return total
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """``F.broadcast(df)`` only when the scan is knowably small.
+
+    Returns ``df`` unhinted when the backing size is unknown or at/over
+    the threshold (``max_bytes`` if given, else the session conf
+    ``spark.fineventstream.broadcastMaxInputBytes``, default 256 MiB) —
+    AQE then chooses the join strategy from runtime stats. 0 disables
+    hinting entirely.
+    """
+    if max_bytes is None:
+        max_bytes = int(
+            df.sparkSession.conf.get(
+                BROADCAST_CONF_KEY, str(BROADCAST_MAX_INPUT_BYTES)
+            )
+        )
+    if max_bytes <= 0:
+        return df
+    nbytes = scan_input_bytes(df)
+    if nbytes is not None and nbytes < max_bytes:
+        return F.broadcast(df)
+    return df

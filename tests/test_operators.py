@@ -149,13 +149,24 @@ def test_bucketed_spec_is_part_of_derivative_identity(sf_dir, monkeypatch):
     the directory name and the session-catalog table name."""
     from fineventstream_spark.operators import bucketed
 
-    p32, n32 = bucketed._bucketed_paths(sf_dir, "orders", "o_orderkey", "fp0")
+    def paths(key, columns=None):
+        return bucketed._bucketed_paths(
+            sf_dir, "orders", bucketed._bucket_spec(key, columns), "fp0"
+        )
+
+    p32, n32 = paths("o_orderkey")
     assert f"b{bucketed.N_BUCKETS}-o_orderkey" in p32
     monkeypatch.setattr(bucketed, "N_BUCKETS", bucketed.N_BUCKETS * 2)
-    p64, n64 = bucketed._bucketed_paths(sf_dir, "orders", "o_orderkey", "fp0")
+    p64, n64 = paths("o_orderkey")
     assert p64 != p32 and n64 != n32, "bucket count not part of identity"
-    pk, nk = bucketed._bucketed_paths(sf_dir, "orders", "o_custkey", "fp0")
+    pk, nk = paths("o_custkey")
     assert pk != p64 and nk != n64, "bucket key not part of identity"
+    # covering projections (r8): the projected column set is part of the
+    # identity too — a different column list is a different layout
+    pp, np_ = paths("o_custkey", ("o_custkey", "o_totalprice"))
+    assert pp != pk and np_ != nk, "projection columns not part of identity"
+    pp2, _ = paths("o_custkey", ("o_custkey", "o_orderdate"))
+    assert pp2 != pp, "distinct projections must not collide"
 
 
 def test_bucketed_layout_assertion_rejects_multi_file_buckets(tmp_path):

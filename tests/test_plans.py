@@ -57,10 +57,48 @@ def test_partition_pruning(spark, sf_dir):
     assert "day" in pf, f"day filter did not reach partition pruning: {pf}"
 
 
-def test_broadcast_join_for_dim(spark, sf_dir):
+def test_dim_enrichment_colocated_projection(spark, sf_dir):
+    """q_join_broadcast (r8 rewrite): the partkey covering projection joins
+    partkey-bucketed part as a zero-exchange, zero-sort, zero-build SMJ —
+    no BroadcastExchange (the r7-flagged forced broadcast of an sf-growing
+    dim is gone), no fact shuffle; the only exchange is the 25-row agg."""
     plan = _plan(spark, sf_dir, "q_join_broadcast")
-    assert "BroadcastHashJoin" in plan, "dim join did not broadcast"
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" in plan, "dim enrichment lost the co-located SMJ"
+    assert "BroadcastExchange" not in plan, "sf-growing dim must not be broadcast"
+    assert plan.count("Bucketed: true") >= 2, "both sides must read bucketed layouts"
+    n = _shuffle_exchanges(plan)
+    assert n <= 1, f"fact-side shuffle came back ({n} exchanges):\n{plan}"
+    # trusted per-bucket sort: the SMJ must not re-sort either side
+    assert "+- Sort " not in plan and "* Sort " not in plan, "SMJ re-sorts bucketed input"
+
+
+def test_maybe_broadcast_guards_on_scan_size(spark, sf_dir):
+    """The general dim-join rule (sizing.py): hint only what is knowably
+    small. Small file scan → hinted; threshold 0 → never; in-memory
+    relation (size unknowable) → never (AQE decides)."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.operators.sizing import maybe_broadcast, scan_input_bytes
+
+    t = Tables(spark, sf_dir)
+    nb = scan_input_bytes(t.nation)
+    assert nb is not None and nb > 0
+    hinted = t.orders.join(
+        maybe_broadcast(t.nation), F.col("o_custkey") % 25 == F.col("n_nationkey")
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        hinted._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # threshold 0 disables hinting entirely
+    assert maybe_broadcast(t.nation, max_bytes=0) is t.nation
+    # over-threshold scan stays unhinted
+    assert maybe_broadcast(t.orders, max_bytes=1) is t.orders
+    # in-memory relation: size unknowable → unhinted
+    mem = spark.range(5)
+    assert scan_input_bytes(mem) is None
+    assert maybe_broadcast(mem) is mem
 
 
 def test_range_join_broadcasts_small_side(spark, sf_dir):
@@ -149,6 +187,17 @@ def test_q5_fact_never_shuffles(spark, sf_dir):
     n = _shuffle_exchanges(plan)
     assert n <= 1, f"Q5 fact-side shuffle came back ({n} exchanges):\n{plan}"
     assert "Bucketed: true" in plan, "Q5 is not reading the bucketed derivative"
+    # the (c_nationkey - s_nationkey) = 0 nation equality must survive as a
+    # RESIDUAL merge condition (a Subtract in the plan), never normalized
+    # into an equi-key: ExtractEquiJoinKeys folding it would widen the SMJ
+    # keys to (orderkey, nationkey) and re-introduce the fact exchange.
+    # If a Spark upgrade starts folding arithmetic equalities, this line
+    # points at the optimizer fold directly (r7 advisor).
+    import re
+
+    assert re.search(
+        r"Join condition: \(\(c_nationkey#\d+ - s_nationkey#\d+\) = 0\)", plan
+    ), f"nation-equality residual was normalized away:\n{plan}"
 
 
 def test_q3_join_inner_zero_shuffle(spark, sf_dir):
