@@ -56,6 +56,26 @@ def scan_input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def broadcast_else_shuffle_hash(df: DataFrame, max_bytes: int) -> DataFrame:
+    """Size-selected join-side strategy for a dim that GROWS with the data:
+    broadcast while the scan is knowably under ``max_bytes``, else hint
+    SHUFFLE_HASH (parallel per-partition builds; shuffles only this side
+    and the co-keyed slim side — never a fact).
+
+    Rationale (measured on TPC-H Q5's customer side, interleaved min-of-
+    reps): the BroadcastExchange build is driver-serial and O(|dim|) —
+    2.3 s for 4.5 M rows at sf30, where SHUFFLE_HASH wins (4.67 s vs
+    5.34 s whole-query) despite re-sorting the slim side for the
+    downstream SMJ; below ~32 MiB the build is cheaper than the extra
+    shuffles (sf10: 1.91 vs 2.05; sf0.1: 0.65 vs 1.04). Unknown size
+    picks SHUFFLE_HASH — the scale-safe default.
+    """
+    nbytes = scan_input_bytes(df)
+    if nbytes is not None and nbytes < max_bytes:
+        return F.broadcast(df)
+    return df.hint("SHUFFLE_HASH")
+
+
 def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """``F.broadcast(df)`` only when the scan is knowably small.
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
 from fineventstream_spark.operators.bucketed import bucketed_table
+from fineventstream_spark.operators.sizing import broadcast_else_shuffle_hash
 from fineventstream_spark.queries._money import rev_units, sum_money
 from fineventstream_spark.registry import register
 
@@ -74,11 +75,24 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop null nations; keys are tiny ints, no overflow). sf10 measured
     (r7, default configs): 2.05 s solo min-of-3 — same as the r6
     subset-config number, without the global hazard.
-    The only shuffle is the 25-row final aggregate.
-    customer/supplier are true dims (fixed 1:40 / 1:600 fact ratios);
-    at extreme SF customer's 2-column projection outgrows broadcast and
-    becomes a shuffled join on the SLIM orders side only — the fact-side
-    shape is unchanged. sf10 measured: 10.5 s → 2.0 s solo."""
+    The fact never shuffles; above 32 MiB the customer join becomes a
+    SHUFFLE_HASH on the SLIM orders side only (size-selected, see
+    ``broadcast_else_shuffle_hash``) — the fact-side shape is unchanged.
+    sf10 measured: 10.5 s → 1.9 s solo.
+
+    r8 floor analysis at sf30 (interleaved min-of-reps; DuckDB twin
+    1.62 s): this shape = 4.7–5.3 s, decomposed as li 4-col scan 0.85 +
+    supplier probe ~1.4 + ord_nat branch ~1.3 + merge ~1.2. Rewrites
+    tried and REJECTED by measurement:
+    - supplier probe moved ABOVE the SMJ (probe 80 M merged rows instead
+      of 180 M): 9.15 s — the in-merge residual filters 80 M → ~3 M rows
+      at the cheapest point; deferring it makes the SMJ materialize 25×
+      more rows than it saves probes.
+    - rev-units (long money) computed BEFORE the SMJ to narrow the row:
+      6.99 vs 5.93 s — per-row round/cast/multiply on 180 M rows costs
+      more than carrying two doubles through the merge.
+    The remaining ~2.9× vs DuckDB is per-byte scan/probe kernel constants
+    on a plan with zero fact exchanges — horizontal at cluster scale."""
     t = Tables(spark, sf_dir)
     li = bucketed_table(spark, sf_dir, "lineitem")
     od = bucketed_table(spark, sf_dir, "orders")
@@ -86,7 +100,14 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
         .select("n_nationkey", "n_name")
     )
-    cust = F.broadcast(t.customer.select("c_custkey", "c_nationkey"))
+    # customer grows with the data (fixed 1:40 fact ratio) — size-selected
+    # strategy, never a forced broadcast (the q_join_broadcast lesson):
+    # broadcast under 32 MiB (build cheaper than extra slim shuffles),
+    # SHUFFLE_HASH above (driver-serial build is 2.3 s at sf30 and the
+    # 8 GB-limit scale-killer beyond)
+    cust = broadcast_else_shuffle_hash(
+        t.customer.select("c_custkey", "c_nationkey"), 32 << 20
+    )
     supp = F.broadcast(t.supplier.select("s_suppkey", "s_nationkey"))
     ord_nat = (
         od.filter(
