@@ -10,9 +10,17 @@ identically and floats are rounded on both sides.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
+
+# Fresh-seed knob for scale promotions (r7 verdict ask #9): a promotion
+# run at a bigger SF sets SPARK_GRAFT_FUZZ_SEED to shift the asof and
+# hash-bridge family seeds, so the promoted pass exercises NEW cases
+# rather than re-verifying the sf0.001 ones on more rows. 0 (default)
+# keeps every historical seed stable.
+_SEED_OFFSET = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "0"))
 
 NUMERIC_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 STRING_COLS = ["l_returnflag", "l_linestatus"]
@@ -627,7 +635,7 @@ def test_fuzz_asof_case(case_id, spark_events, duck, sf_dir):
 
     from fineventstream_spark.operators.asof import asof_join
 
-    cfg = _gen_asof_config(random.Random(53_000 + case_id))
+    cfg = _gen_asof_config(random.Random(_SEED_OFFSET + 53_000 + case_id))
     lt, rt, mod = cfg["left_type"], cfg["right_type"], cfg["left_pred_mod"]
 
     left = spark_events.sql(
@@ -751,5 +759,7 @@ def _gen_hash_bridge_case(rng: random.Random) -> tuple[str, str]:
 @pytest.mark.parametrize("case_id", range(12))
 def test_fuzz_hash_bridge_case(case_id, spark_two_tables, duck, sf_dir):
     _run_pair_case(
-        spark_two_tables, duck, *_gen_hash_bridge_case(random.Random(97_000 + case_id))
+        spark_two_tables,
+        duck,
+        *_gen_hash_bridge_case(random.Random(_SEED_OFFSET + 97_000 + case_id)),
     )
