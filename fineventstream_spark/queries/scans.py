@@ -567,17 +567,35 @@ def prewarm_derivatives(spark: SparkSession, sf_dir: str) -> None:
     partitioned-events rebuild to ``q_scan_partition_prune``: 0.74 s
     recorded vs 0.40 s solo). The inline-materializing query fns write
     eagerly at construction time, so invoking them (without executing
-    the returned plan) is sufficient."""
-    _events_jsonl_path(spark, sf_dir)
-    _events_partitioned_path(spark, sf_dir)
-    _documents_drift_path(spark, sf_dir)
-    _events_nested_path(spark, sf_dir)
-    events_shredded(spark, sf_dir)
-    from fineventstream_spark.operators.bucketed import BUCKET_KEYS, ensure_bucketed
+    the returned plan) is sufficient.
 
-    for tbl in BUCKET_KEYS:
-        ensure_bucketed(spark, sf_dir, tbl)
+    ``SPARK_GRAFT_PREWARM_SKIP`` (comma-separated names from the keys
+    below) skips individual derivatives: at giant fixture scales (sf60+)
+    the full derivative set no longer fits the sandbox disk, so a
+    curve-point run prewarm only what its query list reads — the skipped
+    queries are then excluded from that run and the exclusion recorded
+    in BASELINE.md."""
+    import os as _os
+
+    skip = {
+        s.strip()
+        for s in _os.environ.get("SPARK_GRAFT_PREWARM_SKIP", "").split(",")
+        if s.strip()
+    }
+    from fineventstream_spark.operators.bucketed import BUCKET_KEYS, ensure_bucketed
     from fineventstream_spark.registry import REGISTRY
 
-    for name in ("q_sink_partitioned_write", "q_scan_csv", "q_scan_orc"):
-        REGISTRY[name].fn(spark, sf_dir)
+    steps: dict[str, object] = {
+        "events_jsonl": lambda: _events_jsonl_path(spark, sf_dir),
+        "events_partitioned": lambda: _events_partitioned_path(spark, sf_dir),
+        "documents_drift": lambda: _documents_drift_path(spark, sf_dir),
+        "events_nested": lambda: _events_nested_path(spark, sf_dir),
+        "events_shredded": lambda: events_shredded(spark, sf_dir),
+        "bucketed": lambda: [ensure_bucketed(spark, sf_dir, t) for t in BUCKET_KEYS],
+        "sink": lambda: REGISTRY["q_sink_partitioned_write"].fn(spark, sf_dir),
+        "orders_csv": lambda: REGISTRY["q_scan_csv"].fn(spark, sf_dir),
+        "lineitem_orc": lambda: REGISTRY["q_scan_orc"].fn(spark, sf_dir),
+    }
+    for name, step in steps.items():
+        if name not in skip:
+            step()
