@@ -169,6 +169,60 @@ def test_bucketed_spec_is_part_of_derivative_identity(sf_dir, monkeypatch):
     assert pp2 != pp, "distinct projections must not collide"
 
 
+def test_prune_stale_is_scoped_to_one_layout_spec(tmp_path):
+    """r8: a table legitimately holds several live layouts (lineitem by
+    orderkey for Q5/Q9 AND the partkey covering projection). Pruning a
+    superseded fingerprint of one spec must never delete the OTHER spec's
+    live files (the pre-r8 prune matched any `<table>_bucketed-` sibling
+    and would have)."""
+    from fineventstream_spark.operators.bucketed import _prune_stale
+
+    keep_other_spec = tmp_path / "lineitem_bucketed-b32-l_orderkey-fpLIVE"
+    stale_same_spec = tmp_path / "lineitem_bucketed-b32-l_partkey-p01234567-fpOLD"
+    fresh = tmp_path / "lineitem_bucketed-b32-l_partkey-p01234567-fpNEW"
+    for d in (keep_other_spec, stale_same_spec, fresh):
+        d.mkdir()
+        (d / "_SUCCESS").touch()
+    _prune_stale(str(fresh), "lineitem", "b32-l_partkey-p01234567")
+    assert fresh.exists()
+    assert keep_other_spec.exists(), "prune crossed layout specs"
+    assert not stale_same_spec.exists(), "superseded fingerprint not pruned"
+
+
+def test_release_intermediates_without_active_session(spark):
+    """r7 advisor: an argument-less release from a thread with no active
+    session must release every live session's tracked caches rather than
+    silently leaking them."""
+    import threading
+
+    from fineventstream_spark.operators.dedup import (
+        _PERSISTED,
+        persist_tracked,
+        release_intermediates,
+    )
+
+    df = persist_tracked(spark.range(10))
+    df.count()
+    assert any(df is d for lst in _PERSISTED.values() for d in lst)
+    # call from a thread where getActiveSession() is None
+    err: list[Exception] = []
+
+    def _release():
+        try:
+            release_intermediates()
+        except Exception as e:  # noqa: BLE001
+            err.append(e)
+
+    th = threading.Thread(target=_release)
+    th.start()
+    th.join()
+    assert not err, f"release raised off-thread: {err}"
+    assert not any(
+        df is d for lst in _PERSISTED.values() for d in lst
+    ), "tracked cache leaked when no session was active"
+    assert df.storageLevel.useMemory is False, "DataFrame still persisted"
+
+
 def test_bucketed_layout_assertion_rejects_multi_file_buckets(tmp_path):
     """The trusted per-bucket sort (session.py outputOrdering pin) is only
     sound with one file per bucket; register-time verification must reject
