@@ -499,13 +499,24 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed (operators/rank.py:global_prefix_sum): range-bucket on
     doc_id, per-bucket sums → broadcast offsets, within-bucket window —
     the sort spreads over 64 reducers and the only global state is one
-    64-row offsets frame. Output is the per-bin manifest."""
+    64-row offsets frame. Output is the per-bin manifest.
+
+    The tokenized frame is persisted (r8): the prefix-sum operator
+    consumes its input twice (bucket sums + the windowed pass), and
+    without the cache each consumer re-runs the two-string-pass tokenize
+    over the full corpus — measured 9.0 s → 5.0 s at sf30. The persist
+    is (doc_id, n_tokens) only — KBs per million docs, never the text —
+    and is released under the repo-wide cache-hygiene contract
+    (operators/dedup.py:release_intermediates / bench clearCache)."""
+    from fineventstream_spark.operators.dedup import persist_tracked
     from fineventstream_spark.operators.rank import global_prefix_sum
     from fineventstream_spark.operators.text import ws_segment_count
 
     t = Tables(spark, sf_dir)
-    toks = t.documents.select(
-        "doc_id", ws_segment_count(F.col("text")).cast("bigint").alias("n_tokens")
+    toks = persist_tracked(
+        t.documents.select(
+            "doc_id", ws_segment_count(F.col("text")).cast("bigint").alias("n_tokens")
+        )
     )
     pre = global_prefix_sum(
         toks,
