@@ -16,6 +16,14 @@ Methodology (BASELINE.md "Benchmark methodology"): warmed same-session
 interleaved A/B, min of reps, one knob at a time.
 
 Usage: SPARK_GRAFT_SF_DIR=/root/repo/.localdata/sf30 python scripts/conf_experiment.py
+
+RESULT (r8, sf30, recorded in BASELINE.md): no knob moves the needle.
+A first 3-rep pass suggested batch8k -12..-17% on two queries, but a
+focused 5-rep interleaved base-vs-8k rerun showed <2% on all three
+(groupby_basic 2.96 vs 2.95, pricing 2.38 vs 2.44, dq 4.24 vs 4.21);
+cv-offheap and batch16k were neutral-to-worse. CLOSED as engine floor:
+the plain scan+agg gap vs DuckDB is per-byte scan-kernel constants, not
+a configuration or plan defect — horizontal at cluster scale.
 """
 
 from __future__ import annotations
