@@ -385,6 +385,103 @@ def q_llm_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("data", "model", "quantum")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_llm_bm25",
+    oracle="""
+    WITH dl AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term IN ('data', 'model', 'quantum')
+        GROUP BY doc_id, term
+    ),
+    dft AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   (CAST((SELECT n_docs FROM stats) + 1 AS DOUBLE) / (dft.df + 1))
+                   * ((tf.tf * (1.2 + 1.0)) /
+                      (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (SELECT avgdl FROM stats)))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS s_units
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dft USING (term)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(s_units) / 1000000.0, 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+    tags=("PL15",),
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
+    fixed query-term set — the ranking primitive behind retrieval-based
+    curation and decontamination. Log-free idf ((N+1)/(df+1), as in
+    q_llm_idf) keeps libm out of the ranking.
+
+    Scale shape: the exploded token stream filters to the query terms
+    BEFORE any aggregation (the explode→filter fuses into one generate
+    pass; rows surviving ≈ |terms| × docs, not corpus tokens), doc
+    lengths come from the zero-allocation segment count, and everything
+    that crosses an exchange is (doc, term)-sized. N/avgdl/df are
+    broadcast scalars. Top-20 is TakeOrderedAndProject.
+
+    Determinism: the per-(doc,term) score is an identical IEEE
+    expression tree on both engines; the CROSS-TERM sum is done in
+    integer 1e-6 units (floor(score·1e6 + .5)) so summation order can
+    never move the 6-dp result (the repo's money-units rule applied to
+    relevance scores)."""
+    from fineventstream_spark.operators.text import ws_segment_count
+
+    t = Tables(spark, sf_dir)
+    dl = t.documents.select(
+        "doc_id", ws_segment_count(F.col("text")).cast("double").alias("dl")
+    )
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+    norm = F.col("tf") + _BM25_K1 * (
+        (1.0 - _BM25_B) + _BM25_B * (F.col("dl") / F.col("avgdl"))
+    )
+    score = idf * ((F.col("tf") * (_BM25_K1 + 1.0)) / norm)
+    s_units = F.floor(score * 1_000_000.0 + 0.5).cast("bigint")
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_units.alias("s_units"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum("s_units") / 1_000_000.0, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 @register(
     "q_llm_embed_quantize",
     oracle="""

@@ -52,6 +52,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_join_broadcast",
     "q_report_nation_volume",
     "q_llm_pack_sequences",
+    "q_llm_bm25",
     "q_agg_kll_quantile_rollup",
     "q_agg_median_mode",
     "q_dq_profile",
