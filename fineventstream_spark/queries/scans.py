@@ -592,6 +592,15 @@ def prewarm_derivatives(spark: SparkSession, sf_dir: str) -> None:
         "events_nested": lambda: _events_nested_path(spark, sf_dir),
         "events_shredded": lambda: events_shredded(spark, sf_dir),
         "bucketed": lambda: [ensure_bucketed(spark, sf_dir, t) for t in BUCKET_KEYS],
+        # the r8 part-enrichment layouts (q_join_broadcast): partkey-bucketed
+        # part + the narrow partkey covering projection of lineitem
+        "partkey_layouts": lambda: [
+            ensure_bucketed(spark, sf_dir, "part", key="p_partkey"),
+            ensure_bucketed(
+                spark, sf_dir, "lineitem",
+                key="l_partkey", columns=("l_partkey", "l_quantity"),
+            ),
+        ],
         "sink": lambda: REGISTRY["q_sink_partitioned_write"].fn(spark, sf_dir),
         "orders_csv": lambda: REGISTRY["q_scan_csv"].fn(spark, sf_dir),
         "lineitem_orc": lambda: REGISTRY["q_scan_orc"].fn(spark, sf_dir),
