@@ -93,6 +93,7 @@ HEADLINE = [
     "q_agg_count_min_freq",
     "q_llm_sample_weighted",
     "q_agg_approx_topk_rollup",
+    "q_llm_bm25",
 ]
 
 
