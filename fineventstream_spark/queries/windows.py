@@ -182,15 +182,16 @@ def q_win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nat AS (
       SELECT n.n_regionkey, n.n_name,
-             SUM(o.o_totalprice) AS revenue
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_units
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY n.n_regionkey, n.n_name
     )
     SELECT r.r_name, n.n_name,
-           ROUND(n.revenue, 4) AS revenue,
-           ROUND(n.revenue / SUM(n.revenue) OVER (PARTITION BY n.n_regionkey), 4)
+           ROUND(n.rev_units / 100.0, 4) AS revenue,
+           ROUND(CAST(n.rev_units AS DOUBLE)
+                 / SUM(n.rev_units) OVER (PARTITION BY n.n_regionkey), 4)
              AS region_share
     FROM nat n JOIN region r ON r.r_regionkey = n.n_regionkey
     """,
@@ -201,13 +202,20 @@ def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     region's revenue — the denominator is a window SUM over the
     aggregate, not a second scan. Plan: the fact collapses to a 25-row
     nation aggregate first; the share window and the region broadcast
-    run on that — window cost is O(nations), the fact is touched once."""
+    run on that — window cost is O(nations), the fact is touched once.
+
+    Revenue sums in exact integer cents (r8): per-nation totals reach
+    1.5e11 at sf10 and double summation-order noise crosses the 4-dp
+    rounding grid (caught by the r8 full-differential sweep at sf10 —
+    the same class q_agg_global hit at sf1). The share ratio divides two
+    exact integers — deterministic in IEEE on both engines."""
     t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     nat = (
         t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_regionkey", "n_name")
-        .agg(F.sum("o_totalprice").alias("revenue"))
+        .agg(F.sum(cents).alias("rev_units"))
     )
     w = Window.partitionBy("n_regionkey")
     return (
@@ -215,10 +223,10 @@ def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "r_name",
             "n_name",
-            F.round("revenue", 4).alias("revenue"),
-            F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias(
-                "region_share"
-            ),
+            F.round(F.col("rev_units") / 100.0, 4).alias("revenue"),
+            F.round(
+                F.col("rev_units").cast("double") / F.sum("rev_units").over(w), 4
+            ).alias("region_share"),
         )
     )
 

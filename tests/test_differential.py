@@ -129,11 +129,46 @@ def test_fast_path_refuses_float_nulls():
     assert _canon_pandas(with_nan) is not None
 
 
+# Identity-shaped results (projections / unions / unpivots over the fact)
+# whose row count GROWS with the fact: full-multiset compare through the
+# driver stops being the right tool past ~sf1 (60–180 M rows at sf10 blow
+# spark.driver.maxResultSize and would take GBs of pandas). Past the
+# threshold these compare by (a) exact engine-side row count and (b) the
+# full multiset on a DETERMINISTIC key-sampled subset (key % 512 == 0,
+# pushed down on BOTH engines — same rows, no randomness). The map names
+# the numeric result column to sample on. Full-multiset strictness is
+# unchanged at the driver's sf0.01 and the sf1 sweep.
+OVERSIZE_SAMPLE_KEY = {
+    "q_math_basic": "l_orderkey",
+    "q_union_all": "id",
+    "q_unpivot": "l_orderkey",
+}
+OVERSIZE_ROW_THRESHOLD = 5_000_000
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(name, spark, duck, sf_dir):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     spark_cols = sdf.columns
+
+    key = OVERSIZE_SAMPLE_KEY.get(name)
+    if key is not None:
+        n_duck = duck.execute(
+            f"SELECT count(*) FROM ({q.oracle})"
+        ).fetchone()[0]
+        if n_duck > OVERSIZE_ROW_THRESHOLD:
+            from pyspark.sql import functions as F
+
+            assert sdf.count() == n_duck, f"{name}: row count mismatch at scale"
+            sdf = sdf.filter(F.col(key) % 512 == 0)
+            q = type(q)(
+                name=q.name,
+                fn=q.fn,
+                oracle=f"SELECT * FROM ({q.oracle}) WHERE ({key}) % 512 = 0",
+                tags=q.tags,
+                doc=q.doc,
+            )
 
     # Arrow fast path: collect()+per-row normalization dominated the
     # large-sf sweeps (49 min of single-core python at sf3); a confirmed
