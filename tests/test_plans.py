@@ -72,6 +72,23 @@ def test_dim_enrichment_colocated_projection(spark, sf_dir):
     assert "+- Sort " not in plan and "* Sort " not in plan, "SMJ re-sorts bucketed input"
 
 
+def test_bm25_explode_filters_early_and_topk_no_sort(spark, sf_dir):
+    """q_llm_bm25 (r8): the query-term filter sits directly above the
+    token explode (rows surviving ≈ |terms|·docs, never corpus tokens),
+    and the top-20 is TakeOrderedAndProject — no global sort."""
+    plan = _plan(spark, sf_dir, "q_llm_bm25")
+    assert "TakeOrderedAndProject" in plan, "top-20 must use partial heaps"
+    assert "rangepartitioning" not in plan, "top-20 must not globally sort"
+    # a Filter node must appear immediately above each Generate (explode)
+    lines = [l.strip() for l in plan.splitlines() if "(" in l]
+    gen_idx = [i for i, l in enumerate(lines) if "Generate (" in l]
+    assert gen_idx, f"no Generate in plan:\n{plan}"
+    for i in gen_idx:
+        assert "Filter (" in lines[i - 1], (
+            f"term filter not fused above the explode:\n{plan}"
+        )
+
+
 def test_maybe_broadcast_guards_on_scan_size(spark, sf_dir):
     """The general dim-join rule (sizing.py): hint only what is knowably
     small. Small file scan → hinted; threshold 0 → never; in-memory
