@@ -47,6 +47,11 @@ BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 # part-<task>-<uuid>_<bucketId>.c000.snappy.parquet
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d{3}")
 
+# catalog.source_fingerprint: sha256 hex truncated to 12 chars — the only
+# thing allowed after "<table>_bucketed-<spec>-" for _prune_stale to treat
+# an entry as a stale fingerprint of that same spec
+_FINGERPRINT_RE = re.compile(r"[0-9a-f]{12}")
+
 
 def _bucket_spec(key: str, columns: tuple[str, ...] | None) -> str:
     """Canonical spec string for one layout: bucket count × key × (for
@@ -95,14 +100,27 @@ def _prune_stale(path: str, table: str, spec: str) -> None:
     derivative discipline (queries/scans.py): one process owns a given
     ``.cache/<sf>`` tree at a time — true for the driver, bench.py and the
     test suite. Multi-writer deployments should prune at startup instead.
+
+    SPEC-BOUNDARY PARSE (r8 advisor): a plain spec ``b32-<key>`` is a
+    string PREFIX of every projected spec ``b32-<key>-p<hash>`` on the
+    same key, so ``startswith`` alone would let a plain-layout rebuild
+    rmtree live covering-projection dirs. The segment after the spec must
+    therefore be EXACTLY a source fingerprint (12 hex chars, no dashes —
+    catalog.source_fingerprint) for the entry to count as a stale
+    fingerprint of THIS spec.
     """
     import shutil
 
     parent, leaf = os.path.split(path)
     if not os.path.isdir(parent):
         return
+    prefix = f"{table}_bucketed-{spec}-"
     for entry in os.listdir(parent):
-        if entry != leaf and entry.startswith(f"{table}_bucketed-{spec}-"):
+        if (
+            entry != leaf
+            and entry.startswith(prefix)
+            and _FINGERPRINT_RE.fullmatch(entry[len(prefix) :])
+        ):
             shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
 

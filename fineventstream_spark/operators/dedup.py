@@ -168,20 +168,29 @@ def release_intermediates(spark: SparkSession | None = None) -> None:
     When called with no argument from a thread with NO active session
     (r7 advisor: getActiveSession() is thread-local and returns None off
     the driver thread), silently releasing nothing would quietly leak the
-    tracked caches — instead every LIVE session's intermediates are
-    released: an argument-less release is a "clean up after my work"
-    call, and a caller that wants session-scoped precision passes the
-    session."""
+    tracked caches. But releasing EVERY live session's caches is worse
+    when several sessions are running concurrently — a background cleanup
+    would unpersist DataFrames another in-flight session still depends on
+    (r8 advisor: silent recompute mid-bench). So the session-less call
+    releases the single live session if exactly one is tracked, and
+    refuses with ValueError when several are — the caller knows which
+    session it worked in; make it say so."""
     if spark is None:
         spark = SparkSession.getActiveSession()
     with _PERSISTED_LOCK:
-        if spark is not None:
-            dfs = _PERSISTED.pop(spark, [])
-        else:  # no active session: release everything still alive
-            dfs = [df for lst in _PERSISTED.values() for df in lst]
-            _PERSISTED.clear()
         for s in [s for s in _PERSISTED if _context_stopped(s)]:
             del _PERSISTED[s]
+        if spark is not None:
+            dfs = _PERSISTED.pop(spark, [])
+        elif len(_PERSISTED) <= 1:  # unambiguous: at most one live session
+            dfs = [df for lst in _PERSISTED.values() for df in lst]
+            _PERSISTED.clear()
+        else:
+            raise ValueError(
+                f"release_intermediates() called with no active session while "
+                f"{len(_PERSISTED)} live sessions hold tracked caches — pass "
+                "the session whose intermediates you mean to release"
+            )
     for df in dfs:
         if not _context_stopped(df.sparkSession):
             df.unpersist()

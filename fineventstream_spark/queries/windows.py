@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
+from fineventstream_spark.queries._money import CENTS_SQL, cents
 from fineventstream_spark.registry import register
 
 
@@ -179,10 +180,10 @@ def q_win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_win_share_of_total",
-    oracle="""
+    oracle=f"""
     WITH nat AS (
       SELECT n.n_regionkey, n.n_name,
-             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_units
+             SUM({CENTS_SQL.format(col="o.o_totalprice")}) AS rev_units
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -208,14 +209,15 @@ def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.5e11 at sf10 and double summation-order noise crosses the 4-dp
     rounding grid (caught by the r8 full-differential sweep at sf10 —
     the same class q_agg_global hit at sf1). The share ratio divides two
-    exact integers — deterministic in IEEE on both engines."""
+    exact integers — deterministic in IEEE on both engines. Cents
+    conversion via the centralized _money helpers (r8 advisor) so query
+    and oracle stay visibly in lockstep with the repo-wide rule."""
     t = Tables(spark, sf_dir)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     nat = (
         t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_regionkey", "n_name")
-        .agg(F.sum(cents).alias("rev_units"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_units"))
     )
     w = Window.partitionBy("n_regionkey")
     return (

@@ -101,9 +101,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_salted",
     "q_agg_stats",
 )
-assert len(set(DRIVER_WINDOW_PRIORITY)) == len(DRIVER_WINDOW_PRIORITY), (
-    "driver window contains duplicate names (dead rotation slots)"
-)
+# Explicit raise, not `assert` (r8 advisor): asserts are stripped under
+# `python -O`, which would silently re-allow the dead-rotation-slot bug.
+if len(set(DRIVER_WINDOW_PRIORITY)) != len(DRIVER_WINDOW_PRIORITY):
+    _dupes = sorted(
+        n for n in set(DRIVER_WINDOW_PRIORITY) if DRIVER_WINDOW_PRIORITY.count(n) > 1
+    )
+    raise ValueError(f"driver window contains duplicate names (dead rotation slots): {_dupes}")
 
 
 

@@ -174,12 +174,14 @@ def test_prune_stale_is_scoped_to_one_layout_spec(tmp_path):
     orderkey for Q5/Q9 AND the partkey covering projection). Pruning a
     superseded fingerprint of one spec must never delete the OTHER spec's
     live files (the pre-r8 prune matched any `<table>_bucketed-` sibling
-    and would have)."""
+    and would have). Fingerprints below are 12-hex like
+    catalog.source_fingerprint produces — _prune_stale requires the
+    post-spec segment to be exactly one (r8 advisor)."""
     from fineventstream_spark.operators.bucketed import _prune_stale
 
-    keep_other_spec = tmp_path / "lineitem_bucketed-b32-l_orderkey-fpLIVE"
-    stale_same_spec = tmp_path / "lineitem_bucketed-b32-l_partkey-p01234567-fpOLD"
-    fresh = tmp_path / "lineitem_bucketed-b32-l_partkey-p01234567-fpNEW"
+    keep_other_spec = tmp_path / "lineitem_bucketed-b32-l_orderkey-aaaaaaaaaaaa"
+    stale_same_spec = tmp_path / "lineitem_bucketed-b32-l_partkey-p01234567-0123456789ab"
+    fresh = tmp_path / "lineitem_bucketed-b32-l_partkey-p01234567-ba9876543210"
     for d in (keep_other_spec, stale_same_spec, fresh):
         d.mkdir()
         (d / "_SUCCESS").touch()
@@ -187,6 +189,26 @@ def test_prune_stale_is_scoped_to_one_layout_spec(tmp_path):
     assert fresh.exists()
     assert keep_other_spec.exists(), "prune crossed layout specs"
     assert not stale_same_spec.exists(), "superseded fingerprint not pruned"
+
+
+def test_prune_stale_plain_spec_spares_projected_siblings_on_same_key(tmp_path):
+    """r8 advisor (medium): the plain spec 'b32-<key>' is a string PREFIX
+    of every projected spec 'b32-<key>-p<hash>' on the same key, so a
+    prefix-only match after rebuilding the plain layout would rmtree live
+    covering projections. The exact-fingerprint boundary parse must spare
+    them while still pruning the plain spec's own stale fingerprint."""
+    from fineventstream_spark.operators.bucketed import _prune_stale
+
+    keep_projected = tmp_path / "lineitem_bucketed-b32-l_orderkey-pdeadbeef-cccccccccccc"
+    stale_plain = tmp_path / "lineitem_bucketed-b32-l_orderkey-0123456789ab"
+    fresh_plain = tmp_path / "lineitem_bucketed-b32-l_orderkey-ba9876543210"
+    for d in (keep_projected, stale_plain, fresh_plain):
+        d.mkdir()
+        (d / "_SUCCESS").touch()
+    _prune_stale(str(fresh_plain), "lineitem", "b32-l_orderkey")
+    assert fresh_plain.exists()
+    assert keep_projected.exists(), "plain-spec prune deleted a projected layout on the same key"
+    assert not stale_plain.exists(), "superseded plain fingerprint not pruned"
 
 
 def test_release_intermediates_without_active_session(spark):

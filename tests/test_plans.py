@@ -84,6 +84,8 @@ def test_bm25_explode_filters_early_and_topk_no_sort(spark, sf_dir):
     gen_idx = [i for i, l in enumerate(lines) if "Generate (" in l]
     assert gen_idx, f"no Generate in plan:\n{plan}"
     for i in gen_idx:
+        # guard i == 0: lines[-1] would silently check the wrong node (r8 advisor)
+        assert i > 0, f"Generate is the first plan node — nothing above it:\n{plan}"
         assert "Filter (" in lines[i - 1], (
             f"term filter not fused above the explode:\n{plan}"
         )
