@@ -3,7 +3,17 @@
 
 Prints ONE JSON line:
   {"metric": "total_headline_sec", "value": N, "unit": "sec",
-   "queries": {...}, "sf": "..."}
+   "queries": {...}, "queries_cold": {...}, "persist_bearing": [...],
+   "order_seed": N, "order": {...}, "sf": "..."}
+
+"queries" holds min-of-reps; "queries_cold" the first rep. For queries
+whose plan persist()s an intermediate (detected mechanically, listed in
+"persist_bearing"), the headline total counts the COLD rep — min-of-reps
+would read the warm cache while every other query pays per-rep cost
+(r8 verdict #5). The headline order is shuffled per sweep with the
+recorded "order_seed" (pin via SPARK_GRAFT_BENCH_SEED) so the in-suite
+positional tax lands on different queries each sweep instead of biasing
+fixed victims (r8 verdict #7).
 
 Methodology: one shared SparkSession (local[$SPARK_GRAFT_CPUS]); each query
 is planned + executed to completion via a count-collapsing action that still
@@ -109,8 +119,22 @@ def main() -> None:
     # regression/recovery without co-tenant noise from the full sweep.
     # The driver's no-arg invocation is unchanged.
     solo = sys.argv[1:]
-    headline = solo if solo else HEADLINE
+    headline = list(solo) if solo else list(HEADLINE)
     min_reps = 3 if solo else 2
+    # Seeded order shuffle (r8 verdict #7): in-suite timings carry a
+    # POSITIONAL tax (whoever runs late pays accumulated block-manager/GC
+    # pressure — observed 2× on zscore at sf60). A fixed order pins that
+    # tax to the same queries every sweep; a per-sweep seeded shuffle
+    # spreads it uniformly, making round-over-round in-suite totals
+    # honest. The seed is recorded (and pinnable via
+    # SPARK_GRAFT_BENCH_SEED) so any sweep is reproducible. Solo runs
+    # keep their explicit order.
+    import random
+
+    seed_env = os.environ.get("SPARK_GRAFT_BENCH_SEED")
+    order_seed = int(seed_env) if seed_env else int.from_bytes(os.urandom(4), "big")
+    if not solo:
+        random.Random(order_seed).shuffle(headline)
     registry = all_queries()
     spark = get_spark(app_name="fes-bench")
     # Warm-up (not query work): JVM codegen compiler + the Python worker
@@ -151,6 +175,8 @@ def main() -> None:
         print(f"# warm-up failed (continuing cold): {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
+    persist_bearing: list[str] = []
     failures: dict[str, str] = {}
     total = 0.0
     for name in headline:
@@ -188,8 +214,24 @@ def main() -> None:
         best = min(runs)
         dt = round(best, 3)
         timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt}s", file=sys.stderr)
+        cold_timings[name] = round(runs[0], 3)
+        # Persist-bearing plans (r8 verdict #5): when a query persist()s an
+        # intermediate, later reps read the cache and min-of-reps reports
+        # WARM steady-state while every other query pays per-rep cost. The
+        # honest headline number for those queries is the first (cold) rep.
+        # Detection is mechanical — any RDD left persisted by this query's
+        # reps (cache hygiene below clears between queries, so leftovers
+        # are this query's own).
+        is_persist_bearing = (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().size() > 0
+        )
+        if is_persist_bearing:
+            persist_bearing.append(name)
+            total += cold_timings[name]
+        else:
+            total += dt
+        tag = " (cold counted)" if is_persist_bearing else ""
+        print(f"# {name}: {dt}s cold={cold_timings[name]}s{tag}", file=sys.stderr)
         # Per-query cache hygiene: every rep of a persist()-ing query
         # registers a fresh InMemoryRelation (Python UDF expressions never
         # canonicalize equal, so reps don't share entries) and nobody
@@ -205,6 +247,10 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold_timings,
+        "persist_bearing": persist_bearing,
+        "order_seed": order_seed,
+        "order": {n: i for i, n in enumerate(headline)},
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "n_queries": len(timings),
         "n_failed": len(failures),

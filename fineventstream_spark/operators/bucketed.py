@@ -31,6 +31,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import load_table, source_fingerprint
 
@@ -53,16 +54,24 @@ _BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d{3}")
 _FINGERPRINT_RE = re.compile(r"[0-9a-f]{12}")
 
 
-def _bucket_spec(key: str, columns: tuple[str, ...] | None) -> str:
+def _bucket_spec(
+    key: str,
+    columns: tuple[str, ...] | None,
+    derived: dict[str, str] | None = None,
+) -> str:
     """Canonical spec string for one layout: bucket count × key × (for
-    covering projections) the projected column set. Everything that affects
-    the file layout is in the spec, so a spec change can never re-register
+    covering projections) the projected column set × (for materialized
+    expressions) the derived name→SQL map. Everything that affects the
+    file layout is in the spec, so a spec change can never re-register
     old files under new metadata."""
     spec = f"b{N_BUCKETS}-{key}"
-    if columns:
+    if columns or derived:
         import hashlib
 
-        spec += "-p" + hashlib.md5(",".join(columns).encode()).hexdigest()[:8]
+        ident = ",".join(columns or ())
+        if derived:
+            ident += "|" + ";".join(f"{k}={v}" for k, v in sorted(derived.items()))
+        spec += "-p" + hashlib.md5(ident.encode()).hexdigest()[:8]
     return spec
 
 
@@ -159,6 +168,7 @@ def ensure_bucketed(
     table: str,
     key: str | None = None,
     columns: tuple[str, ...] | None = None,
+    derived: dict[str, str] | None = None,
 ) -> str:
     """Materialize (once per source fingerprint × layout spec) and register
     (once per session) a bucketed+sorted copy of ``table``. Returns the
@@ -173,15 +183,32 @@ def ensure_bucketed(
     replaces BOTH the fact shuffle (at any scale) and the broadcast
     relation build (which is driver-serial and O(|dim|) on the critical
     path of every query that hints it).
+
+    With ``derived`` (name → Spark SQL expression over the source
+    columns), the projection additionally MATERIALIZES computed columns
+    at layout time — the shred-on-ingest idea applied to arithmetic: an
+    expression every query re-evaluates per row (e.g. the exact-money
+    ``rev_units`` product, r8's measured 1.06 s/round of per-row
+    round/cast at sf30) is paid ONCE at ingest and scanned back as a
+    plain column. The expression text is part of the layout spec, so a
+    formula change regenerates the derivative.
     """
     key = key or BUCKET_KEYS[table]
     df = load_table(spark, sf_dir, table)
+    if derived and not columns:
+        raise ValueError("derived columns require an explicit projection column set")
     if columns:
         if key not in columns:
             raise ValueError(f"projection columns {columns} must include key {key!r}")
-        df = df.select(*columns)
+        sel = [F.col(c) for c in columns]
+        if derived:
+            overlap = set(derived) & set(columns)
+            if overlap:
+                raise ValueError(f"derived names {sorted(overlap)} collide with columns")
+            sel += [F.expr(sql).alias(name) for name, sql in sorted(derived.items())]
+        df = df.select(*sel)
     fp = source_fingerprint(df, sf_dir, table)
-    spec = _bucket_spec(key, columns)
+    spec = _bucket_spec(key, columns, derived)
     path, name = _bucketed_paths(sf_dir, table, spec, fp)
     if spark.catalog.tableExists(name):
         return name
@@ -218,11 +245,15 @@ def bucketed_table(
     table: str,
     key: str | None = None,
     columns: tuple[str, ...] | None = None,
+    derived: dict[str, str] | None = None,
 ) -> DataFrame:
     """The bucketed derivative of ``table`` as a DataFrame (schema identical
-    to :func:`load_table`, or to the projected columns when ``columns`` is
-    given; scan reports bucketing + per-bucket sort)."""
-    return spark.table(ensure_bucketed(spark, sf_dir, table, key=key, columns=columns))
+    to :func:`load_table`, or to the projected columns plus any ``derived``
+    materialized expressions when given; scan reports bucketing +
+    per-bucket sort)."""
+    return spark.table(
+        ensure_bucketed(spark, sf_dir, table, key=key, columns=columns, derived=derived)
+    )
 
 
 def bucketed_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,12 +25,38 @@ benchmark and the cross-engine differential suite need: both engines read
 THESE files, so comparisons stay exact.
 
 Usage: python scripts/gen_sf.py --sf 1 --out /root/repo/.localdata/sf1
+
+SKEWED VARIANT (round-9 verdict ask — every uniform fixture leaves AQE
+skew handling, salting, and the bucketed layouts untested against a hot
+key): ``--skew zipf:1.2`` draws the three verdict-named key columns from
+a bounded Zipf(s) instead of uniform, leaving every other column and all
+schemas identical:
+
+- ``lineitem.l_orderkey``: lines-per-order becomes the Zipf rank-count
+  profile (expected total unchanged at ~4/order). At s=1.2 the hottest
+  order carries ~1/ζ(1.2) ≈ 18% of ALL lineitem rows (~10.7 M rows at
+  sf10 — several hundred MB on one join key, past AQE's default 256 MB
+  skew threshold, so mitigation must engage with production settings).
+- ``events.user_id``: per-event Zipf user draw — the hottest user owns
+  ~18% of the stream, so any PARTITION BY user_id window gets one
+  pathological partition.
+- ``documents``: 10% of docs are boilerplate from 8 templates with
+  1/rank weights — exact-dup groups and MinHash-LSH buckets orders of
+  magnitude over the bucket caps.
+
+Hot keys are scattered across the key domain by a coprime multiplicative
+step (not left at rank 0,1,2,… — hash partitioning doesn't care, but
+range/file locality would be unrealistically favorable).
+
+Usage: python scripts/gen_sf.py --sf 10 --skew zipf:1.2
+  -> .localdata/sf10zipf1.2
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 
 import numpy as np
@@ -64,7 +90,33 @@ def _ts_ms(days_from_1995: np.ndarray) -> pa.Array:
     return pa.array(base + (days_from_1995 * 86_400_000).astype("timedelta64[ms]"), MS)
 
 
-def generate(sf: float, out: str, seed: int = 42) -> None:
+def _bounded_zipf(rng: np.random.Generator, s: float, n_keys: int, n_draws: int) -> np.ndarray:
+    """``n_draws`` 0-based RANKS from Zipf(s) truncated to ``n_keys`` via
+    rejection (numpy's sampler is unbounded; for s=1.2 at 15 M keys only
+    ~3–4% of draws are rejected)."""
+    out = np.empty(n_draws, dtype=np.int64)
+    filled = 0
+    while filled < n_draws:
+        cand = rng.zipf(s, int((n_draws - filled) * 1.15) + 16)
+        cand = cand[cand <= n_keys]
+        take = min(len(cand), n_draws - filled)
+        out[filled : filled + take] = cand[:take] - 1
+        filled += take
+    return out
+
+
+def _scatter_ranks(ranks: np.ndarray, n_keys: int) -> np.ndarray:
+    """Bijective rank→key map (multiplicative step coprime to n_keys) so
+    the hot keys are spread across the domain instead of clustered at
+    0,1,2,…; deterministic, overflow-safe (step < n_keys so the product
+    stays ≤ n_keys² ≪ 2^63 at any reachable sf)."""
+    step = 2654435761 % n_keys
+    while math.gcd(step, n_keys) != 1:
+        step += 1
+    return (ranks * step + 7) % n_keys
+
+
+def generate(sf: float, out: str, seed: int = 42, skew: float | None = None) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
     n_cust = int(150_000 * sf)
@@ -117,7 +169,15 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
     }))
 
-    lines_per = rng.poisson(4.0, n_ord)
+    if skew is not None:
+        # zipf rank-counts scattered over the orderkey domain: same
+        # expected 4 lines/order, but the hottest key holds ~1/ζ(s) of
+        # ALL lineitem rows
+        ranks = _bounded_zipf(rng, skew, n_ord, int(4.0 * n_ord))
+        keys = _scatter_ranks(ranks, n_ord)
+        lines_per = np.bincount(keys, minlength=n_ord)
+    else:
+        lines_per = rng.poisson(4.0, n_ord)
     l_orderkey = np.repeat(np.arange(n_ord), lines_per)
     n_li = len(l_orderkey)
     l_orderdays = np.repeat(np.floor(order_days), lines_per)
@@ -142,10 +202,16 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
 
     ev_base = np.datetime64("2024-01-01", "us")
     ev_us = np.sort(rng.integers(0, 30 * 86_400_000_000, n_ev))
+    if skew is not None:
+        # hottest user owns ~1/ζ(s) of the whole stream: one pathological
+        # PARTITION BY user_id window partition
+        ev_users = _scatter_ranks(_bounded_zipf(rng, skew, n_users, n_ev), n_users)
+    else:
+        ev_users = rng.integers(0, n_users, n_ev)
     _write(out, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev), pa.int64()),
         "ts": pa.array(ev_base + ev_us.astype("timedelta64[us]"), US),
-        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "user_id": pa.array(ev_users, pa.int64()),
         "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_ev)]),
         "value": np.round(rng.exponential(50.0, n_ev), 2),
         "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
@@ -158,6 +224,15 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     for i in range(0, n_docs, 500):
         if i + 1 < n_docs:
             texts[i + 1] = texts[i]
+    if skew is not None:
+        # 10% boilerplate from 8 templates with 1/rank weights: the top
+        # template alone is ~3.7% of the corpus — exact-dup groups and
+        # LSH buckets far past any per-bucket cap
+        templates = [" ".join(vocab[rng.integers(0, len(vocab), 40)]) for _ in range(8)]
+        tw = 1.0 / np.arange(1, 9)
+        picks = rng.choice(8, size=(n_docs + 9) // 10, p=tw / tw.sum())
+        for j, i in enumerate(range(0, n_docs, 10)):
+            texts[i] = templates[picks[j]]
     _write(out, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,
@@ -181,10 +256,23 @@ if __name__ == "__main__":
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--skew", default=None, metavar="zipf:S",
+        help="skew the verdict-named key columns with a bounded Zipf(S)",
+    )
     a = ap.parse_args()
+    skew = None
+    if a.skew is not None:
+        kind, _, sval = a.skew.partition(":")
+        if kind != "zipf" or not sval:
+            raise SystemExit(f"--skew must look like zipf:1.2, got {a.skew!r}")
+        skew = float(sval)
+        if skew <= 1.0:
+            raise SystemExit("zipf exponent must be > 1 (numpy's sampler requires it)")
+    suffix = f"sf{a.sf:g}" + (f"zipf{skew:g}" if skew is not None else "")
     out = a.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".localdata", f"sf{a.sf:g}",
+        ".localdata", suffix,
     )
-    print(f"generating sf={a.sf} -> {out}")
-    generate(a.sf, out, a.seed)
+    print(f"generating sf={a.sf} skew={a.skew} -> {out}")
+    generate(a.sf, out, a.seed, skew=skew)
