@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
+from fineventstream_spark.queries._audit import audits_enabled
 from fineventstream_spark.registry import register
 
 
@@ -122,8 +123,14 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver row certifies accuracy (≈2% at rsd 0.02), not just execution.
     The exact pass exists ONLY for the audit; the production form is the
     sketch alone (countDistinct at 100 TB reshuffles every (flag, part)
-    pair — the thing the sketch avoids)."""
+    pair — the thing the sketch avoids). SPARK_GRAFT_AUDIT=off benches
+    that production form (queries/_audit.py)."""
     t = Tables(spark, sf_dir)
+    if not audits_enabled():
+        return t.lineitem.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count("*").alias("n"),
+        )
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
@@ -162,7 +169,8 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact countDistinct — so the driver row certifies accuracy, not just
     execution (HLL at default lgK=12 is ~2% at this cardinality; a
     regression shows up as a changed value). The exact pass exists ONLY
-    for the audit; production rollups skip it."""
+    for the audit; production rollups skip it — SPARK_GRAFT_AUDIT=off
+    benches that form (queries/_audit.py)."""
     t = Tables(spark, sf_dir)
     daily = t.events.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
@@ -173,6 +181,8 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         )
     )
+    if not audits_enabled():
+        return weekly
     exact = t.events.groupBy(
         F.date_trunc("week", "ts").cast("date").alias("ex_week")
     ).agg(F.countDistinct("user_id").alias("exact_users"))
@@ -252,6 +262,25 @@ def q_agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("kll_sketch_agg_double(l_extendedprice)").alias("sk"),
         F.count(F.lit(1)).alias("n"),
     )
+    if not audits_enabled():
+        # production rollup: per-group quantiles + merged-global quantile,
+        # straight from the sketches — zero exact passes
+        groups = per_group.select(
+            "l_returnflag",
+            "n",
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 4).alias("est_p50"),
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 4).alias("est_p95"),
+            "sk",
+        )
+        merged = groups.agg(
+            F.round(
+                F.kll_sketch_get_quantile_double(
+                    F.expr("kll_merge_agg_double(sk)"), F.lit(0.5)
+                ),
+                4,
+            ).alias("global_est_p50")
+        )
+        return groups.drop("sk").join(F.broadcast(merged))
     exact_pg = exact_percentiles(
         t.lineitem, "l_returnflag", "l_extendedprice", [0.5], ["exact_p50"], decimals=6
     )
@@ -316,6 +345,12 @@ def q_event_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("theta_sketch_estimate(theta_union(sk, sk_next))").alias("est_reach"),
     )
+    if not audits_enabled():
+        return pairs.select(
+            "day",
+            F.col("est_returning").cast("long").alias("est_returning"),
+            F.col("est_reach").cast("long").alias("est_reach"),
+        )
     du = t.events.select(day.alias("day"), "user_id").distinct()
     exact = (
         du.alias("a")
@@ -728,6 +763,8 @@ def q_agg_approx_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = est.select(F.explode("topk").alias("e")).select(
         F.col("e.item").alias("cell"), F.col("e.count").alias("est_n")
     )
+    if not audits_enabled():
+        return items.orderBy(F.desc("est_n"), "cell")
     exact_counts = t.events.groupBy(cell.alias("cell")).agg(
         F.count(F.lit(1)).alias("exact_n")
     )

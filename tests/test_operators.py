@@ -1760,3 +1760,44 @@ def test_bucketed_derived_requires_projection(spark, sf_dir):
             columns=("l_orderkey", "l_quantity"),
             derived={"l_quantity": "l_quantity * 2"},
         )
+
+
+AUDITED_SKETCH_QUERIES = {
+    "q_agg_approx_distinct": ("rel_err", "approx_parts"),
+    "q_agg_sketch_rollup": ("rel_err", "approx_users"),
+    "q_agg_kll_quantile_rollup": ("rel_err_p50", "est_p50"),
+    "q_event_theta_overlap": ("overlap_rel_err", "est_returning"),
+    "q_agg_approx_topk_rollup": ("rel_err", "est_n"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(AUDITED_SKETCH_QUERIES))
+def test_sketch_audit_toggle(name, spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_AUDIT=off (r9 verdict #3) switches the self-certifying
+    sketch queries to their production form: the sketch estimate column
+    survives, the exact-pass audit column disappears, and the estimates
+    the two forms produce agree (same sketch, same data)."""
+    from fineventstream_spark.registry import all_queries
+
+    audit_col, est_col = AUDITED_SKETCH_QUERIES[name]
+    fn = all_queries()[name].fn
+
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
+    audited = fn(spark, sf_dir)
+    assert audit_col in audited.columns and est_col in audited.columns
+
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
+    prod = fn(spark, sf_dir)
+    assert audit_col not in prod.columns, "audit column survived AUDIT=off"
+    assert est_col in prod.columns
+    # the estimates must agree between the two forms — same sketch over the
+    # same data, but KLL/Theta merges are partition-order nondeterministic,
+    # so compare within the sketches' own error class (5% relative), not
+    # bit-exactly
+    a = sorted(float(r[est_col]) for r in audited.select(est_col).collect())
+    p = sorted(float(r[est_col]) for r in prod.select(est_col).collect())
+    assert len(a) == len(p), f"{name}: row count diverged"
+    for x, y in zip(a, p):
+        assert abs(x - y) <= 0.05 * max(abs(x), abs(y), 1.0), (
+            f"{name}: production estimate {y} diverges from audited {x}"
+        )
