@@ -37,69 +37,70 @@ REGISTRY: dict[str, Query] = {}
 # The external driver hash-checks the registry in iteration order and (as
 # observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-8 rotation: behavior-changed queries first (q_join_broadcast
-# co-located-projection rewrite, Q5 size-selected customer join,
-# pack_sequences kernel pass), then the least-recently-verified set from
-# the CORRECTNESS_r0N history: the ENTIRE r4-last-checked remainder
-# (35 queries), then the oldest r5-checked (agg core) until the window
-# fills. After this round every declared query's last hard check is r5+.
-# The list is duplicate-free by construction (asserted below — the r7
+# rows. Round-9 rotation (r8 verdict #6): the r9-behavior-changed queries
+# first (Q5 rev_units-in-layout, win_share_of_total money-helper reuse),
+# then ALL 17 rows-only self-certifying queries — their audit VALUES are
+# the correctness signal and several were last driver-checked in r5/r6 —
+# then the entire r5-last-checked remainder and the oldest r6 set until
+# the window fills. After this round every query's last hard check is r6+.
+# The list is duplicate-free by construction (guarded below — the r7
 # advisor found 4 dead duplicate slots overstating rotation coverage).
 # Everything past the window is still covered by the local differential
 # suite at the identical compare strictness. Names not present in
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    "q_join_broadcast",
     "q_report_nation_volume",
-    "q_llm_pack_sequences",
-    "q_llm_bm25",
-    "q_agg_kll_quantile_rollup",
-    "q_agg_median_mode",
-    "q_dq_profile",
-    "q_event_concentration",
-    "q_event_correlation",
-    "q_event_funnel_windowed",
-    "q_event_ohlc_bars",
-    "q_event_similar_days",
-    "q_event_theta_overlap",
-    "q_event_twap",
-    "q_event_wow_change",
-    "q_fn_string_agg",
-    "q_join_anti",
-    "q_join_asof_forward",
-    "q_join_full",
-    "q_join_left",
-    "q_join_range",
-    "q_join_semi",
-    "q_llm_bigram_counts",
-    "q_llm_kmeans",
-    "q_llm_text_stats",
-    "q_llm_token_count",
-    "q_llm_unigram_logprob",
-    "q_report_dominant_supplier",
-    "q_report_important_stock",
-    "q_report_ship_priority_split",
-    "q_report_supplier_part_count",
-    "q_rollup_incremental",
-    "q_scan_nested",
-    "q_scan_orc",
-    "q_scan_partition_prune",
-    "q_scd2_user_segment",
-    "q_snapshot_diff",
-    "q_source_datasource_quotes",
     "q_win_share_of_total",
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
-    "q_agg_collect",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_groupby_basic",
-    "q_agg_having",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_agg_salted",
+    "q_agg_approx_topk_rollup",
+    "q_agg_kll_quantile_rollup",
+    "q_agg_sketch_rollup",
+    "q_event_theta_overlap",
+    "q_llm_dedup_embedding",
+    "q_llm_dedup_near",
+    "q_llm_dedup_ngram_jaccard",
+    "q_llm_dedup_simhash",
+    "q_llm_fingerprint",
+    "q_llm_kmeans",
+    "q_llm_knn_ivf",
+    "q_llm_near_dedup_pipeline",
+    "q_mm_features",
+    "q_mm_frame_sample",
+    "q_repartition_sorted",
     "q_agg_stats",
+    "q_array_explode",
+    "q_array_hof",
+    "q_base64_roundtrip",
+    "q_case_when",
+    "q_date_arith",
+    "q_date_extract",
+    "q_date_trunc_format",
+    "q_event_vwap",
+    "q_hash_stable",
+    "q_join_asof",
+    "q_join_cross",
+    "q_json_extract",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_exact",
+    "q_llm_knn_cosine",
+    "q_llm_lang_id",
+    "q_llm_quality_score",
+    "q_llm_substring_dedup",
+    "q_llm_train_split",
+    "q_map_ops",
+    "q_math_basic",
+    "q_string_basic",
+    "q_string_regexp",
+    "q_try_cast",
+    "q_udaf_grouped",
+    "q_udf_scalar",
+    "q_udtf_chunk",
+    "q_coalesce_default",
+    "q_cte",
+    "q_dedup_highwater",
+    "q_derive_epoch_ts",
+    "q_distinct",
 )
 # Explicit raise, not `assert` (r8 advisor): asserts are stripped under
 # `python -O`, which would silently re-allow the dead-rotation-slot bug.
