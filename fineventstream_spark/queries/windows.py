@@ -156,8 +156,8 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_pct_rank",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist()    OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
     """,
@@ -167,14 +167,24 @@ def q_win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-position window functions (percent_rank / cume_dist) over
     a keyed, totally-ordered window — per-user value percentiles without
     any global sort; each user's partition ranks independently across
-    reducers."""
+    reducers.
+
+    Deliberately NOT pre-rounded (r9, found by the zipf skew
+    differential): (rank-1)/(n-1) is the identical IEEE double on both
+    engines, but when it lands exactly on a 6-dp half boundary (possible
+    whenever a partition size makes the ratio terminate at 7 decimals —
+    the skewed fixture's spread of partition sizes hits several), Spark's
+    ROUND (shortest-decimal-string, HALF_UP) and DuckDB's (binary value)
+    disagree by 1 ulp. The differential/driver normalizer rounds BOTH
+    sides with one rounding function, so emitting the raw double is the
+    deterministic form."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
     return t.events.select(
         "event_id",
         "user_id",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
