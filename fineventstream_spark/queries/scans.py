@@ -559,6 +559,20 @@ def q_source_datasource_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_prejoin_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build the Q5 pre-join projection (must stay in lockstep with
+    q_report_nation_volume's bucketed_table call in queries/reports.py)."""
+    from fineventstream_spark.operators.bucketed import ensure_bucketed
+    from fineventstream_spark.queries._money import REV_UNITS_SQL
+
+    return ensure_bucketed(
+        spark, sf_dir, "lineitem",
+        columns=("l_orderkey", "s_nationkey"),
+        derived={"rev_units": REV_UNITS_SQL},
+        prejoin=("supplier", "l_suppkey", "s_suppkey", ("s_nationkey",)),
+    )
+
+
 def prewarm_derivatives(spark: SparkSession, sf_dir: str) -> None:
     """Materialize every ``.cache/`` derivative for ``sf_dir`` up front.
 
@@ -601,6 +615,9 @@ def prewarm_derivatives(spark: SparkSession, sf_dir: str) -> None:
                 key="l_partkey", columns=("l_partkey", "l_quantity"),
             ),
         ],
+        # the r9 Q5 pre-join projection: supplier nationkey + exact-money
+        # rev_units materialized in lineitem's orderkey bucket order
+        "q5_prejoin_layout": lambda: _q5_prejoin_layout(spark, sf_dir),
         "sink": lambda: REGISTRY["q_sink_partitioned_write"].fn(spark, sf_dir),
         "orders_csv": lambda: REGISTRY["q_scan_csv"].fn(spark, sf_dir),
         "lineitem_orc": lambda: REGISTRY["q_scan_orc"].fn(spark, sf_dir),
