@@ -195,7 +195,11 @@ def test_fuzz_join_case(case_id, spark_two_tables, duck, sf_dir):
 
 @pytest.mark.parametrize("case_id", range(15))
 def test_fuzz_window_case(case_id, spark_two_tables, duck, sf_dir):
-    _run_case(spark_two_tables, duck, _gen_window_case(random.Random(44_000 + case_id)))
+    # _SEED_OFFSET included since r9: scale promotions of the window
+    # family exercise NEW cases (r8 verdict ask #8)
+    _run_case(
+        spark_two_tables, duck, _gen_window_case(random.Random(_SEED_OFFSET + 44_000 + case_id))
+    )
 
 
 @pytest.mark.parametrize("case_id", range(10))
@@ -762,4 +766,59 @@ def test_fuzz_hash_bridge_case(case_id, spark_two_tables, duck, sf_dir):
         spark_two_tables,
         duck,
         *_gen_hash_bridge_case(random.Random(_SEED_OFFSET + 97_000 + case_id)),
+    )
+
+
+@pytest.mark.parametrize("case_id", range(6))
+def test_fuzz_rolling_equivalence_case(case_id, spark_events, sf_dir):
+    """Fresh-seed equivalence fuzz of the size-selected rolling family
+    (r8 verdict ask #8): random trailing-frame (chunked_rolling) and
+    running-prefix (with_distributed_prefix) specs over events, the
+    DISTRIBUTED form (threshold 0) vs the SERIAL per-key window
+    (threshold huge) on identical input. The compare is ENGINE-SIDE
+    (row counts + one-sided exceptAll) so the check scales to sf30,
+    where the distributed paths engage naturally; values are exact
+    integer cents, so equality is bit-level, not tolerance-based."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import load_table
+    from fineventstream_spark.operators.rolling import (
+        chunked_rolling,
+        with_distributed_prefix,
+    )
+
+    rng = random.Random(_SEED_OFFSET + 61_000 + case_id)
+    spark = spark_events
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    order_cols = ["ts", "event_id"]  # unique total order within a user
+    if rng.random() < 0.5:
+        frame = rng.choice([2, 3, 5, 8, 13])
+        chunk = rng.choice([64, 256, 1024])
+        kind = rng.choice(["sum", "max", "min"])
+        aggs = {"out": {"sum": F.sum, "max": F.max, "min": F.min}[kind]("cents")}
+
+        def run(threshold):
+            return chunked_rolling(
+                ev, ["user_id"], order_cols, frame, aggs,
+                chunk_rows=chunk, serial_below_bytes=threshold,
+            )
+    else:
+        kind = rng.choice(["sum", "max", "min"])
+
+        def run(threshold):
+            return with_distributed_prefix(
+                ev, ["user_id"], order_cols, {"out": (kind, "cents")},
+                serial_below_bytes=threshold,
+            )
+
+    serial = run(1 << 60)
+    dist = run(0)
+    n_serial, n_dist = serial.count(), dist.count()
+    assert n_serial == n_dist, f"row counts diverge: {n_serial} vs {n_dist}"
+    # counts equal + one-sided multiset difference empty ⇒ multisets equal
+    assert dist.exceptAll(serial).count() == 0, (
+        f"case {case_id}: distributed {kind} diverges from serial window"
     )
