@@ -197,6 +197,11 @@ def main() -> None:
         # reps agree within 30% — a recorded time then has two concordant
         # witnesses — capped at 4 reps.
         runs = []
+        # snapshot BEFORE the query: unpersist from the previous query's
+        # clearCache is async, so a leftover entry must not flag THIS
+        # query as persist-bearing (observed: order-dependent false
+        # positive on q_agg_stats in the r9 two-seed sf30 sweeps)
+        rdds_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
         try:
             while True:
                 t0 = time.perf_counter()
@@ -219,12 +224,11 @@ def main() -> None:
         # intermediate, later reps read the cache and min-of-reps reports
         # WARM steady-state while every other query pays per-rep cost. The
         # honest headline number for those queries is the first (cold) rep.
-        # Detection is mechanical — any RDD left persisted by this query's
-        # reps (cache hygiene below clears between queries, so leftovers
-        # are this query's own).
-        is_persist_bearing = (
-            spark.sparkContext._jsc.sc().getPersistentRDDs().size() > 0
-        )
+        # Detection is mechanical — any NEW RDD persisted since the
+        # pre-query snapshot (a plain emptiness check misfires when the
+        # previous query's async unpersist hasn't completed).
+        rdds_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        is_persist_bearing = bool(rdds_after - rdds_before)
         if is_persist_bearing:
             persist_bearing.append(name)
             total += cold_timings[name]
