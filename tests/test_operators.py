@@ -1752,7 +1752,7 @@ def test_bucketed_derived_column_materialization(spark, sf_dir):
 def test_bucketed_derived_requires_projection(spark, sf_dir):
     from fineventstream_spark.operators.bucketed import ensure_bucketed
 
-    with pytest.raises(ValueError, match="explicit projection"):
+    with pytest.raises(ValueError, match="explicit column set"):
         ensure_bucketed(spark, sf_dir, "lineitem", derived={"x": "l_quantity"})
     with pytest.raises(ValueError, match="collide"):
         ensure_bucketed(
