@@ -1801,3 +1801,50 @@ def test_sketch_audit_toggle(name, spark, sf_dir, monkeypatch):
         assert abs(x - y) <= 0.05 * max(abs(x), abs(y), 1.0), (
             f"{name}: production estimate {y} diverges from audited {x}"
         )
+
+
+def test_bucketed_layout_self_reports_skew(spark, tmp_path):
+    """r9: a bucketed layout whose hot key concentrates in one bucket must
+    self-report at write time (warning + bucket_skew_ratio) — a co-located
+    SMJ on it serializes the hot bucket into one task AQE cannot split.
+    Uniform keys must stay silent."""
+    import warnings as _w
+
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators.bucketed import (
+        SKEW_RATIO_THRESHOLD,
+        _warn_if_skew_degenerate,
+        bucket_skew_ratio,
+    )
+
+    def build(df, sub):
+        p = str(tmp_path / sub)
+        df.repartition(8, "k").write.mode("overwrite").bucketBy(8, "k").sortBy("k").option(
+            "path", p
+        ).saveAsTable(f"t_skew_{sub}")
+        return p
+
+    uniform = build(
+        spark.range(80_000).select((F.col("id") % 797).alias("k"), F.col("id").alias("v")),
+        "uni",
+    )
+    # one key holds ~90% of rows → its bucket file dwarfs the median
+    skewed = build(
+        spark.range(80_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 797).alias("k"),
+            F.col("id").alias("v"),
+        ),
+        "hot",
+    )
+    assert bucket_skew_ratio(uniform) < SKEW_RATIO_THRESHOLD
+    assert bucket_skew_ratio(skewed) >= SKEW_RATIO_THRESHOLD
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        _warn_if_skew_degenerate(uniform, "t", "k")
+        assert not rec, "uniform layout must not warn"
+        _warn_if_skew_degenerate(skewed, "t", "k")
+        assert rec and "skew-degenerate" in str(rec[-1].message)
+    spark.sql("DROP TABLE IF EXISTS t_skew_uni")
+    spark.sql("DROP TABLE IF EXISTS t_skew_hot")
