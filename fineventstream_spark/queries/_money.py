@@ -31,6 +31,10 @@ REV_UNITS_SQL = (
     " * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
 )
 CHARGE_UNITS_SQL = REV_UNITS_SQL + " * CAST(ROUND((1 + l_tax) * 100) AS BIGINT)"
+DISC_REV_UNITS_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(ROUND(l_discount * 100) AS BIGINT)"
+)
 
 
 def cents(col: str) -> Column:
@@ -41,6 +45,11 @@ def cents(col: str) -> Column:
 def rev_units(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
     """price × (1 − disc) in exact 1e-4 integer units."""
     return cents(price) * F.round((1 - F.col(disc)) * 100).cast("long")
+
+
+def disc_rev_units(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """price × disc (the TPC-H Q6 'revenue change') in exact 1e-4 units."""
+    return cents(price) * F.round(F.col(disc) * 100).cast("long")
 
 
 def charge_units(

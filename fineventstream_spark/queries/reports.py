@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 from fineventstream_spark.catalog import Tables
 from fineventstream_spark.operators.bucketed import bucketed_table
 from fineventstream_spark.operators.sizing import broadcast_else_shuffle_hash
-from fineventstream_spark.queries._money import REV_UNITS_SQL, rev_units, sum_money
+from fineventstream_spark.queries._money import (
+    DISC_REV_UNITS_SQL,
+    REV_UNITS_SQL,
+    disc_rev_units,
+    rev_units,
+    sum_money,
+)
 from fineventstream_spark.registry import register
 
 
@@ -154,9 +160,9 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_report_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(SUM({REV_UNITS_SQL}) / 10000.0, 4) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -174,7 +180,13 @@ def q_report_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; one aggregate shuffle on custkey; the final top-20 is
     TakeOrderedAndProject (heap per partition + driver merge of 20-row
     heads — no global sort at any SF). c_custkey tiebreak keeps the
-    limit deterministic."""
+    limit deterministic.
+
+    Exact 1e-4 integer units (r9, zipf skew differential): a per-CUSTOMER
+    group is unbounded under orderkey skew (the hot order's customer
+    carries millions of returned lines) — the float sum diverged past the
+    4-dp grid AND exact revenue is what keeps the top-20 CUTOFF itself
+    deterministic across engines."""
     t = Tables(spark, sf_dir)
     returned = t.lineitem.filter(F.col("l_returnflag") == "A")
     return (
@@ -182,9 +194,7 @@ def q_report_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(returned, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            sum_money(rev_units("l_extendedprice", "l_discount"), 4).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -297,8 +307,8 @@ def q_report_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_report_forecast_revenue",
-    oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    oracle=f"""
+    SELECT ROUND(SUM({DISC_REV_UNITS_SQL}) / 10000.0, 4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -313,7 +323,11 @@ def q_report_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive column (`PushedFilters` carries all four bounds), so row
     groups whose min/max statistics miss the range are skipped without
     decoding — the query is I/O-metadata-bound at scale, exactly what a
-    100 TB needle-sum should be."""
+    100 TB needle-sum should be.
+
+    Exact 1e-4 integer units (r9, zipf skew differential): the global
+    float sum's summation-order noise crossed the 4-dp grid once the
+    skewed fixture changed which rows the filter keeps."""
     t = Tables(spark, sf_dir)
     return (
         t.lineitem.filter(
@@ -322,11 +336,7 @@ def q_report_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(sum_money(disc_rev_units(), 4).alias("revenue"))
     )
 
 
