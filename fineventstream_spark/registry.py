@@ -50,6 +50,10 @@ REGISTRY: dict[str, Query] = {}
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_report_nation_volume",
+    "q_join_inner",
+    "q_win_pct_rank",
+    "q_report_forecast_revenue",
+    "q_report_returned_items",
     "q_win_share_of_total",
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
