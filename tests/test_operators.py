@@ -1848,3 +1848,50 @@ def test_bucketed_layout_self_reports_skew(spark, tmp_path):
         assert rec and "skew-degenerate" in str(rec[-1].message)
     spark.sql("DROP TABLE IF EXISTS t_skew_uni")
     spark.sql("DROP TABLE IF EXISTS t_skew_hot")
+
+
+def test_prejoin_layout_regenerates_on_dim_change(spark, tmp_path):
+    """r9: a pre-join projection denormalizes DIM data into the fact
+    layout, so a changed dim must change the cache identity (new
+    fingerprint → new derivative), never serve stale denormalized rows.
+    The dim's data_fingerprint is folded into the layout fingerprint."""
+    import shutil
+
+    from fineventstream_spark.operators.bucketed import ensure_bucketed
+    from fineventstream_spark.queries._money import REV_UNITS_SQL
+
+    sf = str(tmp_path / "sfx")
+    shutil.copytree("/root/testdata/sf0.001", sf)
+
+    def build():
+        return ensure_bucketed(
+            spark, sf, "lineitem",
+            columns=("l_orderkey", "s_nationkey"),
+            derived={"rev_units": REV_UNITS_SQL},
+            prejoin=("supplier", "l_suppkey", "s_suppkey", ("s_nationkey",)),
+        )
+
+    name1 = build()
+    v1 = {r["s_nationkey"] for r in spark.table(name1).select("s_nationkey").distinct().collect()}
+
+    # change the DIM only: every supplier moves to nation 99
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    from pyspark.sql import functions as F
+
+    changed = supp.withColumn("s_nationkey", F.lit(99).cast(supp.schema["s_nationkey"].dataType))
+    tmp_out = str(tmp_path / "supp_new.parquet")
+    changed.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    import os as _os
+
+    target = f"{sf}/supplier.parquet"
+    if _os.path.isdir(target):
+        shutil.rmtree(target)
+    else:
+        _os.remove(target)
+    shutil.copytree(tmp_out, target)
+
+    name2 = build()
+    assert name2 != name1, "dim change did not change the layout identity"
+    v2 = {r["s_nationkey"] for r in spark.table(name2).select("s_nationkey").distinct().collect()}
+    assert v2 == {99}, f"stale denormalized dim values served: {sorted(v2)[:5]}"
+    assert v1 != v2
