@@ -285,22 +285,27 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_asof",
     oracle="""
-    SELECT p.event_id, p.user_id, p.value,
-           (SELECT c.value
-            FROM events c
-            WHERE c.user_id = p.user_id
-              AND c.event_type = 'click'
-              AND c.ts <= p.ts
-            ORDER BY c.ts DESC, c.event_id DESC
-            LIMIT 1) AS click_value_asof
-    FROM events p
-    WHERE p.event_type = 'purchase'
+    WITH c AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.value, c.click_value AS click_value_asof
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     tags=("J7",),
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the latest click value at-or-before it per user
-    (the quotes↔news pattern). Union+window formulation — one shuffle, no explosion."""
+    (the quotes↔news pattern). Union+window formulation — one shuffle, no explosion.
+
+    Oracle form (r9): DuckDB native ASOF over a tie-deduplicated right
+    side — ``arg_max(value, event_id)`` per (user, ts) is exactly the
+    operator's ``ORDER BY ts DESC, event_id DESC`` tie rule. The previous
+    correlated-scalar-subquery oracle was quadratic per hot key: on the
+    zipf fixture's 18%-hot user it OOM-killed the whole differential run
+    (same oracle-form blowup class as Q21's double-EXISTS)."""
     t = Tables(spark, sf_dir)
     purchases = t.events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
@@ -324,17 +329,16 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_asof_tolerance",
     oracle="""
+    WITH c AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
     SELECT p.event_id, p.user_id, p.value,
-           (SELECT c.value
-            FROM events c
-            WHERE c.user_id = p.user_id
-              AND c.event_type = 'click'
-              AND c.ts <= p.ts
-              AND c.ts >= p.ts - INTERVAL 1 DAY
-            ORDER BY c.ts DESC, c.event_id DESC
-            LIMIT 1) AS click_value_asof
-    FROM events p
-    WHERE p.event_type = 'purchase'
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY THEN c.click_value END
+             AS click_value_asof
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     tags=("J7",),
 )
