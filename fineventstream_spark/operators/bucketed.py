@@ -44,6 +44,24 @@ _CACHE_ROOT = os.path.join(
 # the bucket keys the engine's headline queries co-locate on
 BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 
+
+def q5_prejoin_spec() -> dict:
+    """The ONE definition of Q5's pre-join projection layout (r10 — the r9
+    verdict flagged the spec duplicated between queries/reports.py and the
+    prewarm builder in queries/scans.py with a "lockstep" comment; both now
+    splat this). lineitem in orderkey bucket order carrying supplier's
+    nationkey (denormalized at layout time) and the exact-money rev_units
+    product (materialized at layout time); rationale + measured
+    alternatives in queries/reports.py::q_report_nation_volume."""
+    from fineventstream_spark.queries._money import REV_UNITS_SQL
+
+    return dict(
+        table="lineitem",
+        columns=("l_orderkey", "s_nationkey"),
+        derived={"rev_units": REV_UNITS_SQL},
+        prejoin=("supplier", "l_suppkey", "s_suppkey", ("s_nationkey",)),
+    )
+
 # Spark bucketed writes encode the bucket id in the file name:
 # part-<task>-<uuid>_<bucketId>.c000.snappy.parquet
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d{3}")
@@ -170,47 +188,192 @@ def _assert_one_file_per_bucket(path: str, table: str) -> None:
 # A hot join key concentrates in ONE bucket, and a bucketed SMJ cannot be
 # split by AQE (no shuffle to re-plan) — the zipf skew evidence measured
 # the zero-exchange layout 1.3× SLOWER than shuffle+AQE-split on a key
-# holding 18% of the fact. The layout itself knows: bucket FILE SIZES are
-# on disk at write time. max/median above this ratio marks the layout
-# skew-degenerate.
+# holding 18% of the fact. The layout itself knows: bucket files are on
+# disk at write time. max/median ROW COUNT above this ratio marks the
+# layout skew-degenerate, and bucketed_table() then auto-routes to the
+# plain shuffle path where OptimizeSkewedJoin can split the hot partition
+# (r10; previously this was only a warning). Override per session via the
+# conf key; <= 0 disables routing entirely (always read the layout).
 SKEW_RATIO_THRESHOLD = 4.0
+SKEW_ROUTE_CONF_KEY = "spark.fineventstream.bucketSkewRatioThreshold"
+
+_SKEW_SIDECAR = "_skew.json"
+_SKEW_REGISTRY = "_skew_registry.json"
+
+# Layouts that exist to zero-exchange-join EACH OTHER. AQE's skew split
+# only applies when BOTH join children are shuffle stages, so if any
+# member of a group is skew-degenerate the whole group must route to the
+# plain path — a half-routed join (one bucketed scan, one shuffle) keeps
+# the unsplittable hot partition AND pays a shuffle.
+_COLOCATED: dict[tuple[str, str], tuple[tuple[str, str], ...]] = {
+    ("lineitem", "l_orderkey"): (("orders", "o_orderkey"),),
+    ("orders", "o_orderkey"): (("lineitem", "l_orderkey"),),
+    ("lineitem", "l_partkey"): (("part", "p_partkey"),),
+    ("part", "p_partkey"): (("lineitem", "l_partkey"),),
+}
 
 
 def bucket_skew_ratio(path: str) -> float:
-    """max/median data-file size across buckets of a bucketed derivative —
+    """max/median ROW COUNT across buckets of a bucketed derivative —
     1.0 is perfectly even; large values mean a hot key serialized into one
-    bucket (its SMJ task becomes the straggler AQE cannot split)."""
+    bucket (its SMJ task becomes the straggler AQE cannot split).
+
+    Row counts come from the parquet FOOTERS (metadata-only reads, no data
+    pages). File sizes were the r9 basis and understate true skew: a hot
+    key's bucket is highly RLE/dictionary-compressible on the key column,
+    so a skew-degenerate layout could pass the byte-ratio threshold
+    (r9 advisor)."""
     import statistics
 
-    sizes = sorted(
-        os.path.getsize(os.path.join(path, f))
+    import pyarrow.parquet as pq
+
+    rows = sorted(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
         for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
-    if not sizes:
+    if not rows:
         return 1.0
-    return sizes[-1] / max(statistics.median(sizes), 1.0)
+    return rows[-1] / max(statistics.median(rows), 1.0)
 
 
-def _warn_if_skew_degenerate(path: str, table: str, key: str) -> None:
-    """Write-time skew self-report: warn (once per materialization) when
-    the layout's hot bucket passes SKEW_RATIO_THRESHOLD — the operator
-    signal to route that key's joins through the shuffle+AQE path, where
-    OptimizeSkewedJoin can split the hot partition (plan-asserted at
-    production thresholds in scripts/skew_evidence.py)."""
-    ratio = bucket_skew_ratio(path)
+def _registry_path(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_CACHE_ROOT, sf, _SKEW_REGISTRY)
+
+
+def _record_skew(sf_dir: str, table: str, key: str, ratio: float) -> None:
+    """Persist the layout's skew ratio twice: a sidecar in the layout dir
+    (so a re-registering session never re-lists footers) and a per-sf
+    registry keyed by ``table:key`` (so ROUTING can consult the colocated
+    partner's ratio without knowing its projection spec). Entries carry the
+    source data fingerprint — a regenerated fixture invalidates them.
+    Atomic replace; single-writer per ``.cache/<sf>`` as documented on
+    :func:`_prune_stale`."""
+    import json
+
+    from fineventstream_spark.catalog import data_fingerprint
+
+    reg_path = _registry_path(sf_dir)
+    os.makedirs(os.path.dirname(reg_path), exist_ok=True)
+    reg: dict[str, dict] = {}
+    try:
+        with open(reg_path) as fh:
+            reg = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    reg[f"{table}:{key}"] = {
+        "bucket_skew_ratio": ratio,
+        "basis": "rows",
+        "data_fp": data_fingerprint(sf_dir, table),
+    }
+    tmp = reg_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(reg, fh, indent=1, sort_keys=True)
+    os.replace(tmp, reg_path)
+
+
+def _registry_ratio(sf_dir: str, table: str, key: str) -> float | None:
+    """The recorded skew ratio for ``table`` bucketed by ``key``, or None
+    when unknown / recorded against superseded source data."""
+    import json
+
+    from fineventstream_spark.catalog import data_fingerprint
+
+    try:
+        with open(_registry_path(sf_dir)) as fh:
+            entry = json.load(fh).get(f"{table}:{key}")
+    except (OSError, ValueError):
+        return None
+    if not entry or entry.get("data_fp") != data_fingerprint(sf_dir, table):
+        return None
+    return float(entry["bucket_skew_ratio"])
+
+
+def layout_group_skew_ratio(sf_dir: str, table: str, key: str) -> float:
+    """Worst recorded skew ratio across (table, key) AND its co-location
+    partners — the routing signal. Unknown members contribute nothing
+    (their layouts haven't materialized; the requesting layout's own entry
+    is always fresh because ensure_bucketed just recorded it)."""
+    members = {(table, key), *_COLOCATED.get((table, key), ())}
+    ratios = [
+        r for t, k in members if (r := _registry_ratio(sf_dir, t, k)) is not None
+    ]
+    return max(ratios, default=1.0)
+
+
+def _skew_route_threshold(spark: SparkSession) -> float:
+    return float(spark.conf.get(SKEW_ROUTE_CONF_KEY, str(SKEW_RATIO_THRESHOLD)))
+
+
+def _measure_and_record_skew(path: str, sf_dir: str, table: str, key: str) -> None:
+    """Compute (or reuse) the layout's skew ratio, persist sidecar +
+    registry, and warn when degenerate. Called on every ensure path so a
+    layout materialized by an older code version still gets a registry
+    entry the router can read."""
+    import json
+
+    sidecar = os.path.join(path, _SKEW_SIDECAR)
+    ratio: float | None = None
+    try:
+        with open(sidecar) as fh:
+            ratio = float(json.load(fh)["bucket_skew_ratio"])
+    except (OSError, ValueError, KeyError):
+        pass
+    if ratio is None:
+        ratio = bucket_skew_ratio(path)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"bucket_skew_ratio": ratio, "basis": "rows"}, fh)
+        os.replace(tmp, sidecar)
+    _record_skew(sf_dir, table, key, ratio)
     if ratio >= SKEW_RATIO_THRESHOLD:
         import warnings
 
         warnings.warn(
             f"bucketed layout {table} by {key!r} is skew-degenerate: hot "
-            f"bucket is {ratio:.1f}x the median (threshold "
+            f"bucket holds {ratio:.1f}x the median rows (threshold "
             f"{SKEW_RATIO_THRESHOLD}). A co-located SMJ serializes that "
             "bucket into one unsplittable task; measured 1.3x slower than "
-            "shuffle+AQE skew split at 18%-hot-key zipf. Prefer the plain "
-            "shuffle join for queries dominated by the hot key.",
+            "shuffle+AQE skew split at 18%-hot-key zipf. bucketed_table() "
+            "auto-routes this key's joins to the plain shuffle path.",
             stacklevel=3,
         )
+
+
+def _projected(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    columns: tuple[str, ...] | None,
+    derived: dict[str, str] | None,
+    prejoin: tuple[str, str, str, tuple[str, ...]] | None,
+) -> DataFrame:
+    """The logical content of one layout spec, built from the PLAIN source
+    tables: projection, materialized ``derived`` expressions, and the
+    ``prejoin`` dim join. Shared by the layout writer (which persists this
+    DataFrame bucketed) and the skew-route fallback (which evaluates it at
+    query time, schema-identically, so routed callers never see a different
+    shape)."""
+    if (derived or prejoin) and not columns:
+        raise ValueError("derived/prejoin projections require an explicit column set")
+    df = load_table(spark, sf_dir, table)
+    if prejoin:
+        dt, fk, dk, dcols = prejoin
+        dim = load_table(spark, sf_dir, dt).select(dk, *dcols)
+        df = df.join(F.broadcast(dim), F.col(fk) == F.col(dk)).drop(dk)
+    if columns:
+        if key not in columns:
+            raise ValueError(f"projection columns {columns} must include key {key!r}")
+        sel = [F.col(c) for c in columns]
+        if derived:
+            overlap = set(derived) & set(columns)
+            if overlap:
+                raise ValueError(f"derived names {sorted(overlap)} collide with columns")
+            sel += [F.expr(sql).alias(name) for name, sql in sorted(derived.items())]
+        df = df.select(*sel)
+    return df
 
 
 def ensure_bucketed(
@@ -260,23 +423,7 @@ def ensure_bucketed(
     inner on the same key).
     """
     key = key or BUCKET_KEYS[table]
-    df = load_table(spark, sf_dir, table)
-    if (derived or prejoin) and not columns:
-        raise ValueError("derived/prejoin projections require an explicit column set")
-    if prejoin:
-        dt, fk, dk, dcols = prejoin
-        dim = load_table(spark, sf_dir, dt).select(dk, *dcols)
-        df = df.join(F.broadcast(dim), F.col(fk) == F.col(dk)).drop(dk)
-    if columns:
-        if key not in columns:
-            raise ValueError(f"projection columns {columns} must include key {key!r}")
-        sel = [F.col(c) for c in columns]
-        if derived:
-            overlap = set(derived) & set(columns)
-            if overlap:
-                raise ValueError(f"derived names {sorted(overlap)} collide with columns")
-            sel += [F.expr(sql).alias(name) for name, sql in sorted(derived.items())]
-        df = df.select(*sel)
+    df = _projected(spark, sf_dir, table, key, columns, derived, prejoin)
     fp = source_fingerprint(df, sf_dir, table)
     if prejoin:
         # the dim's data is part of the layout's identity: a regenerated /
@@ -291,6 +438,11 @@ def ensure_bucketed(
     spec = _bucket_spec(key, columns, derived, prejoin)
     path, name = _bucketed_paths(sf_dir, table, spec, fp)
     if spark.catalog.tableExists(name):
+        if path not in _SKEW_RECORDED:
+            # a layout materialized before this process started still needs
+            # a registry entry for the router (sidecar read, no footer work)
+            _measure_and_record_skew(path, sf_dir, table, key)
+            _SKEW_RECORDED.add(path)
         return name
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # one write task per bucket → one file per bucket → sorted scan
@@ -303,7 +455,8 @@ def ensure_bucketed(
             .saveAsTable(name)
         )
         _assert_one_file_per_bucket(path, table)
-        _warn_if_skew_degenerate(path, table, key)
+        _measure_and_record_skew(path, sf_dir, table, key)
+        _SKEW_RECORDED.add(path)
         _prune_stale(path, table, spec)
         return name
     # files already on disk from an earlier session: re-register metadata —
@@ -311,6 +464,8 @@ def ensure_bucketed(
     # DDL will claim (the _SUCCESS gate alone says nothing about file/bucket
     # cardinality)
     _assert_one_file_per_bucket(path, table)
+    _measure_and_record_skew(path, sf_dir, table, key)
+    _SKEW_RECORDED.add(path)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     spark.sql(
         f"CREATE TABLE {name} ({ddl}) USING PARQUET "
@@ -318,6 +473,11 @@ def ensure_bucketed(
         f"LOCATION '{path}'"
     )
     return name
+
+
+# paths whose skew ratio is already persisted + registered this process —
+# skips the per-call sidecar/registry round-trip on the hot ensure path
+_SKEW_RECORDED: set[str] = set()
 
 
 def bucketed_table(
@@ -328,16 +488,38 @@ def bucketed_table(
     columns: tuple[str, ...] | None = None,
     derived: dict[str, str] | None = None,
     prejoin: tuple[str, str, str, tuple[str, ...]] | None = None,
+    route_skew: bool = True,
 ) -> DataFrame:
     """The bucketed derivative of ``table`` as a DataFrame (schema identical
     to :func:`load_table`, or to the projected columns plus any ``derived``
     materialized expressions / ``prejoin`` dim columns when given; scan
-    reports bucketing + per-bucket sort)."""
-    return spark.table(
-        ensure_bucketed(
-            spark, sf_dir, table, key=key, columns=columns, derived=derived, prejoin=prejoin
-        )
+    reports bucketing + per-bucket sort).
+
+    SKEW-ADAPTIVE ROUTING (r10): when the layout — or any co-location
+    partner it exists to join (``_COLOCATED``) — recorded a bucket skew
+    ratio at/above the session threshold (``SKEW_ROUTE_CONF_KEY``, default
+    ``SKEW_RATIO_THRESHOLD``; <= 0 disables), the PLAIN source scan is
+    returned instead, schema-identical (projection/derived/prejoin applied
+    at query time). Rationale, measured on the 18%-hot-key zipf fixture
+    (scripts/skew_evidence.py E1/E2): a co-located SMJ serializes the hot
+    bucket into one task AQE cannot split (no shuffle stage to re-plan) and
+    runs 1.3× slower than the shuffle join, where OptimizeSkewedJoin splits
+    the hot partition at production thresholds. The whole co-location group
+    routes together because the skew split needs BOTH join children to be
+    shuffle stages. ``route_skew=False`` forces the layout read (A/B
+    harnesses, evidence scripts)."""
+    key = key or BUCKET_KEYS[table]
+    name = ensure_bucketed(
+        spark, sf_dir, table, key=key, columns=columns, derived=derived, prejoin=prejoin
     )
+    threshold = _skew_route_threshold(spark)
+    if (
+        route_skew
+        and threshold > 0
+        and layout_group_skew_ratio(sf_dir, table, key) >= threshold
+    ):
+        return _projected(spark, sf_dir, table, key, columns, derived, prejoin)
+    return spark.table(name)
 
 
 def bucketed_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

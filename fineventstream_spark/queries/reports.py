@@ -113,12 +113,10 @@ def q_report_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the layout cache key (operators/bucketed.py), so a changed dim
     regenerates the projection like any ingest derivative."""
     t = Tables(spark, sf_dir)
-    li = bucketed_table(
-        spark, sf_dir, "lineitem",
-        columns=("l_orderkey", "s_nationkey"),
-        derived={"rev_units": REV_UNITS_SQL},
-        prejoin=("supplier", "l_suppkey", "s_suppkey", ("s_nationkey",)),
-    )
+    from fineventstream_spark.operators.bucketed import q5_prejoin_spec
+
+    spec = q5_prejoin_spec()
+    li = bucketed_table(spark, sf_dir, spec.pop("table"), **spec)
     od = bucketed_table(spark, sf_dir, "orders")
     dims = F.broadcast(
         t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)

@@ -560,17 +560,12 @@ def q_source_datasource_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q5_prejoin_layout(spark: SparkSession, sf_dir: str) -> str:
-    """Build the Q5 pre-join projection (must stay in lockstep with
-    q_report_nation_volume's bucketed_table call in queries/reports.py)."""
-    from fineventstream_spark.operators.bucketed import ensure_bucketed
-    from fineventstream_spark.queries._money import REV_UNITS_SQL
+    """Build the Q5 pre-join projection — spec owned by
+    operators/bucketed.py::q5_prejoin_spec (one definition, r10)."""
+    from fineventstream_spark.operators.bucketed import ensure_bucketed, q5_prejoin_spec
 
-    return ensure_bucketed(
-        spark, sf_dir, "lineitem",
-        columns=("l_orderkey", "s_nationkey"),
-        derived={"rev_units": REV_UNITS_SQL},
-        prejoin=("supplier", "l_suppkey", "s_suppkey", ("s_nationkey",)),
-    )
+    spec = q5_prejoin_spec()
+    return ensure_bucketed(spark, sf_dir, spec.pop("table"), **spec)
 
 
 def prewarm_derivatives(spark: SparkSession, sf_dir: str) -> None:

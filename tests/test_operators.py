@@ -1803,20 +1803,22 @@ def test_sketch_audit_toggle(name, spark, sf_dir, monkeypatch):
         )
 
 
-def test_bucketed_layout_self_reports_skew(spark, tmp_path):
-    """r9: a bucketed layout whose hot key concentrates in one bucket must
-    self-report at write time (warning + bucket_skew_ratio) — a co-located
-    SMJ on it serializes the hot bucket into one task AQE cannot split.
+def test_bucketed_layout_self_reports_skew(spark, tmp_path, monkeypatch):
+    """r9/r10: a bucketed layout whose hot key concentrates in one bucket
+    must self-report (warning + bucket_skew_ratio on a ROW-COUNT basis —
+    byte sizes understate skew because the hot bucket RLE-compresses its
+    key column, r9 advisor) and persist the ratio (sidecar + per-sf
+    registry) so bucketed_table can route away from the degenerate layout.
     Uniform keys must stay silent."""
+    import os
     import warnings as _w
 
     from pyspark.sql import functions as F
 
-    from fineventstream_spark.operators.bucketed import (
-        SKEW_RATIO_THRESHOLD,
-        _warn_if_skew_degenerate,
-        bucket_skew_ratio,
-    )
+    from fineventstream_spark.operators import bucketed as B
+
+    monkeypatch.setattr(B, "_CACHE_ROOT", str(tmp_path / "cache"))
+    sfdir = str(tmp_path / "sf")
 
     def build(df, sub):
         p = str(tmp_path / sub)
@@ -1829,7 +1831,7 @@ def test_bucketed_layout_self_reports_skew(spark, tmp_path):
         spark.range(80_000).select((F.col("id") % 797).alias("k"), F.col("id").alias("v")),
         "uni",
     )
-    # one key holds ~90% of rows → its bucket file dwarfs the median
+    # one key holds ~90% of rows → its bucket row count dwarfs the median
     skewed = build(
         spark.range(80_000).select(
             F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 797).alias("k"),
@@ -1837,17 +1839,109 @@ def test_bucketed_layout_self_reports_skew(spark, tmp_path):
         ),
         "hot",
     )
-    assert bucket_skew_ratio(uniform) < SKEW_RATIO_THRESHOLD
-    assert bucket_skew_ratio(skewed) >= SKEW_RATIO_THRESHOLD
+    assert B.bucket_skew_ratio(uniform) < B.SKEW_RATIO_THRESHOLD
+    assert B.bucket_skew_ratio(skewed) >= B.SKEW_RATIO_THRESHOLD
 
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        _warn_if_skew_degenerate(uniform, "t", "k")
+        B._measure_and_record_skew(uniform, sfdir, "t_uni", "k")
         assert not rec, "uniform layout must not warn"
-        _warn_if_skew_degenerate(skewed, "t", "k")
+        B._measure_and_record_skew(skewed, sfdir, "t_hot", "k")
         assert rec and "skew-degenerate" in str(rec[-1].message)
+
+    # persisted on both planes: sidecar in the layout dir + the per-sf
+    # registry the router consults (validated against the source data_fp)
+    assert os.path.exists(os.path.join(skewed, B._SKEW_SIDECAR))
+    assert B._registry_ratio(sfdir, "t_hot", "k") >= B.SKEW_RATIO_THRESHOLD
+    assert B._registry_ratio(sfdir, "t_uni", "k") < B.SKEW_RATIO_THRESHOLD
+    assert B._registry_ratio(sfdir, "t_absent", "k") is None
     spark.sql("DROP TABLE IF EXISTS t_skew_uni")
     spark.sql("DROP TABLE IF EXISTS t_skew_hot")
+
+
+def _skewed_sf_fixture(tmp_path) -> str:
+    """A copy of sf0.001 whose lineitem has one orderkey holding ~35% of
+    rows (rewritten via pyarrow; mtime change → new data fingerprint →
+    fresh layouts)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sfskew")
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    li = pq.read_table(f"{sf}/lineitem.parquet")
+    keys = np.array(li.column("l_orderkey").to_pylist(), dtype=np.int64)
+    hot = int(keys[0])
+    keys[: len(keys) // 3] = hot  # ~1/3 of the fact on one key
+    li = li.set_column(
+        li.schema.get_field_index("l_orderkey"), "l_orderkey", pa.array(keys, pa.int64())
+    )
+    pq.write_table(li, f"{sf}/lineitem.parquet")
+    return sf
+
+
+def test_bucketed_table_routes_skew_degenerate_layout(spark, tmp_path):
+    """r10 (the r9 verdict's lead ask): the write-time skew self-report
+    must be a ROUTING DECISION, not a warning. On a skew-degenerate
+    orderkey, bucketed_table returns the plain scan — the join plans with
+    shuffle exchanges AQE can split — and the whole co-location group
+    (orders too, even though orders itself is uniform: AQE's skew split
+    needs BOTH children to be shuffle stages) routes together. On uniform
+    data the zero-exchange bucketed SMJ is unchanged. route_skew=False
+    forces the layout read either way."""
+    import warnings as _w
+
+    from fineventstream_spark.operators.bucketed import bucketed_table
+
+    sf = _skewed_sf_fixture(tmp_path)
+
+    def join_plan(route_skew: bool) -> str:
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")  # the layout build self-reports, expected
+            li = bucketed_table(spark, sf, "lineitem", route_skew=route_skew)
+            od = bucketed_table(spark, sf, "orders", route_skew=route_skew)
+        j = li.join(od.hint("merge"), li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    routed = join_plan(route_skew=True)
+    assert "Exchange" in routed, "skew-degenerate layout must route to shuffle"
+    forced = join_plan(route_skew=False)
+    assert "Exchange" not in forced, "route_skew=False must force the co-located SMJ"
+
+    # uniform fixture: routing leaves the zero-exchange plan alone
+    li = bucketed_table(spark, "/root/testdata/sf0.001", "lineitem")
+    od = bucketed_table(spark, "/root/testdata/sf0.001", "orders")
+    j = li.join(od.hint("merge"), li.l_orderkey == od.o_orderkey).select(
+        "l_orderkey", "o_totalprice"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "uniform layout must keep the bucketed SMJ"
+
+
+def test_skew_routed_projection_matches_layout(spark, tmp_path):
+    """The routed fallback must be SCHEMA- and VALUE-identical to the
+    layout read: projection, derived expressions, and the pre-join dim
+    columns are applied at query time instead of layout time."""
+    import warnings as _w
+
+    from fineventstream_spark.operators.bucketed import bucketed_table, q5_prejoin_spec
+
+    sf = _skewed_sf_fixture(tmp_path)
+    spec = q5_prejoin_spec()
+    table = spec.pop("table")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        routed = bucketed_table(spark, sf, table, **spec, route_skew=True)
+        layout = bucketed_table(spark, sf, table, **spec, route_skew=False)
+    assert routed.schema == layout.schema
+    cols = routed.columns
+    a = sorted(map(tuple, routed.collect()))
+    b = sorted(map(tuple, layout.collect()))
+    assert a == b, f"routed projection diverges from layout read on {cols}"
 
 
 def test_prejoin_layout_regenerates_on_dim_change(spark, tmp_path):
