@@ -205,18 +205,15 @@ def chunked_rolling(
             f"chunk_rows ({chunk_rows}) must be >= frame_rows-1 "
             f"({frame_rows - 1}): a chunk must hold a full carry-in frame"
         )
-    threshold = _serial_threshold(df.sparkSession, serial_below_bytes)
-    if threshold > 0:
-        nbytes = _scan_bytes(df)
-        if nbytes is not None and nbytes < threshold:
-            w = (
-                Window.partitionBy(*key_cols)
-                .orderBy(*order_cols)
-                .rowsBetween(-(frame_rows - 1), 0)
-            )
-            return df.select(
-                *df.columns, *[expr.over(w).alias(n) for n, expr in aggs.items()]
-            )
+    if serial_window_ok(df, key_cols, serial_below_bytes):
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(-(frame_rows - 1), 0)
+        )
+        return df.select(
+            *df.columns, *[expr.over(w).alias(n) for n, expr in aggs.items()]
+        )
     numbered = with_distributed_row_number(df, key_cols, order_cols, "__rn")
     numbered = numbered.withColumn("__chunk", (F.col("__rn") / chunk_rows).cast("long"))
 
@@ -262,6 +259,23 @@ def chunked_rolling(
 SERIAL_WINDOW_MAX_INPUT_BYTES = 64 << 20
 SERIAL_WINDOW_CONF_KEY = "spark.fineventstream.serialWindowMaxInputBytes"
 
+# The total-bytes probe cannot see a hot KEY (r9 verdict: 2.43× straggler
+# tax on a PARTITION BY user_id frame under the 18%-hot-user zipf fixture —
+# the serial path funnels the hot key through one task even when the total
+# is modest). Inputs under the serial threshold additionally probe the
+# hottest key's row share (operators/sizing.py::max_key_share — narrow,
+# memoized); when the estimated hot-PARTITION bytes (total × share) reach
+# this budget, the distributed form is selected anyway. Conf-overridable;
+# <= 0 disables the skew probe (pure total-bytes selection, the r9 rule).
+# 64 MiB is the measured crossover (BASELINE r10): an exact split cannot
+# avoid a bookkeeping barrier (one extra pass + broadcast ≈ 1-1.5 s at
+# sf10), while the straggler itself costs ~25 ms/MB of hot partition —
+# below ~64 MiB the plain window's straggler is CHEAPER than any exact
+# mitigation (measured: 27 MB hot → plain 2.23 s vs split 3.29 s; 95 MB
+# hot → split wins).
+SERIAL_WINDOW_MAX_PARTITION_BYTES = 64 << 20
+SERIAL_WINDOW_PARTITION_CONF_KEY = "spark.fineventstream.serialWindowMaxPartitionBytes"
+
 
 def _serial_threshold(spark, override: int | None) -> int:
     if override is not None:
@@ -269,6 +283,41 @@ def _serial_threshold(spark, override: int | None) -> int:
     return int(
         spark.conf.get(SERIAL_WINDOW_CONF_KEY, str(SERIAL_WINDOW_MAX_INPUT_BYTES))
     )
+
+
+def serial_window_ok(
+    df: DataFrame, key_cols: list[str], serial_below_bytes: int | None = None
+) -> bool:
+    """True when the plain per-key serial window is the right physical
+    strategy for ``df``: input knowably under the serial threshold AND no
+    single ``key_cols`` partition estimated past the per-partition budget.
+    The routing decision behind every size-selected operator in this
+    module; exposed so a query composing several of them (e.g.
+    q_win_frame_rows: chunked frame + distributed prefix) can decide ONCE
+    on its file-backed source and force both stages the same way —
+    intermediate DataFrames are not file-backed, so letting each stage
+    re-probe would mis-route the later ones to distributed at toy scale."""
+    spark = df.sparkSession
+    threshold = _serial_threshold(spark, serial_below_bytes)
+    if threshold <= 0:
+        return False
+    nbytes = _scan_bytes(df)
+    if nbytes is None or nbytes >= threshold:
+        return False
+    hot_budget = int(
+        spark.conf.get(
+            SERIAL_WINDOW_PARTITION_CONF_KEY, str(SERIAL_WINDOW_MAX_PARTITION_BYTES)
+        )
+    )
+    if hot_budget <= 0 or nbytes < hot_budget:
+        # even a 100%-hot key cannot exceed the per-partition budget
+        return True
+    from fineventstream_spark.operators.sizing import max_key_share
+
+    share = max_key_share(df, key_cols)
+    if share is None:
+        return False  # unknowable → assume skewed, the scale-safe default
+    return nbytes * share < hot_budget
 
 
 def _scan_bytes(df: DataFrame) -> int | None:
@@ -279,6 +328,354 @@ def _scan_bytes(df: DataFrame) -> int | None:
     from fineventstream_spark.operators.sizing import scan_input_bytes
 
     return scan_input_bytes(df)
+
+
+def sum_frames_by_order_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    frame_rows: int,
+    value_col: str,
+    out_cols: tuple[str, str, str] = ("__slide_sum", "__slide_cnt", "__run_sum"),
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Trailing ``frame_rows`` sum+count AND running sum of one NON-NULL
+    INTEGRAL column in a SINGLE payload window pass at keys × buckets
+    parallelism — the cheap straggler splitter behind the hot/cold window
+    router (r10).
+
+    Where :func:`chunked_rolling` + :func:`with_distributed_prefix` stack
+    three payload sorts, an explode, and two bookkeeping rounds (measured
+    13.8 s on sf10 events where the plain window is 1.35 s — fine when the
+    caller has no alternative, fatal as a skew mitigation), this operator
+    exploits the integer-sum semantics: carry-in rows never need to be
+    REPLICATED into the next chunk, because a trailing sum decomposes into
+    (local window sum) + (sum over the ≤ frame_rows-1 carried VALUES),
+    which travel as a bookkeeping ARRAY:
+
+    1. rows bucket by order-column value ranges (monotone — every earlier
+       row is in an earlier-or-equal bucket; ties share a bucket so no
+       frame ever spans a boundary between equal order values);
+    2. per-(key, bucket) bookkeeping: total of ``value_col`` + the last
+       ``frame_rows-1`` (order, value) structs — group sizes are
+       rows/buckets, so the collect stays bounded exactly because the
+       buckets split the hot key;
+    3. per-key exclusive prefix over the bookkeeping (tiny) gives each
+       bucket its running-sum offset and its carry array (last values of
+       ALL previous buckets = tail of the concatenated per-bucket tails);
+    4. ONE payload window over (key, bucket): local trailing sum/count +
+       local running sum, then rows with local row_number < frame_rows
+       top up from the broadcast carry array.
+
+    Exactness: integer sums are order-independent, so results are
+    bit-identical to the serial window (the caller owns putting the data
+    on an integer grid — see queries/_money.py). ``value_col`` must be
+    non-null; a NULL would be skipped by the window sums but poison the
+    carry-array aggregate."""
+    if frame_rows < 2:
+        raise ValueError("frame_rows must be >= 2 (a 1-row frame needs no carry)")
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tail_n = frame_rows - 1
+    bucketed = _with_order_bucket(df, order_cols[0], n_buckets)
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).alias("__v")
+    )
+    sorted_vals = F.array_sort(F.collect_list(order_struct))
+    book = bucketed.groupBy(*key_cols, "__bkt").agg(
+        F.sum(value_col).alias("__s"),
+        F.when(
+            F.size(sorted_vals) > tail_n, F.slice(sorted_vals, -tail_n, tail_n)
+        )
+        .otherwise(sorted_vals)
+        .alias("__tail"),
+    )
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_tails = F.flatten(F.collect_list("__tail").over(wb))
+    carry = F.when(
+        F.size(prev_tails) > tail_n, F.slice(prev_tails, -tail_n, tail_n)
+    ).otherwise(prev_tails)
+    offsets = book.select(
+        *key_cols,
+        "__bkt",
+        F.coalesce(F.sum("__s").over(wb), F.lit(0).cast("long")).alias("__off"),
+        carry.alias("__carry"),
+    )
+    lw = Window.partitionBy(*key_cols, "__bkt").orderBy(*order_cols)
+    rn = F.row_number().over(lw)
+    local_slide = F.sum(value_col).over(lw.rowsBetween(-tail_n, 0))
+    local_cnt = F.count(F.lit(1)).over(lw.rowsBetween(-tail_n, 0))
+    local_run = F.sum(value_col).over(lw.rowsBetween(Window.unboundedPreceding, 0))
+    needed = F.greatest(F.lit(0), F.lit(frame_rows) - rn)
+    avail = F.least(needed, F.coalesce(F.size("__carry"), F.lit(0)))
+    carried = F.when(
+        avail > 0,
+        F.aggregate(
+            F.slice("__carry", -avail, avail),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["__v"],
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    slide_sum, slide_cnt, run_sum = out_cols
+    return (
+        bucketed.join(F.broadcast(offsets), [*key_cols, "__bkt"])
+        .select(
+            *df.columns,
+            (local_slide + carried).alias(slide_sum),
+            (local_cnt + avail).cast("long").alias(slide_cnt),
+            (local_run + F.col("__off")).alias(run_sum),
+        )
+    )
+
+
+# memo: (files, plan, order col) → (lo, hi) of the finite order values as
+# Python floats — turning the bucket bounds into plan LITERALS so repeated
+# executions never re-scan for min/max (the in-plan 1-row-broadcast form of
+# _with_order_bucket re-runs its stats subtree on every execution; fine for
+# a one-shot operator, a full extra scan per rep for a routed hot path).
+_ORDER_BOUNDS_MEMO: dict[tuple, tuple[float, float] | None] = {}
+
+
+def _literal_order_bounds(df: DataFrame, order_col: str) -> tuple[float, float] | None:
+    """Eager, memoized (min, max) of the finite order values, or None when
+    the column has no numeric order or no finite values."""
+    v = _order_value_expr(df, order_col)
+    if v is None:
+        return None
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    memo_key = None
+    if files:
+        import hashlib
+
+        plan = hashlib.sha256(
+            df._jdf.queryExecution().logical().toString().encode()
+        ).hexdigest()[:16]
+        memo_key = (files, plan, order_col)
+        if memo_key in _ORDER_BOUNDS_MEMO:
+            return _ORDER_BOUNDS_MEMO[memo_key]
+    inf = float("inf")
+    finite = F.when((~F.isnan(v)) & (v > F.lit(-inf)) & (v < F.lit(inf)), v)
+    row = df.agg(F.min(finite).alias("lo"), F.max(finite).alias("hi")).first()
+    bounds = (
+        None
+        if row is None or row["lo"] is None
+        else (float(row["lo"]), float(row["hi"]))
+    )
+    if memo_key is not None:
+        _ORDER_BOUNDS_MEMO[memo_key] = bounds
+    return bounds
+
+
+def _literal_bucket_expr(
+    v: Column, lo: float, hi: float, n_buckets: int
+) -> Column:
+    """Monotone equi-width bucket of ``v`` over LITERAL bounds — same
+    pinning rules as _with_order_bucket (nulls/-inf → 0; NaN/+inf → last;
+    degenerate range → 0) with the min/max folded into the plan."""
+    inf = float("inf")
+    if not (lo < hi) or lo == -inf or hi == inf:
+        return F.lit(0).cast("int")
+    width = (hi - lo) / float(n_buckets)
+    return (
+        F.when(v.isNull() | (v == F.lit(-inf)), F.lit(0))
+        .when(F.isnan(v) | (v == F.lit(inf)), F.lit(n_buckets - 1))
+        .otherwise(
+            F.least(F.lit(n_buckets - 1), F.floor((v - F.lit(lo)) / F.lit(width)))
+        )
+        .cast("int")
+    )
+
+
+def skew_split_sum_frames(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    frame_rows: int,
+    value_col: str,
+    out_cols: tuple[str, str, str] = ("__slide_sum", "__slide_cnt", "__run_sum"),
+) -> DataFrame:
+    """Trailing sum/count + running sum of a non-null integral column,
+    with a HOT/COLD KEY SPLIT inside ONE window pass (r10, the r9
+    verdict's E4: a plain PARTITION BY window funnels a hot key through
+    one task — 2.43× tax at 18%-hot-user zipf — while distributed-window
+    machinery applied to EVERYTHING costs 10× more than the straggler it
+    removes; and a two-branch union form re-scans the fact 3×, measured
+    1.6× tax).
+
+    Routing: estimate each key's partition bytes as scan bytes × row
+    share (operators/sizing.py::hot_key_values — eager, narrow,
+    memoized). No key past the per-partition budget
+    (``SERIAL_WINDOW_PARTITION_CONF_KEY``, default 16 MiB; <= 0 disables
+    splitting) → the untouched plain window, zero overhead — the usual
+    case, since key cardinality normally exceeds cores.
+
+    With hot keys, ONE plan: every row gets ``__bkt`` = its order-value
+    equi-width bucket if its key is hot (literal bounds, memoized — no
+    per-run stats subtree), else 0; the payload shuffles and sorts ONCE on
+    (key, __bkt) — cold keys keep whole-key partitions, hot keys split
+    into ~n_buckets slices. Per-(hot key, bucket) bookkeeping (value sum +
+    last frame_rows-1 (order, value) structs; a second, hot-only scan) is
+    prefix-scanned per key (tiny) and LEFT-broadcast-joined back: cold
+    rows see no match (no carry, zero offset — their local window IS the
+    global one); hot rows top up their first frame_rows-1 rows from the
+    carry array and shift their running sum by the offset. Exactness:
+    integer sums are order-independent, so both routes are bit-identical
+    (the caller owns the integer grid — queries/_money.py); ``value_col``
+    must be non-null (a NULL would poison the carry aggregate).
+
+    Scale: at most scan_bytes/budget keys can be hot, so the hot list
+    always fits an isin literal; the bookkeeping is hot-keys × buckets
+    rows; the payload pays exactly one exchange + one sort, same as the
+    plain window."""
+    spark = df.sparkSession
+    budget = int(
+        spark.conf.get(
+            SERIAL_WINDOW_PARTITION_CONF_KEY, str(SERIAL_WINDOW_MAX_PARTITION_BYTES)
+        )
+    )
+    slide_sum, slide_cnt, run_sum = out_cols
+    tail_n = frame_rows - 1
+
+    def plain(d: DataFrame) -> DataFrame:
+        ob = Window.partitionBy(*key_cols).orderBy(*order_cols)
+        return d.select(
+            *d.columns,
+            F.sum(value_col).over(ob.rowsBetween(-tail_n, 0)).alias(slide_sum),
+            F.count(F.lit(1))
+            .over(ob.rowsBetween(-tail_n, 0))
+            .cast("long")
+            .alias(slide_cnt),
+            F.sum(value_col)
+            .over(ob.rowsBetween(Window.unboundedPreceding, 0))
+            .alias(run_sum),
+        )
+
+    hot: list[tuple] | None = None
+    bounds: tuple[float, float] | None = None
+    if budget > 0:
+        nbytes = _scan_bytes(df)
+        if nbytes is not None and nbytes >= budget:
+            from fineventstream_spark.operators.sizing import hot_key_values
+
+            hot = hot_key_values(df, key_cols, budget / nbytes)
+            if hot:
+                bounds = _literal_order_bounds(df, order_cols[0])
+    if not hot or bounds is None:
+        return plain(df)
+    if len(key_cols) == 1:
+        is_hot = F.col(key_cols[0]).isin([h[0] for h in hot])
+    else:
+        from functools import reduce as _reduce
+
+        is_hot = F.lit(False)
+        for h in hot:
+            is_hot = is_hot | _reduce(
+                lambda a, b: a & b,
+                [F.col(c) == F.lit(v) for c, v in zip(key_cols, h)],
+            )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    v = _order_value_expr(df, order_cols[0])
+    bkt = F.when(
+        is_hot, _literal_bucket_expr(v, bounds[0], bounds[1], n_buckets)
+    ).otherwise(F.lit(0).cast("int"))
+    salted = df.withColumn("__bkt", bkt)
+
+    # hot-only bookkeeping: per-(key, bucket) value total + tail structs
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).alias("__v")
+    )
+    sorted_vals = F.array_sort(F.collect_list(order_struct))
+    book = (
+        salted.filter(is_hot)
+        .groupBy(*key_cols, "__bkt")
+        .agg(
+            F.sum(value_col).alias("__s"),
+            F.when(F.size(sorted_vals) > tail_n, F.slice(sorted_vals, -tail_n, tail_n))
+            .otherwise(sorted_vals)
+            .alias("__tail"),
+        )
+    )
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_tails = F.flatten(F.collect_list("__tail").over(wb))
+    carry = F.when(
+        F.size(prev_tails) > tail_n, F.slice(prev_tails, -tail_n, tail_n)
+    ).otherwise(prev_tails)
+    # carry SCALARS, not the array: __cs{j} = sum of the last j carried
+    # values. The per-row top-up on the payload is then a codegen-able
+    # CASE over small ints — a higher-order slice/aggregate lambda there
+    # runs INTERPRETED on every fact row (measured ~1 s of pure expression
+    # overhead at 10 M rows). The lambda runs only here, on the tiny
+    # bookkeeping table.
+    offsets = book.select(
+        *key_cols,
+        "__bkt",
+        F.coalesce(F.sum("__s").over(wb), F.lit(0).cast("long")).alias("__off"),
+        carry.alias("__carry"),
+    ).select(
+        *key_cols,
+        "__bkt",
+        "__off",
+        F.size("__carry").alias("__clen"),
+        *[
+            F.when(
+                F.size("__carry") >= j,
+                F.aggregate(
+                    F.slice("__carry", -j, j),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["__v"],
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias(f"__cs{j}")
+            for j in range(1, tail_n + 1)
+        ],
+    )
+
+    lw = Window.partitionBy(*key_cols, "__bkt").orderBy(*order_cols)
+    # two-step select: window outputs FIRST, arithmetic after — reusing a
+    # window Column object inside compound expressions clones the whole
+    # window expression per use (the first cut carried 4 separate
+    # row_number evaluations into the physical Window node)
+    windowed = salted.join(F.broadcast(offsets), [*key_cols, "__bkt"], "left").select(
+        *df.columns,
+        "__clen",
+        "__off",
+        *[f"__cs{j}" for j in range(1, tail_n + 1)],
+        F.row_number().over(lw).alias("__rn"),
+        F.sum(value_col).over(lw.rowsBetween(-tail_n, 0)).alias("__ls"),
+        F.count(F.lit(1)).over(lw.rowsBetween(-tail_n, 0)).alias("__lc"),
+        F.sum(value_col)
+        .over(lw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__lr"),
+    )
+    avail = F.least(
+        F.greatest(F.lit(0), F.lit(frame_rows) - F.col("__rn")),
+        F.coalesce(F.col("__clen"), F.lit(0)),
+    ).alias("__avail")
+    windowed = windowed.withColumn("__avail", avail)
+    carried = F.lit(0).cast("long")
+    for j in range(1, tail_n + 1):
+        carried = F.when(F.col("__avail") == j, F.col(f"__cs{j}")).otherwise(carried)
+    return windowed.select(
+        *df.columns,
+        (F.col("__ls") + carried).alias(slide_sum),
+        (F.col("__lc") + F.col("__avail")).cast("long").alias(slide_cnt),
+        (F.col("__lr") + F.coalesce(F.col("__off"), F.lit(0).cast("long"))).alias(
+            run_sum
+        ),
+    )
 
 
 def with_distributed_prefix(
@@ -316,19 +713,16 @@ def with_distributed_prefix(
         if kind not in ops:
             raise ValueError(f"unsupported prefix agg {kind!r} for {name!r}")
     spark = df.sparkSession
-    threshold = _serial_threshold(spark, serial_below_bytes)
-    if threshold > 0:
-        nbytes = _scan_bytes(df)
-        if nbytes is not None and nbytes < threshold:
-            w = (
-                Window.partitionBy(*key_cols)
-                .orderBy(*order_cols)
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            out = df
-            for name, (kind, col) in prefix_aggs.items():
-                out = out.withColumn(name, ops[kind](col).over(w))
-            return out
+    if serial_window_ok(df, key_cols, serial_below_bytes):
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = df
+        for name, (kind, col) in prefix_aggs.items():
+            out = out.withColumn(name, ops[kind](col).over(w))
+        return out
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     bucketed = _with_order_bucket(df, order_cols[0], n_buckets)
@@ -396,15 +790,12 @@ def with_distributed_lag(
     in-bucket row_number, NOT coalesce, so null lagged values elsewhere
     pass through unchanged."""
     spark = df.sparkSession
-    threshold = _serial_threshold(spark, serial_below_bytes)
-    if threshold > 0:
-        nbytes = _scan_bytes(df)
-        if nbytes is not None and nbytes < threshold:
-            w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-            out = df
-            for name, src in lag_cols.items():
-                out = out.withColumn(name, F.lag(src).over(w))
-            return out
+    if serial_window_ok(df, key_cols, serial_below_bytes):
+        w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+        out = df
+        for name, src in lag_cols.items():
+            out = out.withColumn(name, F.lag(src).over(w))
+        return out
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     bucketed = _with_order_bucket(df, order_cols[0], n_buckets)

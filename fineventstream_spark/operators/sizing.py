@@ -56,6 +56,81 @@ def scan_input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+# memo: (input files, logical-plan hash, key cols) → hottest key's row share.
+# Keyed on the PLAN too, not just the files: the same files filtered two
+# different ways are different inputs, and a routing heuristic fed the wrong
+# subset's share could mis-route (still only a perf hazard, never a
+# correctness one — both window paths are value-identical).
+_KEY_SHARE_MEMO: dict[tuple, float] = {}
+
+
+def max_key_share(df: DataFrame, key_cols: list[str]) -> float | None:
+    """Fraction of ``df``'s rows held by the hottest ``key_cols`` value —
+    the per-PARTITION skew signal the total-bytes probe cannot see (r9
+    verdict: a PARTITION BY window's straggler is the hot key's partition,
+    2.43× tax measured on the 18%-hot-user zipf fixture).
+
+    This is an EAGER, narrow aggregation job (key columns only, map-side
+    partial), deliberately fenced by the callers to inputs already known
+    small (< the serial-window threshold), and memoized per
+    (files, plan, keys) so each input pays it once per process. Returns
+    None when the input is not file-backed (nothing stable to memo on —
+    callers treat unknown as "assume skewed", the scale-safe default)."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return None
+    if not files:
+        return None
+    import hashlib
+
+    plan = hashlib.sha256(
+        df._jdf.queryExecution().logical().toString().encode()
+    ).hexdigest()[:16]
+    memo_key = (files, plan, tuple(key_cols))
+    if memo_key in _KEY_SHARE_MEMO:
+        return _KEY_SHARE_MEMO[memo_key]
+    row = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
+        .first()
+    )
+    share = float(row["mx"]) / float(row["tot"]) if row and row["tot"] else 0.0
+    _KEY_SHARE_MEMO[memo_key] = share
+    return share
+
+
+def hot_key_values(
+    df: DataFrame, key_cols: list[str], min_share: float
+) -> list[tuple] | None:
+    """The ``key_cols`` values holding at least ``min_share`` of ``df``'s
+    rows, as tuples — the bounded list a hot/cold split window partitions
+    on (at most 1/min_share keys exist, so the list always broadcasts).
+    Same eager-but-memoized discipline as :func:`max_key_share`; returns
+    None for non-file-backed inputs (nothing stable to memo on)."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return None
+    if not files or min_share <= 0:
+        return None
+    import hashlib
+
+    plan = hashlib.sha256(
+        df._jdf.queryExecution().logical().toString().encode()
+    ).hexdigest()[:16]
+    memo_key = ("hot", files, plan, tuple(key_cols), round(min_share, 9))
+    if memo_key in _KEY_SHARE_MEMO:
+        return _KEY_SHARE_MEMO[memo_key]
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    total = df.count()
+    rows = counts.filter(F.col("__n") >= float(total) * min_share).collect()
+    hot = [tuple(r[c] for c in key_cols) for r in rows]
+    _KEY_SHARE_MEMO[memo_key] = hot
+    return hot
+
+
 def broadcast_else_shuffle_hash(df: DataFrame, max_bytes: int) -> DataFrame:
     """Size-selected join-side strategy for a dim that GROWS with the data:
     broadcast while the scan is knowably under ``max_bytes``, else hint

@@ -79,28 +79,62 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_frame_rows",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_sum,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
-    FROM events
+           ROUND(SUM(vc) OVER w4 / 100.0, 4) AS moving_sum,
+           ROUND(SUM(vc) OVER w4 / (100.0 * COUNT(*) OVER w4), 4) AS moving_avg,
+           ROUND(SUM(vc) OVER wrun / 100.0, 4) AS running_sum
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events)
+    WINDOW w4 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           wrun AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     tags=("W3",),
 )
 def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROWS frames: sliding 4-row sum/avg + running sum."""
+    """ROWS frames: sliding 4-row sum/avg + running sum.
+
+    r10 (straggler mitigation, the r9 verdict's E4: a plain PARTITION BY
+    user_id frame paid a 2.43× tax on the 18%-hot-user zipf fixture —
+    the hot partition is one unsplittable window task): the query routes
+    through the HOT/COLD SPLIT window
+    (operators/rolling.py::skew_split_sum_frames). user_id cardinality
+    far exceeds cores, so the plain window already parallelizes — the
+    straggler is only ever the hot key(s), and only their rows pay the
+    bucketed-split machinery; uniform inputs keep the exact r9 plan with
+    zero overhead. (The first r10 cut ran chunked_rolling +
+    with_distributed_prefix over EVERYTHING above a total-bytes
+    threshold: measured 13.8 s on uniform sf10 where the plain window is
+    1.35 s — the machinery must never be paid by the cold keys.)
+
+    Both branches are VALUE-IDENTICAL by construction: events.value is an
+    exact 2-dp grid (TESTDATA), so sums run over integer cents (the r9
+    integer-units rule — a per-user running float sum is unbounded under
+    user skew and its summation ORDER differs between the serial and
+    split forms; integer sums are order-independent), and the moving
+    average is the exact integer sum over the exact count — the division
+    and 4-dp round are deterministic IEEE ops both engines do identically
+    (the true quotient is never on a half boundary: it is
+    n(2j+1)/200-distant from one by >= 1.25e-5, far past double ulp)."""
+    from fineventstream_spark.operators.rolling import skew_split_sum_frames
+    from fineventstream_spark.queries._money import cents
+
     t = Tables(spark, sf_dir)
-    ob = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    sliding = ob.rowsBetween(-3, 0)
-    running = ob.rowsBetween(Window.unboundedPreceding, 0)
-    return t.events.select(
+    base = t.events.select("event_id", "user_id", "ts", cents("value").alias("__vc"))
+    out = skew_split_sum_frames(
+        base,
+        ["user_id"],
+        ["ts", "event_id"],
+        4,
+        "__vc",
+        out_cols=("__ms", "__mn", "__rs"),
+    )
+    return out.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(sliding), 4).alias("moving_sum"),
-        F.round(F.avg("value").over(sliding), 4).alias("moving_avg"),
-        F.round(F.sum("value").over(running), 4).alias("running_sum"),
+        F.round(F.col("__ms") / 100.0, 4).alias("moving_sum"),
+        F.round(F.col("__ms") / (100.0 * F.col("__mn")), 4).alias("moving_avg"),
+        F.round(F.col("__rs") / 100.0, 4).alias("running_sum"),
     )
 
 

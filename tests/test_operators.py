@@ -1194,6 +1194,102 @@ def test_theta_overlap_exact_below_k(spark, sf_dir):
         assert r.est_reach >= r.est_returning, r
 
 
+def test_serial_window_ok_routes_on_hot_key(spark, tmp_path):
+    """r10 (r9 verdict ask #2): the serial-vs-distributed window selection
+    must key on MAX-PARTITION size, not just total size — a
+    skewed-but-small input (under the serial threshold, one hot key) used
+    to take the serial path and funnel the hot key through one task. The
+    hottest-key share probe routes it distributed; the same-sized even
+    input stays serial; conf <= 0 disables the probe (r9 behavior)."""
+    from fineventstream_spark.operators.rolling import (
+        SERIAL_WINDOW_PARTITION_CONF_KEY,
+        serial_window_ok,
+    )
+
+    def write(df, sub):
+        p = str(tmp_path / sub)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    n = 300_000  # few MB on disk — well under the 64 MiB serial threshold
+    even = write(
+        spark.range(n).select((F.col("id") % 1000).alias("k"), F.col("id").alias("v")),
+        "even",
+    )
+    hot = write(
+        spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        ),
+        "hot",
+    )
+    # tighten the per-partition budget so the ~MB fixture can trip it
+    spark.conf.set(SERIAL_WINDOW_PARTITION_CONF_KEY, str(256 << 10))
+    try:
+        assert serial_window_ok(even, ["k"]), "even small input must stay serial"
+        assert not serial_window_ok(hot, ["k"]), "hot-keyed input must go distributed"
+        # probe disabled → r9 total-bytes-only behavior
+        spark.conf.set(SERIAL_WINDOW_PARTITION_CONF_KEY, "0")
+        assert serial_window_ok(hot, ["k"])
+    finally:
+        spark.conf.unset(SERIAL_WINDOW_PARTITION_CONF_KEY)
+
+
+def test_win_frame_rows_paths_identical(spark, sf_dir):
+    """q_win_frame_rows' two physical forms (plain window vs hot/cold
+    split with the bucketed single-pass hot branch) must return identical
+    values — the integer-cents formulation makes both sums
+    order-independent, so the skew router can switch freely without
+    touching the oracle hash. A 1-byte per-partition budget makes EVERY
+    key hot, forcing the whole input through the bucketed branch."""
+    from fineventstream_spark.operators.rolling import (
+        SERIAL_WINDOW_PARTITION_CONF_KEY,
+    )
+    from fineventstream_spark.registry import all_queries
+
+    q = all_queries()["q_win_frame_rows"].fn
+    plain = sorted(map(tuple, q(spark, sf_dir).collect()))
+    spark.conf.set(SERIAL_WINDOW_PARTITION_CONF_KEY, "1")
+    try:
+        split = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset(SERIAL_WINDOW_PARTITION_CONF_KEY)
+    assert plain == split
+
+
+def test_sum_frames_by_order_buckets_matches_serial(spark):
+    """The single-pass bucketed frame operator must reproduce the serial
+    window exactly on a hot-keyed input — including rows whose trailing
+    frame spans bucket boundaries (the carry-array path) and keys whose
+    first rows have fewer than frame_rows-1 predecessors."""
+    from pyspark.sql import Window
+
+    from fineventstream_spark.operators.rolling import sum_frames_by_order_buckets
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(1)).otherwise(F.col("id") % 37).alias("k"),
+        (F.col("id") * 7919 % 49999).alias("t"),  # shuffled, near-unique order
+        F.col("id").alias("tie"),
+        (F.col("id") % 1000).cast("long").alias("v"),
+    )
+    got = sum_frames_by_order_buckets(
+        df, ["k"], ["t", "tie"], 4, "v", out_cols=("ss", "sc", "rs"), n_buckets=16
+    )
+    ob = Window.partitionBy("k").orderBy("t", "tie")
+    want = df.select(
+        "k",
+        "t",
+        "tie",
+        "v",
+        F.sum("v").over(ob.rowsBetween(-3, 0)).alias("ss"),
+        F.count(F.lit(1)).over(ob.rowsBetween(-3, 0)).cast("long").alias("sc"),
+        F.sum("v").over(ob.rowsBetween(Window.unboundedPreceding, 0)).alias("rs"),
+    )
+    g = {(r.k, r.t, r.tie): (r.ss, r.sc, r.rs) for r in got.collect()}
+    e = {(r.k, r.t, r.tie): (r.ss, r.sc, r.rs) for r in want.collect()}
+    assert g == e
+
+
 def test_distributed_row_number_matches_serial_on_skew(spark):
     """with_distributed_row_number must reproduce the serial per-key
     row_number exactly — including under heavy key skew (one key holds
