@@ -177,6 +177,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
     persist_bearing: list[str] = []
+    cold_disagreement: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     total = 0.0
     for name in headline:
@@ -231,6 +232,23 @@ def main() -> None:
         is_persist_bearing = bool(rdds_after - rdds_before)
         if is_persist_bearing:
             persist_bearing.append(name)
+            # COLD-OF-2 (r9 advisor): rep 1 alone was a single witness while
+            # every other headline number needs two concordant reps — one
+            # co-tenant spike on rep 1 landed unchallenged in the total.
+            # Re-run once from a cleared cache and take the min; flag >30%
+            # disagreement so a noisy cold pair is visible in the JSON.
+            spark.catalog.clearCache()
+            try:
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, SF_DIR))
+                cold2 = time.perf_counter() - t0
+            except Exception:  # noqa: BLE001 — keep the rep-1 witness
+                cold2 = None
+            if cold2 is not None:
+                pair = [round(runs[0], 3), round(cold2, 3)]
+                if max(pair) > 1.3 * min(pair):
+                    cold_disagreement[name] = pair
+                cold_timings[name] = min(pair)
             total += cold_timings[name]
         else:
             total += dt
@@ -253,6 +271,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold_timings,
         "persist_bearing": persist_bearing,
+        "cold_disagreement": cold_disagreement,
         "order_seed": order_seed,
         "order": {n: i for i, n in enumerate(headline)},
         "sf": os.path.basename(os.path.normpath(SF_DIR)),

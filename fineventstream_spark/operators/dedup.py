@@ -173,8 +173,11 @@ def release_intermediates(spark: SparkSession | None = None) -> None:
     would unpersist DataFrames another in-flight session still depends on
     (r8 advisor: silent recompute mid-bench). So the session-less call
     releases the single live session if exactly one is tracked, and
-    refuses with ValueError when several are — the caller knows which
-    session it worked in; make it say so."""
+    releases NOTHING — with a warning — when several are (r9 advisor: a
+    cleanup API must not raise; this is typically called from a finally
+    block, where an exception would mask the original error AND leak the
+    caches it was asked to release). The caller knows which session it
+    worked in; the warning tells it to say so."""
     if spark is None:
         spark = SparkSession.getActiveSession()
     with _PERSISTED_LOCK:
@@ -186,11 +189,16 @@ def release_intermediates(spark: SparkSession | None = None) -> None:
             dfs = [df for lst in _PERSISTED.values() for df in lst]
             _PERSISTED.clear()
         else:
-            raise ValueError(
+            import warnings
+
+            warnings.warn(
                 f"release_intermediates() called with no active session while "
-                f"{len(_PERSISTED)} live sessions hold tracked caches — pass "
-                "the session whose intermediates you mean to release"
+                f"{len(_PERSISTED)} live sessions hold tracked caches — "
+                "released nothing; pass the session whose intermediates you "
+                "mean to release",
+                stacklevel=2,
             )
+            dfs = []
     for df in dfs:
         if not _context_stopped(df.sparkSession):
             df.unpersist()

@@ -272,6 +272,13 @@ def q_agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 4).alias("est_p95"),
             "sk",
         )
+        # groups feeds BOTH the output rows and the global merge; as two
+        # plan subtrees the whole fact aggregation runs twice (r9 advisor —
+        # verified: 4 FileScans, 0 ReusedExchange in the executed plan,
+        # overstating exactly the production cost this mode measures).
+        # A lazy localCheckpoint materializes the handful of (group,
+        # sketch) rows once; both consumers read the blocks.
+        groups = groups.localCheckpoint(eager=False)
         merged = groups.agg(
             F.round(
                 F.kll_sketch_get_quantile_double(

@@ -798,20 +798,35 @@ def q_report_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_report_waiting_suppliers",
+    # Bounded AGGREGATE oracle form (r10, the r9 verdict ask #4): the
+    # classic correlated double EXISTS / NOT EXISTS oracle is O(hot²) per
+    # order in DuckDB's nested-loop evaluation and DNF'd (40+ min, killed)
+    # on the zipf fixture's 11 M-line hot order, keeping Q21 out of the
+    # skew differential. This form is provably equivalent (a late line l1
+    # by supplier s1 waits alone iff the order has >1 distinct suppliers
+    # and its only late supplier is s1; since l1 is late, s1 IS a late
+    # supplier, so "no other late supplier" ⇔ n_late_supp = 1) and
+    # verified row-identical to the EXISTS form in DuckDB at uniform
+    # sf0.01/sf0.1/sf10, where both complete (BASELINE r10).
     oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    stats AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      FROM lo GROUP BY l_orderkey
+    )
     SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM supplier s
-    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
-    WHERE o.o_orderstatus = 'F'
-      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    FROM lo
+    JOIN stats USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+    WHERE lo.late AND stats.n_supp > 1 AND stats.n_late_supp = 1
     GROUP BY s.s_name
     ORDER BY numwait DESC, s_name ASC
     LIMIT 10

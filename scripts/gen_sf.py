@@ -220,10 +220,16 @@ def generate(sf: float, out: str, seed: int = 42, skew: float | None = None) -> 
     vocab = np.array(VOCAB)
     lens = rng.integers(8, 81, n_docs)
     texts = [" ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens]
-    # plant ~0.2% exact duplicates (the originals have 8 in 5000)
+    # plant ~0.2% exact duplicates (the originals have 8 in 5000) at
+    # indices the skew-mode boilerplate overwrite below can never hit:
+    # that loop rewrites every i%10==0 doc, and 500-stride bases are all
+    # %10==0, so the r9 (i, i+1) pairs were silently destroyed in the
+    # skewed fixture (r9 advisor) — i+1/i+2 are ≡1/2 (mod 10), safe in
+    # both modes, keeping the scattered small-group dup pairs alongside
+    # the big boilerplate groups.
     for i in range(0, n_docs, 500):
-        if i + 1 < n_docs:
-            texts[i + 1] = texts[i]
+        if i + 2 < n_docs:
+            texts[i + 2] = texts[i + 1]
     if skew is not None:
         # 10% boilerplate from 8 templates with 1/rank weights: the top
         # template alone is ~3.7% of the corpus — exact-dup groups and

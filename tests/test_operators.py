@@ -245,6 +245,54 @@ def test_release_intermediates_without_active_session(spark):
     assert df.storageLevel.useMemory is False, "DataFrame still persisted"
 
 
+def test_release_intermediates_ambiguous_multi_session_warns(spark):
+    """r9 advisor: with NO active session and ≥2 live sessions holding
+    tracked caches, release_intermediates must WARN and release nothing —
+    not raise. It is typically called from a finally block, where an
+    exception would mask the original error and leak the very caches it
+    was asked to release. Each session's caches stay releasable by an
+    explicit call afterwards."""
+    import threading
+    import warnings as _w
+
+    from fineventstream_spark.operators.dedup import (
+        _PERSISTED,
+        persist_tracked,
+        release_intermediates,
+    )
+
+    release_intermediates(spark)  # clean slate
+    other = spark.newSession()
+    df_a = persist_tracked(spark.range(5))
+    df_a.count()
+    df_b = persist_tracked(other.range(7))  # registers under df.sparkSession
+    df_b.count()
+    assert len(_PERSISTED) == 2
+
+    rec: list = []
+    err: list = []
+
+    def _release():
+        try:
+            with _w.catch_warnings(record=True) as r:
+                _w.simplefilter("always")
+                release_intermediates()
+            rec.extend(r)
+        except Exception as e:  # noqa: BLE001
+            err.append(e)
+
+    th = threading.Thread(target=_release)
+    th.start()
+    th.join()
+    assert not err, f"cleanup API raised: {err}"
+    assert rec and "released nothing" in str(rec[-1].message)
+    assert len(_PERSISTED) == 2, "ambiguous release touched tracked caches"
+    # explicit per-session release still works
+    release_intermediates(spark)
+    release_intermediates(other)
+    assert not _PERSISTED
+
+
 def test_bucketed_layout_assertion_rejects_multi_file_buckets(tmp_path):
     """The trusted per-bucket sort (session.py outputOrdering pin) is only
     sound with one file per bucket; register-time verification must reject
@@ -1802,8 +1850,22 @@ def test_gen_sf_zipf_skew_profile(tmp_path):
     assert 0.08 < top_user < 0.40, f"hot user share {top_user:.2%} out of band"
 
     texts = pq.read_table(os.path.join(skew_dir, "documents.parquet")).column("text").to_pylist()
-    biggest = collections.Counter(texts).most_common(1)[0][1]
+    counter = collections.Counter(texts)
+    biggest = counter.most_common(1)[0][1]
     assert biggest >= max(3, len(texts) // 30), "no boilerplate group planted"
+
+    # the scattered small-group dup pairs must SURVIVE the boilerplate
+    # overwrite (r9 advisor: the old (i, i+1) planting was destroyed by
+    # the every-10th-doc template rewrite — all %500==0 bases are %10==0)
+    templates = {t for t, n in counter.most_common(8) if n >= 3}
+    scattered = [
+        i
+        for i in range(0, len(texts), 500)
+        if i + 2 < len(texts)
+        and texts[i + 2] == texts[i + 1]
+        and texts[i + 1] not in templates
+    ]
+    assert scattered, "skewed fixture lost the planted scattered dup pairs"
 
     # determinism: same seed → same bytes-level content for the skewed keys
     skew_dir2 = str(tmp_path / "skew2")
