@@ -170,8 +170,19 @@ def ivf_topk(
 
 
 def _hyperplane(dim: int, seed: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane (no eval-time RNG)."""
-    return [math.sin(seed * 1000003 + j * 7919) for j in range(dim)]
+    """Deterministic pseudo-random hyperplane — a SEEDED gaussian draw
+    (fixed seed at plan-construction time; nothing samples at eval time,
+    which is what "no RNG" must mean — retried tasks and re-built plans
+    always see identical planes).
+
+    r10 fix, found by the first planted-recall audit at sf10: the old
+    ``sin(seed·K + j·M)`` form is quasi-periodic, so consecutive seeds
+    produced near-PARALLEL planes (measured pairwise |cos| up to 0.99) —
+    12 "planes" carved the space into a couple dozen effective buckets
+    instead of 2^12, every clustered bucket blew past the cap, and
+    embedding-LSH recall at sf10 was exactly 0."""
+    rng = np.random.default_rng(seed * 1_000_003 + 17)
+    return rng.standard_normal(dim).tolist()
 
 
 def _bucket_bits_udf(planes: np.ndarray):
@@ -182,6 +193,29 @@ def _bucket_bits_udf(planes: np.ndarray):
         return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
 
     return _bits
+
+
+def _band_buckets_udf(planes: np.ndarray, n_bands: int):
+    """Array of per-band bucket keys ("<band>:<sign bits of that band's
+    plane slice>") — one Arrow batch pass computes every band."""
+    per_band = planes.shape[0] // n_bands
+
+    @F.pandas_udf("array<string>")
+    def _keys(vecs: pd.Series) -> pd.Series:
+        m = _stack(vecs)
+        signs = (m @ planes.T) > 0
+        out = []
+        for row in signs:
+            bits = "".join("1" if b else "0" for b in row)
+            out.append(
+                [
+                    f"{band}:{bits[band * per_band:(band + 1) * per_band]}"
+                    for band in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return _keys
 
 
 def _pair_cosine_udf():
@@ -202,28 +236,46 @@ def cosine_near_dup_pairs(
     vec_col: str,
     id_col: str,
     dim: int,
-    n_planes: int = 12,
+    n_planes: int = 54,
+    n_bands: int = 3,
     threshold: float = 0.9,
     max_bucket: int = 100,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via random-hyperplane LSH.
+    """Embedding near-duplicate pairs via BANDED random-hyperplane LSH.
 
-    Sign pattern over ``n_planes`` hyperplanes → bucket key; exact cosine
-    is computed only within buckets (pair formation bounded by
-    ``max_bucket``). P(same bucket) = (1 - θ/π)^n_planes, so near-identical
-    vectors collide w.h.p. while the corpus spreads across 2^n_planes keys.
+    ``n_planes`` hyperplanes split into ``n_bands`` bands of
+    ``n_planes/n_bands`` planes each; a pair is a candidate when it shares
+    a bucket (a band's sign pattern) in ANY band, and exact cosine is
+    computed only within buckets, each bounded by ``max_bucket``.
+
+    Why bands + 18 planes/band (r10 — the first planted-recall audit at
+    sf10 measured recall 0.0 with the r9 single-band 12-plane shape): the
+    fixture's embeddings are label-clustered gaussians whose within-
+    cluster noise is the same scale as the center norms, so only ~half
+    the planes split a given cluster — 12 planes ≈ 2^6 effective
+    sub-buckets, leaving 300+ vectors per bucket at sf10, ALL past the
+    cap, and every candidate pair (planted identical clones included) was
+    silently dropped. 18 planes/band ≈ 2^9 splits keeps clustered buckets
+    under the cap at sf10 (and the cap degrades gracefully: caps bind per
+    band, and an identical pair — same sign pattern in EVERY band — is
+    dropped only if all ``n_bands`` independent bucketings cap out).
+    P(candidate at cosine θ) = 1-(1-(1-θ/π)^planes_per_band)^n_bands.
+    Measured at sf10 (BASELINE r10): recall 0.0 → 1.0, pairs bounded.
     """
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes ({n_planes}) must divide into {n_bands} bands")
     planes = np.asarray([_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64)
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        _bucket_bits_udf(planes)(F.col(vec_col)).alias("bucket"),
+        F.explode(_band_buckets_udf(planes, n_bands)(F.col(vec_col))).alias("bucket"),
     )
 
     # Window-count cap, not groupBy + join-back: the multi-occupancy bucket
     # list grows with the corpus (a forced broadcast is a driver OOM at
     # 100 TB, an AQE-decided join an extra stage barrier); the window needs
-    # only the one bucket exchange the pair join below reuses.
+    # only the one bucket exchange the pair join below reuses. The band id
+    # is baked into the bucket key, so caps bind per (band, bucket).
     from pyspark.sql import Window
 
     bucket_w = Window.partitionBy("bucket")

@@ -810,13 +810,33 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + offset
     )
     corpus = docs.unionByName(planted)
-    cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id")
-    verified = dedup.ngram_jaccard_verify(cands, corpus, "text", "doc_id").filter(
+    # EXACT-COLLAPSE prepass (r10, from the skewed planted-recall audit):
+    # identical texts — the boilerplate mass on a real crawl — collapse to
+    # one representative (min doc_id per text) BEFORE shingling. A 6-18 k-
+    # doc template group is a capped-out LSH mega-bucket no bounded cap can
+    # admit (measured on sf10zipf1.2: raising max_bucket 50→1000 bought 5×
+    # the candidate pairs and ZERO recall — the dropped pairs are all
+    # intra-template), but it is ONE representative here, so the bucket
+    # never forms; exact-dup members inherit their representative's cluster
+    # at the end. Per-text min is partial-aggregated (no skew hazard), and
+    # LSH input shrinks by the dup mass. Keeper ids are unchanged where the
+    # old path found the pair: a representative is its text-group minimum,
+    # so min-over-reps == min-over-members.
+    rep = corpus.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
+    members = corpus.select("doc_id", "text").join(rep, "text").select(
+        "doc_id", "rep_id"
+    )
+    rep_corpus = corpus.join(
+        rep.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    cands = dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id")
+    verified = dedup.ngram_jaccard_verify(cands, rep_corpus, "text", "doc_id").filter(
         F.col("jaccard") >= 0.8
     )
-    keepers = dedup_keepers(corpus, verified.select("id_a", "id_b"), "doc_id").select(
-        "doc_id", "keeper_id"
-    )
+    rep_keepers = dedup_keepers(
+        rep_corpus, verified.select("id_a", "id_b"), "doc_id"
+    ).select(F.col("doc_id").alias("rep_id"), "keeper_id")
+    keepers = members.join(rep_keepers, "rep_id").select("doc_id", "keeper_id")
     orig = keepers.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < offset)).select(
         F.col("doc_id").alias("pid"), F.col("keeper_id").alias("orig_keeper")
     )

@@ -37,74 +37,72 @@ REGISTRY: dict[str, Query] = {}
 # The external driver hash-checks the registry in iteration order and (as
 # observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-9 rotation (r8 verdict #6): the r9-behavior-changed queries
-# first (Q5 rev_units-in-layout, win_share_of_total money-helper reuse),
-# then ALL 17 rows-only self-certifying queries — their audit VALUES are
-# the correctness signal and several were last driver-checked in r5/r6 —
-# then the entire r5-last-checked remainder and the oldest r6 set until
-# the window fills. After this round every query's last hard check is r6+.
-# The list is duplicate-free by construction (guarded below — the r7
-# advisor found 4 dead duplicate slots overstating rotation coverage).
-# Everything past the window is still covered by the local differential
-# suite at the identical compare strictness. Names not present in
-# REGISTRY are skipped.
+# rows. Round-10 rotation (r9 verdict #7): the ORACLE-CHANGED-since-the-
+# r09-snapshot queries first — the as-of family (r9 rewrite to native
+# DuckDB ASOF landed after the r9 driver run), q_win_frame_rows (r10
+# integer-cents rewrite, both sides), q_report_waiting_suppliers (r10
+# bounded-aggregate oracle) — then the r10 behavior-changed bucketed-
+# routing queries, then the ENTIRE remaining r5/r6-stale set (computed
+# from the CORRECTNESS_r01..r09 union: every name below the changed
+# block last got a hard driver row in r6 or earlier). After this round
+# every query's last hard check is r7+. The list is duplicate-free by
+# construction (guarded below — the r7 advisor found 4 dead duplicate
+# slots overstating rotation coverage). Everything past the window is
+# still covered by the local differential suite at the identical compare
+# strictness. Names not present in REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    "q_report_nation_volume",
-    "q_join_inner",
-    "q_win_pct_rank",
-    "q_report_forecast_revenue",
-    "q_report_returned_items",
-    "q_win_share_of_total",
-    "q_agg_approx_distinct",
-    "q_agg_approx_percentile",
-    "q_agg_approx_topk_rollup",
-    "q_agg_kll_quantile_rollup",
-    "q_agg_sketch_rollup",
-    "q_event_theta_overlap",
-    "q_llm_dedup_embedding",
-    "q_llm_dedup_near",
-    "q_llm_dedup_ngram_jaccard",
-    "q_llm_dedup_simhash",
-    "q_llm_fingerprint",
-    "q_llm_kmeans",
-    "q_llm_knn_ivf",
-    "q_llm_near_dedup_pipeline",
-    "q_mm_features",
-    "q_mm_frame_sample",
-    "q_repartition_sorted",
-    "q_agg_stats",
-    "q_array_explode",
-    "q_array_hof",
-    "q_base64_roundtrip",
-    "q_case_when",
-    "q_date_arith",
-    "q_date_extract",
-    "q_date_trunc_format",
-    "q_event_vwap",
-    "q_hash_stable",
+    # oracle changed since the r09 driver snapshot
     "q_join_asof",
-    "q_join_cross",
-    "q_json_extract",
-    "q_llm_dedup_cluster",
-    "q_llm_dedup_exact",
-    "q_llm_knn_cosine",
-    "q_llm_lang_id",
-    "q_llm_quality_score",
-    "q_llm_substring_dedup",
-    "q_llm_train_split",
-    "q_map_ops",
-    "q_math_basic",
-    "q_string_basic",
-    "q_string_regexp",
-    "q_try_cast",
-    "q_udaf_grouped",
-    "q_udf_scalar",
+    "q_join_asof_tolerance",
+    "q_join_asof_forward",
+    "q_win_frame_rows",
+    "q_report_waiting_suppliers",
+    # r10 behavior-changed (skew-routed layouts / checkpointed rollup)
+    "q_join_inner",
+    "q_report_nation_volume",
+    "q_agg_kll_quantile_rollup",
+    # r5/r6-stale set, oldest first
     "q_udtf_chunk",
     "q_coalesce_default",
     "q_cte",
     "q_dedup_highwater",
     "q_derive_epoch_ts",
     "q_distinct",
+    "q_event_funnel",
+    "q_event_histogram",
+    "q_event_outliers",
+    "q_event_retention",
+    "q_event_rolling_active",
+    "q_event_sessionize",
+    "q_filter_boolean",
+    "q_filter_compare",
+    "q_filter_malformed",
+    "q_filter_notnull",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_limit_topk",
+    "q_llm_decontaminate",
+    "q_news_lookback",
+    "q_null_safe_eq",
+    "q_project_rename",
+    "q_scan_parquet",
+    "q_session_window",
+    "q_sink_partitioned_write",
+    "q_sort_desc_nulls",
+    "q_sort_multikey",
+    "q_source_decode_json",
+    "q_sql_api",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_union_all",
+    "q_unpivot",
+    "q_upsert_latest",
+    "q_win_lag_lead",
+    "q_win_rank",
+    "q_win_topk_per_group",
 )
 # Explicit raise, not `assert` (r8 advisor): asserts are stripped under
 # `python -O`, which would silently re-allow the dead-rotation-slot bug.
