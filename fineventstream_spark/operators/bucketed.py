@@ -334,9 +334,11 @@ def _measure_and_record_skew(path: str, sf_dir: str, table: str, key: str) -> No
             f"bucketed layout {table} by {key!r} is skew-degenerate: hot "
             f"bucket holds {ratio:.1f}x the median rows (threshold "
             f"{SKEW_RATIO_THRESHOLD}). A co-located SMJ serializes that "
-            "bucket into one unsplittable task; measured 1.3x slower than "
-            "shuffle+AQE skew split at 18%-hot-key zipf. bucketed_table() "
-            "auto-routes this key's joins to the plain shuffle path.",
+            "bucket into one unsplittable task — measured 1.3x slower than "
+            "shuffle+AQE for WIDE per-row enrichment consumers (which "
+            "should pass bucketed_table(route_skew=True)), but 3x FASTER "
+            "for aggregate-collapsing consumers (the default keeps the "
+            "layout; BASELINE r10 A/B).",
             stacklevel=3,
         )
 
@@ -488,26 +490,39 @@ def bucketed_table(
     columns: tuple[str, ...] | None = None,
     derived: dict[str, str] | None = None,
     prejoin: tuple[str, str, str, tuple[str, ...]] | None = None,
-    route_skew: bool = True,
+    route_skew: bool = False,
 ) -> DataFrame:
     """The bucketed derivative of ``table`` as a DataFrame (schema identical
     to :func:`load_table`, or to the projected columns plus any ``derived``
     materialized expressions / ``prejoin`` dim columns when given; scan
     reports bucketing + per-bucket sort).
 
-    SKEW-ADAPTIVE ROUTING (r10): when the layout — or any co-location
-    partner it exists to join (``_COLOCATED``) — recorded a bucket skew
-    ratio at/above the session threshold (``SKEW_ROUTE_CONF_KEY``, default
-    ``SKEW_RATIO_THRESHOLD``; <= 0 disables), the PLAIN source scan is
-    returned instead, schema-identical (projection/derived/prejoin applied
-    at query time). Rationale, measured on the 18%-hot-key zipf fixture
-    (scripts/skew_evidence.py E1/E2): a co-located SMJ serializes the hot
-    bucket into one task AQE cannot split (no shuffle stage to re-plan) and
-    runs 1.3× slower than the shuffle join, where OptimizeSkewedJoin splits
-    the hot partition at production thresholds. The whole co-location group
-    routes together because the skew split needs BOTH join children to be
-    shuffle stages. ``route_skew=False`` forces the layout read (A/B
-    harnesses, evidence scripts)."""
+    SKEW ROUTING (r10) — ``route_skew=True`` opts a call site in: when the
+    layout — or any co-location partner it exists to join (``_COLOCATED``)
+    — recorded a bucket skew ratio at/above the session threshold
+    (``SKEW_ROUTE_CONF_KEY``, default ``SKEW_RATIO_THRESHOLD``; <= 0
+    disables), the PLAIN source scan is returned instead, schema-identical
+    (projection/derived/prejoin applied at query time), so the join plans
+    as shuffle+AQE and OptimizeSkewedJoin can split the hot partition. The
+    whole co-location group routes together because the skew split needs
+    BOTH join children to be shuffle stages.
+
+    WHY OPT-IN, NOT DEFAULT — the r10 A/B on the 18%-hot zipf fixture
+    (BASELINE r10) split by CONSUMER SHAPE:
+
+    - WIDE ENRICHMENT (every fact column consumed per row post-join,
+      skew_evidence.py E2): the hot bucket's serial per-row work dominates
+      — bucketed SMJ 7.6 s vs shuffle+AQE 5.9 s. Routing WINS 1.3×. These
+      call sites should pass ``route_skew=True``.
+    - AGGREGATE-COLLAPSING consumers (the registry's report/join queries:
+      the join feeds a groupBy that reuses the bucket distribution): the
+      hot-bucket merge+partial-agg task is cheap and the layout avoids the
+      entire fact exchange — forced-bucketed 1.18 s vs routed 3.69 s
+      (q_join_inner), 1.80 vs 4.76 (Q5). Routing LOSES 3×.
+
+    No layout-side statistic separates the two (same layout, same skew
+    ratio — the difference is the consumer's per-row post-join work), so
+    the default keeps the layout and the warning names the knob."""
     key = key or BUCKET_KEYS[table]
     name = ensure_bucketed(
         spark, sf_dir, table, key=key, columns=columns, derived=derived, prejoin=prejoin

@@ -2041,38 +2041,40 @@ def _skewed_sf_fixture(tmp_path) -> str:
 
 
 def test_bucketed_table_routes_skew_degenerate_layout(spark, tmp_path):
-    """r10 (the r9 verdict's lead ask): the write-time skew self-report
-    must be a ROUTING DECISION, not a warning. On a skew-degenerate
-    orderkey, bucketed_table returns the plain scan — the join plans with
-    shuffle exchanges AQE can split — and the whole co-location group
-    (orders too, even though orders itself is uniform: AQE's skew split
-    needs BOTH children to be shuffle stages) routes together. On uniform
-    data the zero-exchange bucketed SMJ is unchanged. route_skew=False
-    forces the layout read either way."""
+    """r10: the write-time skew self-report becomes a per-call-site
+    ROUTING KNOB. With route_skew=True (wide-enrichment consumers) on a
+    skew-degenerate orderkey, bucketed_table returns the plain scan — the
+    join plans with shuffle exchanges AQE can split — and the whole
+    co-location group (orders too, even though orders itself is uniform:
+    AQE's skew split needs BOTH children to be shuffle stages) routes
+    together. The DEFAULT keeps the zero-exchange layout even on skewed
+    data (measured 3× better for the aggregate-collapsing consumers that
+    dominate the registry — BASELINE r10 A/B). On uniform data
+    route_skew=True is a no-op."""
     import warnings as _w
 
     from fineventstream_spark.operators.bucketed import bucketed_table
 
     sf = _skewed_sf_fixture(tmp_path)
 
-    def join_plan(route_skew: bool) -> str:
+    def join_plan(**kw) -> str:
         with _w.catch_warnings():
             _w.simplefilter("ignore")  # the layout build self-reports, expected
-            li = bucketed_table(spark, sf, "lineitem", route_skew=route_skew)
-            od = bucketed_table(spark, sf, "orders", route_skew=route_skew)
+            li = bucketed_table(spark, sf, "lineitem", **kw)
+            od = bucketed_table(spark, sf, "orders", **kw)
         j = li.join(od.hint("merge"), li.l_orderkey == od.o_orderkey).select(
             "l_orderkey", "o_totalprice"
         )
         return j._jdf.queryExecution().executedPlan().toString()
 
     routed = join_plan(route_skew=True)
-    assert "Exchange" in routed, "skew-degenerate layout must route to shuffle"
-    forced = join_plan(route_skew=False)
-    assert "Exchange" not in forced, "route_skew=False must force the co-located SMJ"
+    assert "Exchange" in routed, "opt-in routing must plan a shuffle on skew"
+    default = join_plan()
+    assert "Exchange" not in default, "default must keep the co-located SMJ"
 
-    # uniform fixture: routing leaves the zero-exchange plan alone
-    li = bucketed_table(spark, "/root/testdata/sf0.001", "lineitem")
-    od = bucketed_table(spark, "/root/testdata/sf0.001", "orders")
+    # uniform fixture: even opted-in routing leaves the zero-exchange plan
+    li = bucketed_table(spark, "/root/testdata/sf0.001", "lineitem", route_skew=True)
+    od = bucketed_table(spark, "/root/testdata/sf0.001", "orders", route_skew=True)
     j = li.join(od.hint("merge"), li.l_orderkey == od.o_orderkey).select(
         "l_orderkey", "o_totalprice"
     )
