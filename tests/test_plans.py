@@ -242,6 +242,18 @@ def test_shipping_priority_zero_shuffle(spark, sf_dir):
     assert "rangepartitioning" not in plan, "top-10 must not globally sort"
 
 
+def test_ship_priority_split_single_tiny_shuffle(spark, sf_dir):
+    """TPC-H Q12 (r10 bucketed rewrite — the skewed sweep named the old
+    shuffle form the report family's worst Spark offender): the
+    lineitem⋈orders join is a bucket-co-located SMJ with zero fact
+    exchange; the only shuffles left carry the 3-group partial aggregate
+    and the 3-row output sort — both KB-scale."""
+    plan = _plan(spark, sf_dir, "q_report_ship_priority_split")
+    n = _shuffle_exchanges(plan)
+    assert n <= 2, f"q_report_ship_priority_split shuffles ({n}):\n{plan}"
+    assert "Bucketed: true" in plan
+
+
 def test_order_priority_single_tiny_shuffle(spark, sf_dir):
     """TPC-H Q4 (r7 bucketed rewrite): the orderkey semi-join is
     bucket-co-located (the l_shipdate > o_orderdate inequality stays a
