@@ -822,3 +822,47 @@ def test_fuzz_rolling_equivalence_case(case_id, spark_events, sf_dir):
     assert dist.exceptAll(serial).count() == 0, (
         f"case {case_id}: distributed {kind} diverges from serial window"
     )
+
+
+@pytest.mark.parametrize("case_id", range(4))
+def test_fuzz_skew_split_sum_frames_case(case_id, spark_events, sf_dir):
+    """Fresh-seed equivalence fuzz of the r10 hot/cold split window
+    (skew_split_sum_frames): random frame widths, the SPLIT form (1-byte
+    per-partition budget → every key routes through the salted bucketed
+    branch with carry scalars) vs the PLAIN per-key window (budget
+    disabled) on identical input. Engine-side compare; integer cents ⇒
+    bit-level equality across routes — the invariant that lets the
+    router switch freely without touching oracle hashes."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import load_table
+    from fineventstream_spark.operators.rolling import (
+        SERIAL_WINDOW_PARTITION_CONF_KEY,
+        skew_split_sum_frames,
+    )
+
+    rng = random.Random(_SEED_OFFSET + 62_000 + case_id)
+    spark = spark_events
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    frame = rng.choice([2, 3, 4, 7])
+
+    def run(budget):
+        spark.conf.set(SERIAL_WINDOW_PARTITION_CONF_KEY, str(budget))
+        try:
+            return skew_split_sum_frames(
+                ev, ["user_id"], ["ts", "event_id"], frame, "cents",
+                out_cols=("ss", "sc", "rs"),
+            )
+        finally:
+            spark.conf.unset(SERIAL_WINDOW_PARTITION_CONF_KEY)
+
+    plain = run(0)
+    split = run(1)
+    n_plain, n_split = plain.count(), split.count()
+    assert n_plain == n_split, f"row counts diverge: {n_plain} vs {n_split}"
+    assert split.exceptAll(plain).count() == 0, (
+        f"case {case_id}: split frame-{frame} diverges from plain window"
+    )
