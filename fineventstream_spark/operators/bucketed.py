@@ -196,6 +196,11 @@ def _assert_one_file_per_bucket(path: str, table: str) -> None:
 # conf key; <= 0 disables routing entirely (always read the layout).
 SKEW_RATIO_THRESHOLD = 4.0
 SKEW_ROUTE_CONF_KEY = "spark.fineventstream.bucketSkewRatioThreshold"
+# session-wide override for call sites that left route_skew=None: "true"
+# routes every such site's skew-degenerate group to the shuffle path —
+# the A/B lever behind E7 (scripts/skew_evidence.py); default off because
+# the measured default-consumer shape favors the layout 3× (BASELINE r10)
+SKEW_ROUTE_ALL_CONF_KEY = "spark.fineventstream.bucketSkewRouteAll"
 
 _SKEW_SIDECAR = "_skew.json"
 _SKEW_REGISTRY = "_skew_registry.json"
@@ -490,7 +495,7 @@ def bucketed_table(
     columns: tuple[str, ...] | None = None,
     derived: dict[str, str] | None = None,
     prejoin: tuple[str, str, str, tuple[str, ...]] | None = None,
-    route_skew: bool = False,
+    route_skew: bool | None = None,
 ) -> DataFrame:
     """The bucketed derivative of ``table`` as a DataFrame (schema identical
     to :func:`load_table`, or to the projected columns plus any ``derived``
@@ -522,11 +527,19 @@ def bucketed_table(
 
     No layout-side statistic separates the two (same layout, same skew
     ratio — the difference is the consumer's per-row post-join work), so
-    the default keeps the layout and the warning names the knob."""
+    the default keeps the layout and the warning names the knob.
+    ``route_skew=None`` (the default) defers to the session conf
+    ``SKEW_ROUTE_ALL_CONF_KEY`` (default false) so A/B harnesses and
+    evidence scripts can flip every un-opinionated call site at once;
+    an explicit True/False always wins."""
     key = key or BUCKET_KEYS[table]
     name = ensure_bucketed(
         spark, sf_dir, table, key=key, columns=columns, derived=derived, prejoin=prejoin
     )
+    if route_skew is None:
+        route_skew = (
+            str(spark.conf.get(SKEW_ROUTE_ALL_CONF_KEY, "false")).lower() == "true"
+        )
     threshold = _skew_route_threshold(spark)
     if (
         route_skew

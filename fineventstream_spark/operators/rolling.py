@@ -567,6 +567,13 @@ def skew_split_sum_frames(
 
             hot = hot_key_values(df, key_cols, budget / nbytes)
             if hot:
+                # bound the split (hot_key_values returns hottest-first):
+                # a degenerate budget can mark thousands of keys "hot", and
+                # an unbounded isin + hot-keys × buckets bookkeeping is its
+                # own scale hazard (measured: budget=1 at sf10 → 150 k
+                # "hot" users → 109 s). Keys past the cap stay on the plain
+                # path — exactly correct, just unsplit.
+                hot = hot[:64]
                 bounds = _literal_order_bounds(df, order_cols[0])
     if not hot or bounds is None:
         return plain(df)

@@ -126,6 +126,10 @@ def hot_key_values(
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
     total = df.count()
     rows = counts.filter(F.col("__n") >= float(total) * min_share).collect()
+    # hottest first, so a caller capping the list keeps the keys that
+    # matter; a degenerate min_share (→ thousands of "hot" keys) must not
+    # produce an unbounded isin literal downstream
+    rows.sort(key=lambda r: -r["__n"])
     hot = [tuple(r[c] for c in key_cols) for r in rows]
     _KEY_SHARE_MEMO[memo_key] = hot
     return hot

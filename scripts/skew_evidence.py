@@ -252,6 +252,73 @@ def main() -> None:
         "top_share_expected": "hottest user ≈ 1/ζ(1.2) ≈ 18% of the stream",
     }
 
+    # ---- E7 (r10): layout routing is CONSUMER-shaped ---------------------
+    # E2 measured the WIDE per-row enrichment shape (routing wins 1.3×);
+    # this measures the registry's actual aggregate-collapsing consumers,
+    # where the zero-exchange layout wins ~3× even on the hot key — the A/B
+    # that flipped bucketed_table's routing default to per-call-site opt-in.
+    from fineventstream_spark.operators.bucketed import SKEW_ROUTE_ALL_CONF_KEY
+
+    def _with_routing(routed: bool, qname: str) -> float:
+        spark.conf.set(SKEW_ROUTE_ALL_CONF_KEY, "true" if routed else "false")
+        try:
+            return _timed(
+                lambda: _materialize(registry[qname].fn(spark, a.dir)), a.reps
+            )
+        finally:
+            spark.conf.unset(SKEW_ROUTE_ALL_CONF_KEY)
+
+    e7 = {}
+    for qname in ("q_join_inner", "q_report_nation_volume"):
+        forced = _with_routing(False, qname)
+        routed = _with_routing(True, qname)
+        e7[qname] = {
+            "forced_bucketed_sec": forced,
+            "routed_shuffle_aqe_sec": routed,
+            "layout_speedup": round(routed / forced, 2),
+        }
+    e7["note"] = (
+        "aggregate-collapsing consumers keep the layout (default); only "
+        "wide per-row enrichment (E2 shape) should opt into routing"
+    )
+    ev["E7_routing_consumer_shape"] = e7
+
+    # ---- E8 (r10): window hot/cold split crossover -----------------------
+    # q_win_frame_rows routes through skew_split_sum_frames; below the
+    # 64 MiB hot-partition budget the plain window's straggler is cheaper
+    # than the split's bookkeeping barrier (so the router picks plain on
+    # this fixture), above it the split wins (sf10zipf2, 61% hot user).
+    from fineventstream_spark.operators.rolling import (
+        SERIAL_WINDOW_PARTITION_CONF_KEY,
+    )
+
+    def _win(budget: str) -> float:
+        spark.conf.set(SERIAL_WINDOW_PARTITION_CONF_KEY, budget)
+        try:
+            return _timed(
+                lambda: _materialize(
+                    registry["q_win_frame_rows"].fn(spark, a.dir)
+                ),
+                a.reps,
+            )
+        finally:
+            spark.conf.unset(SERIAL_WINDOW_PARTITION_CONF_KEY)
+
+    # budget just under the hot user's ~27 MB partition: exactly ONE key
+    # routes through the split branch (a 1-byte budget would mark every
+    # key hot — its own pathology, now capped at 64 keys in the operator)
+    ev["E8_window_split_crossover"] = {
+        "plain_sec": _win("0"),
+        "forced_split_sec": _win(str(20 << 20)),
+        "note": (
+            "on this fixture's ~27 MB hot partition the plain window wins "
+            "(the split's exact-carry bookkeeping barrier costs more than "
+            "the straggler); the 64 MiB default budget encodes the "
+            "measured crossover — see BASELINE r10 for the 61%-hot "
+            "fixture where the split wins"
+        ),
+    }
+
     out = os.path.join(REPO, ".localdata", "skew_evidence.json")
     with open(out, "w") as f:
         json.dump(ev, f, indent=2)
