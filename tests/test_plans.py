@@ -596,13 +596,18 @@ def test_vwap_twap_bars_are_single_keyed_shuffle(spark, sf_dir):
     assert "rangepartitioning" not in twap, "TWAP window sort went global"
 
 
-def test_resample_ffill_is_asof_shaped(spark, sf_dir):
-    """Resample+ffill rides the as-of operator's union+window path: no
-    nested-loop probing of grid points, keyed window only."""
+def test_resample_ffill_aggregates_to_grid_granularity(spark, sf_dir):
+    """Resample+ffill (r10 rewrite): the fact pays ONE partial-aggregated
+    pass to (symbol, hour) — no per-tick union+window, no nested-loop
+    probing of grid points; the forward-fill window runs on the
+    bookkeeping-sized grid join."""
     plan = _plan(spark, sf_dir, "q_event_resample_ffill")
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Window" in plan
-    assert "Union" in plan, "grid and ticks should union into one keyed window"
+    assert "partial_max_by" in plan or "partial_min" in plan, (
+        "per-hour tick aggregate must partial-combine map-side:\n" + plan
+    )
+    assert "Union" not in plan, "r10: ticks must not union into the grid window"
 
 
 def test_numbering_join_partitions_on_key_and_bucket(spark):
