@@ -1071,7 +1071,19 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. sf30 solo: 16.9 s → 4.8 s, oracle rows unchanged. At
     cluster scale the broadcasts hold while the dims fit (the standard
     dim contract); past that the early-aggregate shape still caps the
-    shuffle at partial-agg size."""
+    shuffle at partial-agg size.
+
+    r10 probe placement: the part probe moves BELOW the SMJ — it is an
+    INNER join that keeps only ~1/8 of lines (the %red% name family), so
+    filtering first shrinks the merge input 8× (sf10 A/B: 1.31 → 1.00 s
+    uniform, 3.50 → 2.93 s zipf — the hot bucket streams 8× fewer rows
+    through the merge). NOT a contradiction of Q5's measured
+    probe-above-SMJ rejection: Q5's supplier probe keeps every row
+    (pure enrichment, deferring it costs nothing and the early probe
+    touches 180 M rows for no reduction) — probe placement follows the
+    probe's SELECTIVITY. Filter and broadcast-join both preserve the
+    bucketed distribution and per-bucket order, so the SMJ stays
+    zero-exchange (plan-asserted)."""
     t = Tables(spark, sf_dir)
     od = bucketed_table(spark, sf_dir, "orders")
     li = bucketed_table(spark, sf_dir, "lineitem")
@@ -1093,13 +1105,12 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_discount",
         "l_quantity",
-    )
+    ).join(parts, F.col("l_partkey") == F.col("p_partkey"))
     return (
         lines.join(
-            od.select("o_orderkey", "o_orderdate"),
+            od.select("o_orderkey", "o_orderdate").hint("merge"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
