@@ -702,16 +702,28 @@ def _ed_l1_cond() -> str:
     "q_llm_edit_distance",
     oracle=f"""
     WITH d AS MATERIALIZED (
-      SELECT doc_id, text, n_chars, {_ed_count_cols()}
+      SELECT min(doc_id) AS doc_id, text, min(n_chars) AS n_chars,
+             {_ed_count_cols()}
       FROM documents
+      GROUP BY text
+    ),
+    slim AS MATERIALIZED (
+      SELECT doc_id, n_chars, {", ".join(f"c{i}" for i in range(len(_ED_CHARS)))}
+      FROM d
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM slim a
+      JOIN slim b
+        ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+       AND {_ed_l1_cond()}
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-    FROM d a
-    JOIN d b
-      ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-     AND {_ed_l1_cond()}
-    WHERE levenshtein(a.text, b.text) <= 5
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+    FROM pairs p
+    JOIN d ta ON ta.doc_id = p.id_a
+    JOIN d tb ON tb.doc_id = p.id_b
+    WHERE levenshtein(ta.text, tb.text) <= 5
     """,
     tags=("U5", "F4"),
 )
@@ -744,7 +756,22 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plus a core-spread repartition on the probe side: the corpus scans
     as ONE task from a single parquet file and a broadcast join inherits
     that parallelism for its stream side — the third cause of the
-    single-core grind."""
+    single-core grind.
+
+    3. **Distinct-text collapse** (r10, forced by the boilerplate-skewed
+       fixture): pairing RAW doc ids makes the OUTPUT itself quadratic
+       when a text repeats — on `sf10zipf1.2`, 50k boilerplate docs
+       share 8 templates, every intra-template pair has identical
+       length, L1 = 0 and dist = 0, so ~1.7e8 result rows survive every
+       prune and both engines grind for minutes producing rows nobody
+       wants (exact duplicates are ``q_llm_dedup_exact``'s job). No plan
+       fixes a quadratic output; the semantics changed instead: collapse
+       to ONE representative per distinct text (min doc_id — matches the
+       near-dedup pipeline's exact-collapse prepass) before pairing, so
+       every output pair has dist ∈ [1, 5]. The oracle carries the
+       identical GROUP BY text collapse, so hashes stay comparable. The
+       collapse shuffles each text once — linear, and the same exchange
+       the old length-repartition already paid."""
     t = Tables(spark, sf_dir)
     n_cores = spark.sparkContext.defaultParallelism
 
@@ -756,16 +783,29 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, ch in enumerate(_ED_CHARS)
         ]
 
+    # one representative per distinct text (min doc_id, mirrored in the
+    # oracle's GROUP BY text) — identical texts are exact-dedup's
+    # territory, and pairing them makes the OUTPUT quadratic on
+    # boilerplate-heavy corpora
+    reps = t.documents.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars")
+    )
+
     # repartition BOTH sides: whichever one the planner picks as the
     # broadcast build, the OTHER is the probe whose parallelism equals
-    # its partition count — and a single-file corpus scans as one task
-    a = t.documents.repartition(n_cores, "doc_id").select(
-        F.col("doc_id").alias("id_a"), F.col("text").alias("ta"),
-        F.col("n_chars").alias("na"), *counts("ca"),
+    # its partition count — and a single-file corpus scans as one task.
+    # SLIM sides — ids + counts only: at sf10 the length blocking admits
+    # ~2.5e8 candidate pairs (447 distinct lengths × ~1k docs each), and
+    # dragging two ~300-byte texts through that probe is the dominant
+    # cost on both engines. Texts are re-fetched for only the pairs that
+    # survive the L1 prune (hundreds), classic late materialization.
+    a = reps.repartition(n_cores, "doc_id").select(
+        F.col("doc_id").alias("id_a"), F.col("n_chars").alias("na"),
+        *counts("ca"),
     )
-    b = t.documents.repartition(n_cores, "doc_id").select(
-        F.col("doc_id").alias("id_b"), F.col("text").alias("tb"),
-        F.col("n_chars").alias("nb"), *counts("cb"),
+    b = reps.repartition(n_cores, "doc_id").select(
+        F.col("doc_id").alias("id_b"), F.col("n_chars").alias("nb"),
+        *counts("cb"),
     )
     l1 = None
     for i in range(len(_ED_CHARS)):
@@ -776,8 +816,11 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("id_a") < F.col("id_b"))
         & (l1 <= F.lit(10))
     )
+    pairs = a.join(b, cond).select("id_a", "id_b")
+    ta = reps.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    tb = reps.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
     return (
-        a.join(b, cond)
+        pairs.join(ta, "id_a").join(tb, "id_b")
         .withColumn("dist", F.levenshtein("ta", "tb", 5).cast("bigint"))
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
