@@ -108,10 +108,25 @@ def quality_score(text_col) -> Column:
 
 def doc_fingerprint(text_col) -> Column:
     """Order-sensitive rolling hash over words (mod 2^31-1): equal texts →
-    equal fingerprints; any word reorder/change → different w.h.p."""
+    equal fingerprints; any word reorder/change → different w.h.p.
+
+    The per-word hash is an md5 PREFIX (15 hex chars → < 2^60, fits a
+    long under ANSI), not xxhash64, on purpose (r10): md5 is the one hash
+    function Spark and DuckDB both implement bit-identically, so the whole
+    fold is expressible in the oracle dialect (``list_reduce`` over
+    ``string_split_regex``) and q_llm_fingerprint is VALUE-oracled instead
+    of rows-only. Any word hash serves the fingerprinting semantics; this
+    one buys cross-engine verifiability."""
     w = words_col(text_col)
     return F.aggregate(
         w,
         F.lit(7).cast("long"),
-        lambda acc, t: (acc * 33 + F.pmod(F.xxhash64(t), F.lit(_MOD))) % F.lit(_MOD),
+        lambda acc, t: (
+            acc * 33
+            + F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+                F.lit(_MOD),
+            )
+        )
+        % F.lit(_MOD),
     )

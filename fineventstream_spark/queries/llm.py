@@ -433,11 +433,26 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_fingerprint", oracle=None, tags=("U7", "F10"))
+@register(
+    "q_llm_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split_regex(lower(text), '\s+'),
+                 w -> CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT)
+                      % 2147483647)),
+             (acc, h) -> (acc * 33 + h) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+    tags=("U7", "F10"),
+)
 def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints; identical texts collide, and the
     distinct-fingerprint count matches the exact-dedup distinct-text count
-    (asserted in tests)."""
+    (asserted in tests). Value-oracled since r10: the word hash is an md5
+    prefix both engines compute identically (operators/text.py
+    doc_fingerprint), so DuckDB replays the exact fold."""
     t = Tables(spark, sf_dir)
     return t.documents.select(
         "doc_id", text.doc_fingerprint(F.col("text")).alias("fingerprint")

@@ -57,6 +57,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_join_asof_forward",
     "q_win_frame_rows",
     "q_report_waiting_suppliers",
+    # newly value-oracled in r10 (was rows-only; md5-prefix rolling hash)
+    "q_llm_fingerprint",
     # r10 behavior-changed (skew-routed layouts / checkpointed rollup)
     "q_join_inner",
     "q_report_nation_volume",
