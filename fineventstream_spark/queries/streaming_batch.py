@@ -140,13 +140,21 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_repartition_sorted",
-    oracle=None,  # physical-layout operator → rows-only
+    # The operator's POINT is physical layout (hash-partitioned by key,
+    # ts-ordered within each partition), which an order-insensitive value
+    # compare cannot see — that part is unit-test-asserted
+    # (tests/test_operators.py::test_repartition_sorted_layout). What the
+    # oracle CAN verify is content preservation: repartition+sort must be
+    # a pure reordering — no row dropped, duplicated, or altered (r10;
+    # was rows-only).
+    oracle="SELECT event_id, user_id, ts, event_type FROM events",
     tags=("T8",),
 )
 def q_repartition_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key ordered delivery (the Kinesis partition-key contract,
     producer_stock_quotes.py:126-129): hash-partition by key, sort within
-    partitions by event time."""
+    partitions by event time. Layout is asserted in unit tests; the
+    driver's value-hash checks the reordering preserved every row."""
     t = Tables(spark, sf_dir)
     return (
         t.events.repartition("user_id")

@@ -57,8 +57,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_join_asof_forward",
     "q_win_frame_rows",
     "q_report_waiting_suppliers",
-    # newly value-oracled in r10 (was rows-only; md5-prefix rolling hash)
+    # newly value-oracled in r10 (were rows-only): md5-prefix rolling hash;
+    # content-preservation oracle for the layout operator
     "q_llm_fingerprint",
+    "q_repartition_sorted",
     # r10 behavior-changed (skew-routed layouts / checkpointed rollup)
     "q_join_inner",
     "q_report_nation_volume",

@@ -2220,3 +2220,30 @@ def test_prejoin_layout_regenerates_on_dim_change(spark, tmp_path):
     v2 = {r["s_nationkey"] for r in spark.table(name2).select("s_nationkey").distinct().collect()}
     assert v2 == {99}, f"stale denormalized dim values served: {sorted(v2)[:5]}"
     assert v1 != v2
+
+
+def test_repartition_sorted_layout(spark, sf_dir):
+    """q_repartition_sorted's CONTRACT is physical: all rows of a key live
+    in one partition (hash repartition) and each partition is ts-ordered
+    (sortWithinPartitions). The driver's order-insensitive value compare
+    cannot see either property — its oracle (r10) checks content
+    preservation only — so the layout is asserted here from the actual
+    partition iterators."""
+    from fineventstream_spark.registry import all_queries
+
+    df = all_queries()["q_repartition_sorted"].fn(spark, sf_dir)
+
+    def check(it):
+        rows = list(it)
+        # within-partition ts order
+        ts = [r["ts"] for r in rows]
+        assert ts == sorted(ts), "partition not sorted by ts"
+        yield {"users": list({r["user_id"] for r in rows})}
+
+    parts = df.rdd.mapPartitions(check).collect()
+    # key co-location: no user_id appears in two partitions
+    seen: set = set()
+    for p in parts:
+        us = set(p["users"])
+        assert not (us & seen), f"user split across partitions: {sorted(us & seen)[:3]}"
+        seen |= us
