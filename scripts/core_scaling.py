@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Strong-scaling evidence: does each query family actually parallelize?
+
+The 100 TB argument rests on plans whose wall time divides by the core
+count — a plan with a hidden serial phase (driver-side loop, 1-partition
+stage, unsplittable sort) flatlines as cores grow, and no amount of
+cluster buys it back. Every prior evidence class (BASELINE curve, skew
+sweep) varied DATA at fixed cores; this harness varies CORES at fixed
+data (uniform sf10) and records, per representative query:
+
+    T(4), T(8), T(16), T(32)   min-of-3 solo reps via bench.py solo mode
+    speedup S(N) = T(4) / T(N)
+    parallel efficiency E(N) = S(N) / (N / 4)
+
+Each core count runs in its OWN subprocess (`local[N]` is fixed at JVM
+launch; `SPARK_GRAFT_CPUS` drives both master threads and
+spark.sql.shuffle.partitions — exactly how a cluster submit would size
+both). The 32-core point is re-run last as a DRIFT SENTINEL: if the two
+32-core totals disagree by >20% the whole run is flagged co-tenant-noisy
+(same-run-comparison discipline as BASELINE methodology).
+
+Representative set = one query per execution shape, not per family
+name: vectorized scan+agg, wide TPC-H agg, bucketed zero-exchange SMJ,
+pre-join-projection agg, covering-SMJ enrichment, union+window as-of,
+partitioned window sort, frame agg, Arrow pandas-UDF chunked rolling,
+hash-dedup, explode+join text scoring, sketch-UDAF rollup.
+
+Expected honest findings (recorded either way):
+- bucketed scans are 32-bucket-fixed, so at 4 cores they run 8 waves —
+  fine; at 64+ cores the layout, not the engine, caps parallelism
+  (N_BUCKETS scales with the cluster at ingest time).
+- min-of-3 at sf10 has a few-hundred-ms floor per query (job scheduling,
+  Python round-trips) that dilutes efficiency for sub-second queries —
+  efficiency is meaningful for the multi-second ones.
+
+Usage:
+    python scripts/core_scaling.py [--sf-dir /root/repo/.localdata/sf10]
+                                   [--cores 4,8,16,32]
+Output: one JSON blob to stdout + ``.localdata/core_scaling.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCALING_QUERIES = [
+    "q_agg_groupby_basic",
+    "q_report_pricing_summary",
+    "q_join_inner",
+    "q_report_nation_volume",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_rank",
+    "q_win_frame_rows",
+    "q_event_rolling_zscore",
+    "q_llm_dedup_exact",
+    "q_llm_bm25",
+    "q_agg_kll_quantile_rollup",
+]
+
+# none of the scaling queries read the JSONL/CSV/ORC/nested derivatives;
+# skipping them keeps the one-off (untimed) warm pass proportional to what
+# the run actually scans
+PREWARM_SKIP = (
+    "events_jsonl,events_partitioned,documents_drift,events_nested,"
+    "events_shredded,sink,orders_csv,lineitem_orc"
+)
+
+
+def _point_path(cores: int) -> str:
+    return os.path.join(REPO, ".localdata", "core_scaling_points", f"{cores}.json")
+
+
+def run_point(
+    cores: int, sf_dir: str, reuse: bool = True, persist: bool = True
+) -> dict[str, float]:
+    """One subprocess bench.py solo run at local[cores]; returns min-of-3
+    per-query seconds. Points persist to ``.localdata/core_scaling_points/``
+    so an interrupted sweep resumes instead of re-paying completed points
+    (``--fresh`` skips the reuse but still persists the new timings)."""
+    pp = _point_path(cores)
+    if reuse and os.path.exists(pp):
+        with open(pp) as f:
+            got = json.load(f)
+        if set(got) >= set(SCALING_QUERIES):
+            print(f"# local[{cores}]: reusing {pp}", file=sys.stderr)
+            return got
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_PREWARM_SKIP=PREWARM_SKIP,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *SCALING_QUERIES],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    if parsed.get("n_failed"):
+        raise RuntimeError(f"cores={cores}: failures {parsed.get('failures')}")
+    if persist:
+        os.makedirs(os.path.dirname(pp), exist_ok=True)
+        with open(pp, "w") as f:
+            json.dump(parsed["queries"], f, indent=1)
+    return parsed["queries"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.path.join(REPO, ".localdata", "sf10"))
+    ap.add_argument("--cores", default="4,8,16,32")
+    ap.add_argument(
+        "--fresh", action="store_true", help="ignore persisted points, retime all"
+    )
+    a = ap.parse_args()
+    steps = [int(c) for c in a.cores.split(",")]
+    base = min(steps)
+
+    points: dict[int, dict[str, float]] = {}
+    # largest first: its warm pass builds the shared .cache derivatives
+    # (untimed) once; later points re-register existing files
+    for cores in sorted(steps, reverse=True):
+        print(f"# running local[{cores}] ...", file=sys.stderr)
+        points[cores] = run_point(cores, a.sf_dir, reuse=not a.fresh)
+    sentinel_cores = max(steps)
+    print(f"# drift sentinel: re-running local[{sentinel_cores}]", file=sys.stderr)
+    sentinel = run_point(sentinel_cores, a.sf_dir, reuse=False, persist=False)
+
+    t_first = sum(points[sentinel_cores].values())
+    t_second = sum(sentinel.values())
+    drift = max(t_first, t_second) / max(min(t_first, t_second), 1e-9)
+
+    queries = {}
+    for q in SCALING_QUERIES:
+        t = {c: points[c][q] for c in steps}
+        speedup = {c: round(t[base] / t[c], 2) for c in steps}
+        eff = {c: round(speedup[c] / (c / base), 2) for c in steps}
+        queries[q] = {
+            "sec": {str(c): t[c] for c in steps},
+            "speedup_vs_base": {str(c): speedup[c] for c in steps},
+            "parallel_efficiency": {str(c): eff[c] for c in steps},
+        }
+    totals = {str(c): round(sum(points[c].values()), 2) for c in steps}
+    top = max(steps)
+    ev = {
+        "sf_dir": a.sf_dir,
+        "cores": steps,
+        "base_cores": base,
+        "totals_sec": totals,
+        "total_speedup": round(
+            sum(points[base].values()) / sum(points[top].values()), 2
+        ),
+        "drift_sentinel": {
+            "cores": sentinel_cores,
+            "first_total_sec": round(t_first, 2),
+            "second_total_sec": round(t_second, 2),
+            "ratio": round(drift, 3),
+            "noisy": drift > 1.2,
+        },
+        "queries": queries,
+    }
+    out = os.path.join(REPO, ".localdata", "core_scaling.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(ev, f, indent=2)
+    print(json.dumps(ev, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,8 +81,17 @@ US = pa.timestamp("us")
 
 
 def _write(out: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
-    print(f"  {name}: {table.num_rows} rows")
+    # Row-group sizing (r10): the row group is the atomic unit of scan
+    # parallelism — pyarrow's default (1 Mi rows/group) wrote sf10
+    # documents (500k rows, 127 MB) as ONE group, so every documents scan
+    # decoded serially in one task and the q_llm family flatlined on the
+    # core-scaling sweep (3.6 s at 4 cores AND at 32). Target ~64 groups
+    # per table (floored so tiny fixtures stay single-group) — the layout
+    # a real lake writer would produce, and the local stand-in for "at
+    # 100 TB this table is many files".
+    rg = max(16_384, min(1_048_576, table.num_rows // 64 or 1))
+    pq.write_table(table, os.path.join(out, f"{name}.parquet"), row_group_size=rg)
+    print(f"  {name}: {table.num_rows} rows (row_group_size={rg})")
 
 
 def _ts_ms(days_from_1995: np.ndarray) -> pa.Array:
