@@ -78,6 +78,23 @@ def _timed(fn, reps: int) -> float:
     return round(best, 3)
 
 
+def _timed_ab(arms: dict[str, object], reps: int) -> dict[str, float]:
+    """INTERLEAVED A/B: one rep of every arm per round, min per arm.
+    Sequential per-arm blocks (the r9 shape of this file) are exposed to
+    multi-rep co-tenant contention windows — a single noisy window lands
+    entirely on one arm and inverts the comparison (observed r10: the
+    E1 skewJoin-on block read 21.1 s sequential vs 7.1 s interleaved,
+    flipping the recorded speedup from 1.8× to 0.6×). Round-robin puts
+    every arm inside the same windows."""
+    best = {k: float("inf") for k in arms}
+    for _ in range(reps):
+        for k, fn in arms.items():
+            t0 = time.perf_counter()
+            fn()
+            best[k] = min(best[k], time.perf_counter() - t0)
+    return {k: round(v, 3) for k, v in best.items()}
+
+
 def _executed_plan(df) -> str:
     spark = df.sparkSession
     return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
@@ -125,22 +142,45 @@ def main() -> None:
                 "nation", "region", "supplier", "part"):
         _materialize(spark.read.parquet(os.path.join(a.dir, f"{tbl}.parquet")))
 
-    # ---- E1: AQE skew split at production thresholds -------------------
+    # ---- E1+E2: one interleaved 3-arm block ------------------------------
+    # shuffle+AQE-on vs shuffle+skewJoin-off (E1) vs bucketed SMJ (E2) on
+    # the SAME logical join — all three arms share every contention window.
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     thr = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
-    q = _shuffle_join(spark, a.dir)
-    t_aqe = _timed(lambda: _materialize(_shuffle_join(spark, a.dir)), a.reps)
+
+    from fineventstream_spark.operators.bucketed import bucketed_table
+
+    def bucketed_join():
+        return _enrich_join(
+            bucketed_table(spark, a.dir, "lineitem"),
+            bucketed_table(spark, a.dir, "orders"),
+        )
+
+    _materialize(bucketed_join())  # layout build (ingest work) excluded from timing
+
+    def _shuffle_arm(skew_on: bool):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
+        try:
+            _materialize(_shuffle_join(spark, a.dir))
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    t3 = _timed_ab(
+        {
+            "aqe_on": lambda: _shuffle_arm(True),
+            "skewjoin_off": lambda: _shuffle_arm(False),
+            "bucketed": lambda: _materialize(bucketed_join()),
+        },
+        a.reps,
+    )
+    t_aqe, t_noskew, t_bucketed = t3["aqe_on"], t3["skewjoin_off"], t3["bucketed"]
     # plan capture must execute THIS DataFrame's queryExecution — a
     # .write(...) action plans a separate command, leaving q's own
     # adaptive plan un-finalized (no skew markers)
+    q = _shuffle_join(spark, a.dir)
     q.collect()
     plan = _executed_plan(q)
     skew_engaged = "skew=true" in plan
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    try:
-        t_noskew = _timed(lambda: _materialize(_shuffle_join(spark, a.dir)), a.reps)
-    finally:
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     ev["E1_aqe_skew_split"] = {
         "threshold": thr,
         "engaged_at_production_thresholds": skew_engaged,
@@ -154,16 +194,6 @@ def main() -> None:
     )
 
     # ---- E2: bucketed zero-exchange SMJ under the same skew ------------
-    from fineventstream_spark.operators.bucketed import bucketed_table
-
-    def bucketed_join():
-        return _enrich_join(
-            bucketed_table(spark, a.dir, "lineitem"),
-            bucketed_table(spark, a.dir, "orders"),
-        )
-
-    _materialize(bucketed_join())  # layout build (ingest work) excluded from timing
-    t_bucketed = _timed(lambda: _materialize(bucketed_join()), a.reps)
     bq = bucketed_join()
     bq.collect()
     bplan = _executed_plan(bq)
@@ -184,18 +214,21 @@ def main() -> None:
     from fineventstream_spark.operators.skew import salted_agg_count_sum
 
     li = load_table(spark, a.dir, "lineitem")
-    t_salted = _timed(
-        lambda: _materialize(salted_agg_count_sum(li, "l_returnflag", "l_quantity")),
+    t_e3 = _timed_ab(
+        {
+            "salted": lambda: _materialize(
+                salted_agg_count_sum(li, "l_returnflag", "l_quantity")
+            ),
+            "plain": lambda: _materialize(
+                li.groupBy("l_returnflag").agg(
+                    F.count("*").alias("n"),
+                    F.round(F.sum("l_quantity"), 4).alias("total"),
+                )
+            ),
+        },
         a.reps,
     )
-    t_plain = _timed(
-        lambda: _materialize(
-            li.groupBy("l_returnflag").agg(
-                F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("total")
-            )
-        ),
-        a.reps,
-    )
+    t_salted, t_plain = t_e3["salted"], t_e3["plain"]
     ev["E3_salted_agg"] = {
         "salted_sec": t_salted,
         "plain_sec": t_plain,
@@ -208,12 +241,21 @@ def main() -> None:
     win = {}
     for name in ("q_win_rank", "q_win_frame_rows"):
         fn = registry[name].fn
-        row = {"skew_sec": _timed(lambda: _materialize(fn(spark, a.dir)), a.reps)}
         if os.path.exists(os.path.join(a.uniform_dir, "events.parquet")):
-            row["uniform_sec"] = _timed(
-                lambda: _materialize(fn(spark, a.uniform_dir)), a.reps
+            t4 = _timed_ab(
+                {
+                    "skew": lambda fn=fn: _materialize(fn(spark, a.dir)),
+                    "uniform": lambda fn=fn: _materialize(fn(spark, a.uniform_dir)),
+                },
+                a.reps,
             )
-            row["skew_tax"] = round(row["skew_sec"] / row["uniform_sec"], 2)
+            row = {
+                "skew_sec": t4["skew"],
+                "uniform_sec": t4["uniform"],
+                "skew_tax": round(t4["skew"] / t4["uniform"], 2),
+            }
+        else:
+            row = {"skew_sec": _timed(lambda: _materialize(fn(spark, a.dir)), a.reps)}
         win[name] = row
     ev["E4_window_straggler"] = win
 
@@ -259,23 +301,26 @@ def main() -> None:
     # that flipped bucketed_table's routing default to per-call-site opt-in.
     from fineventstream_spark.operators.bucketed import SKEW_ROUTE_ALL_CONF_KEY
 
-    def _with_routing(routed: bool, qname: str) -> float:
+    def _routed_run(routed: bool, qname: str) -> None:
         spark.conf.set(SKEW_ROUTE_ALL_CONF_KEY, "true" if routed else "false")
         try:
-            return _timed(
-                lambda: _materialize(registry[qname].fn(spark, a.dir)), a.reps
-            )
+            _materialize(registry[qname].fn(spark, a.dir))
         finally:
             spark.conf.unset(SKEW_ROUTE_ALL_CONF_KEY)
 
     e7 = {}
     for qname in ("q_join_inner", "q_report_nation_volume"):
-        forced = _with_routing(False, qname)
-        routed = _with_routing(True, qname)
+        t7 = _timed_ab(
+            {
+                "forced": lambda qname=qname: _routed_run(False, qname),
+                "routed": lambda qname=qname: _routed_run(True, qname),
+            },
+            a.reps,
+        )
         e7[qname] = {
-            "forced_bucketed_sec": forced,
-            "routed_shuffle_aqe_sec": routed,
-            "layout_speedup": round(routed / forced, 2),
+            "forced_bucketed_sec": t7["forced"],
+            "routed_shuffle_aqe_sec": t7["routed"],
+            "layout_speedup": round(t7["routed"] / t7["forced"], 2),
         }
     e7["note"] = (
         "aggregate-collapsing consumers keep the layout (default); only "
@@ -292,24 +337,23 @@ def main() -> None:
         SERIAL_WINDOW_PARTITION_CONF_KEY,
     )
 
-    def _win(budget: str) -> float:
+    def _win(budget: str) -> None:
         spark.conf.set(SERIAL_WINDOW_PARTITION_CONF_KEY, budget)
         try:
-            return _timed(
-                lambda: _materialize(
-                    registry["q_win_frame_rows"].fn(spark, a.dir)
-                ),
-                a.reps,
-            )
+            _materialize(registry["q_win_frame_rows"].fn(spark, a.dir))
         finally:
             spark.conf.unset(SERIAL_WINDOW_PARTITION_CONF_KEY)
 
     # budget just under the hot user's ~27 MB partition: exactly ONE key
     # routes through the split branch (a 1-byte budget would mark every
     # key hot — its own pathology, now capped at 64 keys in the operator)
+    t8 = _timed_ab(
+        {"plain": lambda: _win("0"), "split": lambda: _win(str(20 << 20))},
+        a.reps,
+    )
     ev["E8_window_split_crossover"] = {
-        "plain_sec": _win("0"),
-        "forced_split_sec": _win(str(20 << 20)),
+        "plain_sec": t8["plain"],
+        "forced_split_sec": t8["split"],
         "note": (
             "on this fixture's ~27 MB hot partition the plain window wins "
             "(the split's exact-carry bookkeeping barrier costs more than "
