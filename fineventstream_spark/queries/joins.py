@@ -81,6 +81,63 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_enrich_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty,
+           CAST(SUM(CAST(ROUND(l.l_tax * 10000) AS BIGINT)) AS BIGINT)
+             AS tax_units,
+           MIN(l.l_shipdate) AS first_ship,
+           MAX(l.l_shipdate) AS last_ship
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("J1", "X16"),
+)
+def q_join_enrich_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-enrichment join: every lineitem row carries its order's
+    priority through the join, and the aggregation consumes a wide INPUT
+    slice of the fact row (price, quantity, tax, ship date) grouped by a
+    NON-bucket key — added in r10 to settle which side of the
+    skew-routing policy (operators/bucketed.py) this shape belongs to.
+
+    Measured answer (interleaved min-of-3 on the 18%-hot zipf sf10
+    fixture): forced-bucketed 6.5 s vs routed shuffle+AQE 10.6 s — the
+    LAYOUT wins 1.6×, so this query does NOT opt into routing. The
+    refinement over the E2 evidence: what makes a consumer
+    routing-favored is per-row post-join CPU (E2 xxhashes every column
+    per row), not how many input columns the aggregation reads. Cheap
+    per-row work (sums/min/max here) partial-aggregates inside the hot
+    bucket's task, so the zero-exchange SMJ still dominates; the plan is
+    the bucket-co-located SMJ with a single 5-row post-agg exchange, and
+    AQE's skew threshold (256 MB) correctly never fires on the pruned
+    shuffle row of the routed alternative either."""
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    od = bucketed_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            od.select("o_orderkey", "o_orderpriority").hint("merge"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "inner",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            F.sum(F.round(F.col("l_tax") * 10000).cast("long")).alias("tax_units"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )
+
+
+@register(
     "q_join_left",
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice,

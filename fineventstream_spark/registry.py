@@ -61,6 +61,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # content-preservation oracle for the layout operator
     "q_llm_fingerprint",
     "q_repartition_sorted",
+    # new in r10: the routing-policy probe query (measured: layout side)
+    "q_join_enrich_priority",
     # r10 behavior-changed (skew-routed layouts / checkpointed rollup)
     "q_join_inner",
     "q_report_nation_volume",
