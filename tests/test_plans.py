@@ -1078,3 +1078,16 @@ def test_topk_per_group_partial_window_limit(spark, sf_dir):
         "rank-limit pushdown missing (need partial + final):\n" + plan
     )
     assert "Partial" in plan
+
+
+def test_enrich_priority_join_is_colocated(spark, sf_dir):
+    """q_join_enrich_priority (r10 routing-policy probe) must keep the
+    zero-exchange bucketed SMJ on uniform layouts: the only shuffle in the
+    whole plan is the 5-row post-agg exchange on o_orderpriority. A second
+    Exchange means the join lost co-location (layout mis-registration or
+    an accidental route_skew opt-in — the measured A/B says the layout
+    wins 1.6x for this shape even under an 18%-hot key)."""
+    plan = _plan(spark, sf_dir, "q_join_enrich_priority")
+    assert "SortMergeJoin" in plan, f"expected co-located SMJ:\n{plan[:1500]}"
+    n = _shuffle_exchanges(plan)
+    assert n == 1, f"expected exactly the post-agg exchange, found {n}:\n{plan[:1500]}"
