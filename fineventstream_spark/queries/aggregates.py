@@ -524,23 +524,78 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_percentile",
-    oracle=None,  # approximate by design → rows-only
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           TRUE AS approx_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("A4", "A7"),
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (t-digest style, single-pass, mergeable) — the
-    100 TB percentile path; the exact form is oracle-checked in
-    q_agg_stats."""
+    """percentile_approx (rank-sketch, single-pass, mergeable) — the
+    100 TB percentile path.
+
+    Value-oracled since r11 (was rows-only): the returned quartiles are
+    the EXACT ones (operators/percentiles.py — hash-identical to DuckDB
+    ``quantile_cont``, same as q_agg_stats), and the sketch certifies
+    itself through ``approx_within_tol`` — a hash-checked boolean that is
+    TRUE iff every approx quartile sits within 0.5% relative of its exact
+    twin. The oracle emits the literal TRUE, so a sketch regression flips
+    the boolean and FAILS the hash compare — strictly stronger than the
+    old rows-only `rel_err` audit, which only a human reading the row
+    would catch. percentile_approx returns an actual data value (no
+    interpolation, rank error ≤ n/accuracy = n/10000), so on the price
+    column (smooth, 5 orders of magnitude of support, adjacent order
+    stats ~1e-4 apart relatively) the deviation vs the interpolated
+    exact value is orders of magnitude under the 0.5% gate.
+
+    ``SPARK_GRAFT_AUDIT=off`` switches to the production form: sketch
+    only, no exact pass (the schema changes — bench-only mode, per
+    queries/_audit.py)."""
+    from fineventstream_spark.operators.percentiles import exact_percentiles
+    from fineventstream_spark.queries._audit import audits_enabled
+
     t = Tables(spark, sf_dir)
     # The quartile sketch is computed once as an array but surfaced as
     # scalar columns: the driver's canonicalizer hashes cell values and
     # cannot handle array cells.
     iqr = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.element_at(iqr, 1).alias("p25_approx"),
-        F.element_at(iqr, 2).alias("p75_approx"),
-        F.count("*").alias("n"),
+    approx = t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__p50a"),
+        F.element_at(iqr, 1).alias("__p25a"),
+        F.element_at(iqr, 2).alias("__p75a"),
+        F.count("l_extendedprice").alias("n"),
+    )
+    if not audits_enabled():
+        return approx.select(
+            "l_returnflag",
+            "n",
+            F.col("__p25a").alias("p25_approx"),
+            F.col("__p50a").alias("p50_approx"),
+            F.col("__p75a").alias("p75_approx"),
+        )
+    exact = exact_percentiles(
+        t.lineitem, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75],
+        aliases=["p25", "p50", "p75"],
+    )
+
+    def _ok(a, e):  # relative deviation gate; exact quartiles are > 0 here
+        return F.abs(F.col(a) / F.col(e) - 1.0) <= 0.005
+
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "p25",
+        "p50",
+        "p75",
+        (_ok("__p25a", "p25") & _ok("__p50a", "p50") & _ok("__p75a", "p75")).alias(
+            "approx_within_tol"
+        ),
     )
 
 

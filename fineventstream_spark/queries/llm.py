@@ -270,15 +270,74 @@ def q_llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(t.embeddings, "embedding", "vec_id", _query_vec(), k=10)
 
 
-@register("q_llm_knn_ivf", oracle=None, tags=("U6",))
+@register(
+    "q_llm_knn_ivf",
+    oracle=f"""
+    -- Exact SQL replay of the IVF pipeline (r11 oracle upgrade — was
+    -- rows-only): "approximate" here means approximate vs the FULL scan,
+    -- not nondeterministic. Centroids, probe set, assignment, in-bucket
+    -- rerank and recall are all pure functions of the fixture, so DuckDB
+    -- replays every step. Tie-breaks mirror the Spark side exactly:
+    -- assignment = lowest centroid id on equal cosine (numpy argmax
+    -- first-occurrence), probe = cosine DESC then centroid id (stable
+    -- sort), top-k = ROUND(cos,6) DESC then vec_id.
+    WITH q AS (SELECT CAST({_QUERY_VEC_SQL} AS DOUBLE[]) AS qv),
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16
+    ),
+    probe AS (
+      SELECT cid FROM cent, q
+      ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC
+      LIMIT 4
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cid AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1
+    ),
+    approx AS (
+      SELECT a.vec_id,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 6)
+               AS cosine_sim
+      FROM assigned a, q
+      WHERE a.bucket IN (SELECT cid FROM probe)
+      ORDER BY cosine_sim DESC, a.vec_id ASC
+      LIMIT 10
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS cosine_sim
+      FROM embeddings e, q
+      ORDER BY cosine_sim DESC, e.vec_id ASC
+      LIMIT 10
+    ),
+    recall AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall_at_10
+      FROM approx JOIN exact USING (vec_id)
+    )
+    SELECT a.vec_id, a.cosine_sim, r.recall_at_10
+    FROM approx a CROSS JOIN recall r
+    """,
+    tags=("U6",),
+)
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (16 centroids, nprobe=4): the scan
-    touches ~nprobe/16 of the corpus. Approximate → rows-only, so the
-    result self-certifies: ``recall_at_10`` = |IVF top-10 ∩ exact
-    top-10| / 10, computed in-plan against the brute-force answer — a
-    driver row that "ran" now also proves the probe quality. (At 100 TB
-    the exact pass runs over a sampled query set as an offline audit, not
-    per query; here the corpus is the sample.)"""
+    touches ~nprobe/16 of the corpus. Value-oracled since r11: every IVF
+    step is deterministic (fixed centroids = embeddings 0..15, stable
+    tie-breaks), so the DuckDB twin replays centroid selection, probe
+    choice, bucket assignment and the in-bucket rerank and must produce
+    the identical 10 rows — including ``recall_at_10`` = |IVF top-10 ∩
+    exact top-10| / 10, still computed in-plan against the brute-force
+    answer. (At 100 TB the exact pass runs over a sampled query set as
+    an offline audit, not per query; here the corpus is the sample.)"""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
     centroid_rows = (
@@ -436,13 +495,21 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_fingerprint",
     oracle=r"""
+    -- NULL passthrough guard (r11 advisor): Spark's F.aggregate over a
+    -- NULL word array yields NULL, but DuckDB's list_prepend(7, NULL)
+    -- yields [7] → fingerprint 7 — a false mismatch on any null text.
+    -- Dialect note kept with the oracle: RE2's \s excludes \x0b while
+    -- Java's matches it; the fixture contract (single-space ASCII word
+    -- soup, asserted in tests/test_fixture_contract) keeps the split
+    -- identical on both engines.
     SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(7 AS BIGINT),
                list_transform(string_split_regex(lower(text), '\s+'),
                  w -> CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT)
                       % 2147483647)),
-             (acc, h) -> (acc * 33 + h) % 2147483647) AS fingerprint
+             (acc, h) -> (acc * 33 + h) % 2147483647) END AS fingerprint
     FROM documents
     """,
     tags=("U7", "F10"),

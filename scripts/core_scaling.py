@@ -73,24 +73,31 @@ PREWARM_SKIP = (
 )
 
 
-def _point_path(cores: int) -> str:
-    return os.path.join(REPO, ".localdata", "core_scaling_points", f"{cores}.json")
+def _point_path(cores: int, fixture: str) -> str:
+    return os.path.join(
+        REPO, ".localdata", "core_scaling_points", f"{fixture}_{cores}.json"
+    )
 
 
 def run_point(
     cores: int, sf_dir: str, reuse: bool = True, persist: bool = True
-) -> dict[str, float]:
-    """One subprocess bench.py solo run at local[cores]; returns min-of-3
-    per-query seconds. Points persist to ``.localdata/core_scaling_points/``
-    so an interrupted sweep resumes instead of re-paying completed points
-    (``--fresh`` skips the reuse but still persists the new timings)."""
-    pp = _point_path(cores)
+) -> tuple[dict[str, float], bool]:
+    """One subprocess bench.py solo run at local[cores]; returns (min-of-3
+    per-query seconds, reused_from_disk). Points persist per FIXTURE to
+    ``.localdata/core_scaling_points/`` so an interrupted sweep resumes
+    instead of re-paying completed points (``--fresh`` skips the reuse but
+    still persists the new timings). The reused flag flows into the drift
+    sentinel (r11 advisor): a sentinel ratio computed against a point
+    loaded from an EARLIER session measures staleness, not co-tenant
+    noise, and must say so in the blob."""
+    fixture = os.path.basename(os.path.normpath(sf_dir))
+    pp = _point_path(cores, fixture)
     if reuse and os.path.exists(pp):
         with open(pp) as f:
             got = json.load(f)
         if set(got) >= set(SCALING_QUERIES):
             print(f"# local[{cores}]: reusing {pp}", file=sys.stderr)
-            return got
+            return got, True
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
@@ -113,13 +120,14 @@ def run_point(
         os.makedirs(os.path.dirname(pp), exist_ok=True)
         with open(pp, "w") as f:
             json.dump(parsed["queries"], f, indent=1)
-    return parsed["queries"]
+    return parsed["queries"], False
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.path.join(REPO, ".localdata", "sf10"))
     ap.add_argument("--cores", default="4,8,16,32")
+    ap.add_argument("--out", default=os.path.join(REPO, ".localdata", "core_scaling.json"))
     ap.add_argument(
         "--fresh", action="store_true", help="ignore persisted points, retime all"
     )
@@ -128,14 +136,15 @@ def main() -> None:
     base = min(steps)
 
     points: dict[int, dict[str, float]] = {}
+    reused: dict[int, bool] = {}
     # largest first: its warm pass builds the shared .cache derivatives
     # (untimed) once; later points re-register existing files
     for cores in sorted(steps, reverse=True):
         print(f"# running local[{cores}] ...", file=sys.stderr)
-        points[cores] = run_point(cores, a.sf_dir, reuse=not a.fresh)
+        points[cores], reused[cores] = run_point(cores, a.sf_dir, reuse=not a.fresh)
     sentinel_cores = max(steps)
     print(f"# drift sentinel: re-running local[{sentinel_cores}]", file=sys.stderr)
-    sentinel = run_point(sentinel_cores, a.sf_dir, reuse=False, persist=False)
+    sentinel, _ = run_point(sentinel_cores, a.sf_dir, reuse=False, persist=False)
 
     t_first = sum(points[sentinel_cores].values())
     t_second = sum(sentinel.values())
@@ -166,11 +175,17 @@ def main() -> None:
             "first_total_sec": round(t_first, 2),
             "second_total_sec": round(t_second, 2),
             "ratio": round(drift, 3),
-            "noisy": drift > 1.2,
+            # first point loaded from a persisted file (possibly an earlier
+            # session) — a high ratio then means STALE vs fresh, not
+            # co-tenant noise within this run (r11 advisor)
+            "first_point_reused": reused[sentinel_cores],
+            "noisy": drift > 1.2 and not reused[sentinel_cores],
+            "stale_first_point": drift > 1.2 and reused[sentinel_cores],
         },
+        "points_reused": {str(c): reused[c] for c in steps},
         "queries": queries,
     }
-    out = os.path.join(REPO, ".localdata", "core_scaling.json")
+    out = a.out
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(ev, f, indent=2)
