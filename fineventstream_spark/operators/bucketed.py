@@ -550,6 +550,24 @@ def bucketed_table(
     return spark.table(name)
 
 
+def layout_skew_degenerate(
+    spark: SparkSession, sf_dir: str, table: str, key: str | None = None
+) -> bool:
+    """True when the (table, key) layout group's recorded bucket-skew ratio
+    is at/above the session routing threshold — the signal consumers use to
+    switch to a skew-tolerant PLAN SHAPE (r11: the report family's
+    pre-aggregate-before-join variants), as opposed to ``route_skew`` which
+    only swaps the scan. Reads the registry the layouts themselves maintain
+    (parquet-footer row counts, zero query-time probing); call after
+    ``bucketed_table``/``ensure_bucketed`` has materialized the layout so
+    the entry exists — an unknown layout reads as ratio 1.0 (not skewed),
+    the conservative default for the plan-shape decision because the
+    baseline plan is the measured winner on uniform data."""
+    key = key or BUCKET_KEYS[table]
+    threshold = _skew_route_threshold(spark)
+    return threshold > 0 and layout_group_skew_ratio(sf_dir, table, key) >= threshold
+
+
 def bucketed_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ orders on orderkey with both sides bucketed on the key:
     the plan contains no Exchange — the join is pre-co-located."""

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
-from fineventstream_spark.operators.bucketed import bucketed_table
+from fineventstream_spark.operators.bucketed import (
+    bucketed_table,
+    layout_skew_degenerate,
+)
 from fineventstream_spark.operators.sizing import broadcast_else_shuffle_hash
 from fineventstream_spark.queries._money import (
     DISC_REV_UNITS_SQL,
@@ -1083,10 +1086,21 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches 180 M rows for no reduction) — probe placement follows the
     probe's SELECTIVITY. Filter and broadcast-join both preserve the
     bucketed distribution and per-bucket order, so the SMJ stays
-    zero-exchange (plan-asserted)."""
+    zero-exchange (plan-asserted).
+
+    r11 skew variant (verdict #2 — 2.8× zipf tax): the hot-bucket cost
+    here is the per-line dim probes + profit expression serializing into
+    one bucket task, which pre-aggregating ON the layout cannot fix
+    (measured within noise: 3.15 vs 3.33 s). The winner does the
+    per-line work on the PLAIN scan — parallel across input splits —
+    then map-side partial aggregation collapses the hot order per split
+    (groupBy l_orderkey, n_name), the small aggregate shuffles, and
+    bucketed orders joins it exchange-free on its own side. Interleaved
+    4-arm A/B (sf10, scripts/report_skew_ab.py): zipf current 3.33 /
+    layout-preagg 3.15 / routed-SMJ 3.48 / plain-preagg 1.98 s — tax
+    2.8× → 1.4×. Uniform keeps the current plan (1.43 vs 1.76 s), so
+    the branch is gated on the recorded layout skew ratio."""
     t = Tables(spark, sf_dir)
-    od = bucketed_table(spark, sf_dir, "orders")
-    li = bucketed_table(spark, sf_dir, "lineitem")
     parts = F.broadcast(
         t.part.filter(F.col("p_name").like("%red%")).select(
             "p_partkey", "p_retailprice"
@@ -1098,6 +1112,34 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
     )
+    od = bucketed_table(spark, sf_dir, "orders")
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    if layout_skew_degenerate(spark, sf_dir, "lineitem"):
+        per_order = (
+            bucketed_table(spark, sf_dir, "lineitem", route_skew=True)
+            .select(
+                "l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount", "l_quantity",
+            )
+            .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+            .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("l_orderkey", "n_name")
+            .agg(F.sum(profit).alias("__profit"))
+        )
+        return (
+            per_order.join(
+                od.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").cast("int").alias("o_year"),
+            )
+            .agg(F.round(F.sum("__profit"), 4).alias("sum_profit"))
+        )
     lines = li.select(
         "l_orderkey",
         "l_partkey",
@@ -1116,15 +1158,7 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-                ),
-                4,
-            ).alias("sum_profit")
-        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
     )
 
 
@@ -1214,21 +1248,41 @@ def q_report_ship_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adapted: the fixtures carry no l_shipmode/receiptdate, so the mode
     is a derived latency bucket — FAST (<30 days order->ship), MEDIUM
     (<90), SLOW — which preserves Q12's point (does premium cargo get
-    premium handling?). Plan (r10 — the skewed sweep named this the
-    family's worst Spark offender at 3.0× tax): both sides ride the
-    bucketed orderkey layout, so the join is a bucket-co-located SMJ
-    with zero fact exchange — the year filter still pushes to the scan,
-    the priority CASE folds into the merge projection, and the 3-row
-    output aggregates map-side. Measured (sf10, solo interleaved
-    min-of-3): shuffle form 1.89 s uniform / 4.87 s zipf → bucketed
-    0.69 / 2.05 — 2.7× and 2.4× respectively; the residual zipf gap is
-    the hot-bucket stream both engines pay (DuckDB: 12.3 s here)."""
-    lines = bucketed_table(spark, sf_dir, "lineitem").filter(
+    premium handling?). Plan: both sides ride the bucketed orderkey
+    layout, so the join is a bucket-co-located SMJ with zero fact
+    exchange — the year filter still pushes to the scan, the priority
+    CASE folds into the merge projection, and the 3-row output
+    aggregates map-side. Measured (sf10, solo interleaved min-of-3):
+    shuffle form 1.89 s uniform / 4.87 s zipf → bucketed 0.69 / 2.05.
+
+    r11 skew variant (verdict #2 — this was the family's worst offender
+    at 3.0× zipf tax): when the orderkey layout group is recorded
+    skew-degenerate, lineitem PRE-AGGREGATES to (l_orderkey, l_shipdate)
+    grain before the merge join — the ship bucket depends only on
+    (shipdate, orderdate), so line multiplicity becomes a weight and the
+    18%-hot order collapses to ≤ |distinct shipdates| rows inside the
+    hot bucket's hash-aggregate (which still rides the bucket
+    distribution: hash(orderkey) satisfies the grouping's clustering, so
+    the plan keeps ZERO fact exchanges and only adds the SMJ's
+    per-partition sort of the collapsed stream). Interleaved A/B (sf10,
+    min-of-3, scripts/report_skew_ab.py): zipf 2.38 → 1.30 s (tax 3.0×
+    → 1.7× vs the 0.77 s uniform run); uniform would LOSE 1.34× (1.04 s
+    — orders have ~4 lines with near-distinct shipdates, so nothing
+    collapses), hence the ratio-gated branch, not a blanket rewrite."""
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    lines = li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("l_orderkey", "l_shipdate")
     lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    if layout_skew_degenerate(spark, sf_dir, "lineitem"):
+        lines = lines.groupBy("l_orderkey", "l_shipdate").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        one, zero = F.col("__cnt"), F.lit(0)
+    else:
+        one, zero = F.lit(1), F.lit(0)
     return (
         lines.join(
             bucketed_table(spark, sf_dir, "orders")
@@ -1242,8 +1296,8 @@ def q_report_ship_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ship_bucket")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            F.sum(F.when(high, one).otherwise(zero)).alias("high_line_count"),
+            F.sum(F.when(high, zero).otherwise(one)).alias("low_line_count"),
         )
         .orderBy("ship_bucket")
     )

@@ -1,0 +1,353 @@
+#!/usr/bin/env python
+"""r11 ask #2: cut the report-family skew tax (Q12-split 3.0x, Q9 2.8x
+under zipf — BASELINE r10 skewed sweep). Both queries do order-grained
+work downstream of the bucketed lineitem⋈orders SMJ, so the 18%-hot
+orderkey's bucket task pays merge + per-row expression + partial-agg on
+every hot line.
+
+Candidate fix measured here: PRE-AGGREGATE lineitem to (near-)order
+grain BEFORE the join, so the hot order collapses inside the hot
+bucket's hash-aggregate and the SMJ merge streams collapsed rows:
+
+- Q12 preagg: groupBy(l_orderkey, l_shipdate).count() — the ship bucket
+  depends only on (shipdate, orderdate), so line multiplicity becomes a
+  weight. Hot order → ≤ |distinct shipdates| rows.
+- Q9 preagg: per-line profit terms are join-free (part + supplier dims
+  broadcast), so sum them by (l_orderkey, n_name) pre-join. Hot order →
+  ≤ |nations| rows.
+
+Both pre-aggs keep ZERO fact exchanges: hash(l_orderkey) partitioning
+satisfies the grouping's ClusteredDistribution (subset rule), so the agg
+rides the bucketed layout; only the SMJ's per-partition sort of the
+(small) aggregated stream is added. The cost side: on UNIFORM data the
+pre-agg collapses nothing (orders have ~4 lines with near-distinct
+shipdates) and the hash-agg + re-sort is pure overhead — which is why
+this script times both fixtures and the adopted policy keys on the
+layout's recorded bucket-skew ratio (operators/bucketed.py registry),
+not on a blanket rewrite.
+
+Methodology: BASELINE "interleaved arms" (one rep of every arm per
+round, min per arm — skew_evidence.py r10 lesson: sequential blocks let
+one co-tenant window invert a comparison).
+
+Usage:
+    python scripts/report_skew_ab.py [--uniform .localdata/sf10]
+        [--zipf .localdata/sf10zipf1.2] [--reps 3]
+Output: JSON to stdout + .localdata/report_skew_ab.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from fineventstream_spark.catalog import Tables
+from fineventstream_spark.operators.bucketed import bucketed_table
+from fineventstream_spark.registry import all_queries
+from fineventstream_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mat(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed_ab(arms: dict, reps: int) -> dict[str, float]:
+    best = {k: float("inf") for k in arms}
+    for _ in range(reps):
+        for k, fn in arms.items():
+            t0 = time.perf_counter()
+            fn()
+            best[k] = min(best[k], time.perf_counter() - t0)
+    return {k: round(v, 3) for k, v in best.items()}
+
+
+# ---------------------------------------------------------------- Q12 ----
+
+
+def q12_preagg(spark, sf_dir):
+    """Pre-aggregated Q12-split: lineitem → (l_orderkey, l_shipdate, cnt)
+    before the merge join; counts become weights in the final 3-row agg."""
+    lines = (
+        bucketed_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "l_shipdate")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(
+            bucketed_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+            .hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "ship_bucket",
+            F.when(lag < 30, "FAST").when(lag < 90, "MEDIUM").otherwise("SLOW"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, F.col("__cnt")).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(F.col("__cnt"))).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+# ----------------------------------------------------------------- Q9 ----
+
+
+def q9_preagg(spark, sf_dir):
+    """Pre-aggregated Q9: per-line profit summed by (l_orderkey, n_name)
+    before the merge join (part + supplier/nation dims broadcast as in the
+    current plan); orders contributes only year(o_orderdate)."""
+    t = Tables(spark, sf_dir)
+    parts = F.broadcast(
+        t.part.filter(F.col("p_name").like("%red%")).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    supp_nation = F.broadcast(
+        t.supplier.select("s_suppkey", "s_nationkey").join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+        )
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_orderkey", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("__profit")
+        )
+    )
+    od = bucketed_table(spark, sf_dir, "orders")
+    return (
+        per_order.join(
+            od.select("o_orderkey", "o_orderdate").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum("__profit"), 4).alias("sum_profit"))
+    )
+
+
+def _rows_key(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def run_fixture(spark, sf_dir: str, reps: int) -> dict:
+    reg = all_queries()
+    q12_cur = reg["q_report_ship_priority_split"].fn
+    q9_cur = reg["q_report_product_profit"].fn
+
+    # result equivalence first (collected, order-insensitive) — a faster
+    # wrong plan must fail loudly here, not in the differential suite
+    assert _rows_key(q12_cur(spark, sf_dir)) == _rows_key(q12_preagg(spark, sf_dir)), (
+        "Q12 preagg rows diverge"
+    )
+    r9a, r9b = _rows_key(q9_cur(spark, sf_dir)), _rows_key(q9_preagg(spark, sf_dir))
+    # Q9 sums floats in a different order → compare at the oracle's own
+    # rounding (4 dp on values already rounded — allow last-ulp wobble)
+    assert len(r9a) == len(r9b) and all(
+        a[0] == b[0] and a[1] == b[1] and abs(a[2] - b[2]) <= 0.01
+        for a, b in zip(r9a, r9b)
+    ), "Q9 preagg rows diverge"
+
+    out = {}
+    out["q12"] = _timed_ab(
+        {
+            "current": lambda: _mat(q12_cur(spark, sf_dir)),
+            "preagg": lambda: _mat(q12_preagg(spark, sf_dir)),
+        },
+        reps,
+    )
+    out["q9"] = _timed_ab(
+        {
+            "current": lambda: _mat(q9_cur(spark, sf_dir)),
+            "preagg": lambda: _mat(q9_preagg(spark, sf_dir)),
+        },
+        reps,
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--uniform", default=os.path.join(REPO, ".localdata", "sf10"))
+    ap.add_argument("--zipf", default=os.path.join(REPO, ".localdata", "sf10zipf1.2"))
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--q9-variants", action="store_true",
+                    help="zipf-focused round over the extra Q9 arms")
+    a = ap.parse_args()
+
+    if a.q9_variants:
+        q9_deep(a.zipf, a.uniform, a.reps)
+        return
+
+    spark = get_spark(app_name="report-skew-ab")
+    ev = {}
+    for label, sf_dir in (("uniform", a.uniform), ("zipf", a.zipf)):
+        if not os.path.isdir(sf_dir):
+            print(f"# skipping {label}: {sf_dir} missing", file=sys.stderr)
+            continue
+        print(f"# {label}: {sf_dir}", file=sys.stderr)
+        ev[label] = run_fixture(spark, sf_dir, a.reps)
+        print(json.dumps({label: ev[label]}), file=sys.stderr)
+
+    out = os.path.join(REPO, ".localdata", "report_skew_ab.json")
+    with open(out, "w") as f:
+        json.dump(ev, f, indent=2)
+    print(json.dumps(ev, indent=2))
+
+
+
+
+# -------------------------------------------------- Q9 extra variants ----
+# (invoked via --q9-variants: zipf-only deep dive; the first pass showed
+# preagg-on-layout within noise of current for Q9, so the remaining
+# candidates get their own interleaved round)
+
+
+def q9_routed(spark, sf_dir):
+    """Variant C: route the whole co-located group to the shuffle path so
+    AQE can split the hot partition (route_skew=True both sides)."""
+    t = Tables(spark, sf_dir)
+    parts = F.broadcast(
+        t.part.filter(F.col("p_name").like("%red%")).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    supp_nation = F.broadcast(
+        t.supplier.select("s_suppkey", "s_nationkey").join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    li = bucketed_table(spark, sf_dir, "lineitem", route_skew=True)
+    od = bucketed_table(spark, sf_dir, "orders", route_skew=True)
+    lines = li.select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    ).join(parts, F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        lines.join(
+            od.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                4,
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q9_plain_preagg(spark, sf_dir):
+    """Variant D: per-line work on the PLAIN scan (parallel across input
+    splits — the hot key's probes no longer serialize into one bucket
+    task), map-side partial agg collapses the hot order per split, then
+    the small aggregate joins bucketed orders."""
+    t = Tables(spark, sf_dir)
+    parts = F.broadcast(
+        t.part.filter(F.col("p_name").like("%red%")).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    supp_nation = F.broadcast(
+        t.supplier.select("s_suppkey", "s_nationkey").join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    li = bucketed_table(spark, sf_dir, "lineitem", route_skew=True)
+    per_order = (
+        li.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_quantity",
+        )
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_orderkey", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("__profit")
+        )
+    )
+    od = bucketed_table(spark, sf_dir, "orders")
+    return (
+        per_order.join(
+            od.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum("__profit"), 4).alias("sum_profit"))
+    )
+
+
+def q9_deep(zipf_dir: str, uniform_dir: str, reps: int) -> dict:
+    spark = get_spark(app_name="report-skew-ab-q9")
+    reg = all_queries()
+    q9_cur = reg["q_report_product_profit"].fn
+    out = {}
+    for label, d in (("zipf", zipf_dir), ("uniform", uniform_dir)):
+        if not os.path.isdir(d):
+            continue
+        arms = {
+            "current": lambda d=d: _mat(q9_cur(spark, d)),
+            "preagg": lambda d=d: _mat(q9_preagg(spark, d)),
+            "routed": lambda d=d: _mat(q9_routed(spark, d)),
+            "plain_preagg": lambda d=d: _mat(q9_plain_preagg(spark, d)),
+        }
+        out[label] = _timed_ab(arms, reps)
+        print(json.dumps({label: out[label]}), file=sys.stderr)
+    with open(os.path.join(REPO, ".localdata", "report_skew_ab_q9.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

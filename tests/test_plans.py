@@ -1091,3 +1091,71 @@ def test_enrich_priority_join_is_colocated(spark, sf_dir):
     assert "SortMergeJoin" in plan, f"expected co-located SMJ:\n{plan[:1500]}"
     n = _shuffle_exchanges(plan)
     assert n == 1, f"expected exactly the post-agg exchange, found {n}:\n{plan[:1500]}"
+
+
+def test_report_skew_variants_equivalent_and_shaped(spark, tmp_path):
+    """r11 (verdict #2): Q12-split and Q9 switch to pre-aggregate-before-
+    join plan shapes when the orderkey layout group is recorded skew-
+    degenerate. Pin on a 35%-hot mini-fixture:
+
+    - both branches (forced via the routing-threshold conf) return
+      IDENTICAL rows (Q9's profit sums compared at the oracle's own 4-dp
+      rounding);
+    - the Q12 skew plan pre-aggregates on (l_orderkey, l_shipdate)
+      WITHOUT adding a fact exchange (same Exchange count as baseline —
+      the pre-agg rides the bucket distribution);
+    - the Q9 skew plan aggregates on (l_orderkey, n_name) below the
+      orders join, reading the PLAIN scan (per-line dim probes
+      parallelize across input splits instead of serializing into the
+      hot bucket's task).
+    """
+    import warnings as _w
+
+    from tests.test_operators import _skewed_sf_fixture
+
+    from fineventstream_spark.operators.bucketed import (
+        SKEW_ROUTE_CONF_KEY,
+        layout_skew_degenerate,
+    )
+    from fineventstream_spark.queries.reports import (
+        q_report_product_profit,
+        q_report_ship_priority_split,
+    )
+
+    sf = _skewed_sf_fixture(tmp_path)
+
+    def run(q, threshold: str):
+        prev = _scoped_confs(spark, {SKEW_ROUTE_CONF_KEY: threshold})
+        try:
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")  # layout self-report, expected
+                df = q(spark, sf)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                rows = sorted(map(tuple, df.collect()))
+            return rows, plan
+        finally:
+            _restore_confs(spark, prev)
+
+    # "0" disables routing/skew-branching entirely -> baseline plan
+    base12, plan12_base = run(q_report_ship_priority_split, "0")
+    skew12, plan12_skew = run(q_report_ship_priority_split, "4.0")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        assert layout_skew_degenerate(spark, sf, "lineitem")
+    assert base12 == skew12
+    assert "l_shipdate" in plan12_skew and "HashAggregate" in plan12_skew
+    assert plan12_skew.count("Exchange") == plan12_base.count("Exchange"), (
+        "Q12 pre-agg must ride the bucket distribution, not add an exchange"
+    )
+
+    base9, _ = run(q_report_product_profit, "0")
+    skew9, plan9_skew = run(q_report_product_profit, "4.0")
+    assert len(base9) == len(skew9) and all(
+        a[0] == b[0] and a[1] == b[1] and abs(a[2] - b[2]) <= 1e-4
+        for a, b in zip(base9, skew9)
+    )
+    assert "l_orderkey" in plan9_skew and "n_name" in plan9_skew
+    # the skew branch reads the plain parquet, not the bucketed derivative
+    assert "lineitem_bucketed" not in plan9_skew, (
+        "Q9 skew branch must scan plain lineitem so dim probes parallelize"
+    )
