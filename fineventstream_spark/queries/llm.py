@@ -724,20 +724,95 @@ def q_llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_kmeans", oracle=None, tags=("U6",))
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Unrolled Lloyd's-algorithm replay in DuckDB SQL (r11 oracle
+    upgrade): the iteration count is FIXED, so "iterative" does not mean
+    "not SQL-expressible" — each round is one assignment CTE (cosine
+    argmax with the same lowest-centroid-id tie-break as the numpy
+    kernel) plus one per-dim-mean CTE (empty clusters keep their
+    centroid via the LEFT JOIN COALESCE, mirroring kmeans_fit). The
+    final SELECT reproduces the query's exact output: cluster counts
+    against the round-5 centroids and the Euclidean inertia gain from
+    the deterministic init (first k vectors by id) to the fit."""
+    sql = [
+        f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+             e AS cv
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}) t
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql.append(
+            f""",
+    a{it} AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.cv) DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN {prev} c) t
+      WHERE rn = 1
+    ),
+    m{it} AS (
+      SELECT cid, list(m ORDER BY i) AS cv
+      FROM (SELECT a.cid, d.i, AVG(a.e[d.i]) AS m
+            FROM a{it} a CROSS JOIN dims d GROUP BY a.cid, d.i) t
+      GROUP BY cid
+    ),
+    c{it} AS (
+      SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN m{it} m USING (cid)
+    )"""
+        )
+        prev = f"c{it}"
+    sql.append(
+        f""",
+    afinal AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.cv) DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN {prev} c) t
+      WHERE rn = 1
+    ),
+    i0 AS (SELECT AVG(d2) AS j FROM (
+      SELECT MIN(list_distance(v.e, c.cv) ^ 2) AS d2
+      FROM v CROSS JOIN c0 c GROUP BY v.vec_id) t),
+    ifit AS (SELECT AVG(d2) AS j FROM (
+      SELECT MIN(list_distance(v.e, c.cv) ^ 2) AS d2
+      FROM v CROSS JOIN {prev} c GROUP BY v.vec_id) t)
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (SELECT CASE WHEN i0.j > 0 THEN ROUND((i0.j - ifit.j) / i0.j, 4)
+                        ELSE 0.0 END
+            FROM i0, ifit) AS inertia_gain
+    FROM afinal GROUP BY cluster"""
+    )
+    return "".join(sql)
+
+
+@register("q_llm_kmeans", oracle=_kmeans_oracle_sql(), tags=("U6",))
 def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over embeddings (5 Lloyd iterations, k=8):
-    cluster cardinalities. Iterative algorithm → rows-only.
+    cluster cardinalities. Value-oracled since r11 (was rows-only): the
+    iteration count is fixed and every step is deterministic (first-k
+    init, cosine-argmax assignment with lowest-index tie-break, per-dim
+    mean update), so the DuckDB twin unrolls the five rounds as CTEs
+    and must land on identical cluster counts AND the identical
+    4-dp inertia gain (_kmeans_oracle_sql).
 
-    Self-certifying (rows-only driver check): every row carries
     ``inertia_gain`` — the relative reduction in total within-cluster
     sum of squares from the deterministic initial centroids to the
-    fitted ones. An internal metric on purpose: the fixture's labels
-    are barely separable (within-cluster spread ~5x the between-label
-    centroid distance), so label purity would certify noise; inertia
-    gain certifies that the Lloyd updates actually descend. A
-    regression in the update math shows up as the gain collapsing
-    toward 0."""
+    fitted ones — remains the quality audit: an internal metric on
+    purpose, because the fixture's labels are barely separable
+    (within-cluster spread ~5x the between-label centroid distance), so
+    label purity would certify noise; inertia gain certifies that the
+    Lloyd updates actually descend. A regression in the update math
+    shows up as the gain collapsing toward 0 — and now also as a hash
+    mismatch."""
     from fineventstream_spark.operators.kmeans import (
         initial_centroids,
         kmeans_fit,

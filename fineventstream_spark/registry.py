@@ -54,9 +54,11 @@ REGISTRY: dict[str, Query] = {}
 # suite at the identical compare strictness. Names not present in
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # oracle changed in r11
+    # oracle changed in r11 (three rows-only→hash-green conversions + the
+    # fingerprint NULL guard)
     "q_agg_approx_percentile",
     "q_llm_knn_ivf",
+    "q_llm_kmeans",
     "q_llm_fingerprint",
     # r10-verdict-named: routing-affected bucketed queries + frame-range
     # + the r11 skew-work report pair

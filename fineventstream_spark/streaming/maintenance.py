@@ -45,6 +45,40 @@ def compact_partition(
     return n_files
 
 
+def should_compact(
+    path: str,
+    max_files: int = 32,
+    min_mean_bytes: int = 8 * 1024 * 1024,
+) -> bool:
+    """Compaction trigger policy for one CLOSED partition (r11, calibrated
+    by scripts/compaction_evidence.py): compact when the partition holds
+    more than ``max_files`` data files OR their mean size is under
+    ``min_mean_bytes``.
+
+    Rationale, measured at sf10 (BASELINE r11): a micro-batch lake at the
+    reference's object size (~64 writers × hourly partitions ≈ 200-row
+    files) scans several times slower than its compacted form — per-file
+    footer reads and task scheduling dominate, not data bytes. Both
+    thresholds matter: file COUNT bounds scheduler/footer overhead
+    (32 × 128 MiB target ≈ a 4 GiB partition before a second wave is
+    justified), mean SIZE catches the many-tiny-files shape even when the
+    count looks moderate. Run per closed partition (previous hour) so the
+    rewrite never races the live writer; cost is one read+write of the
+    partition (compact_partition)."""
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    ]
+    if len(files) <= 1:
+        return False
+    if len(files) > max_files:
+        return True
+    mean = sum(os.path.getsize(f) for f in files) / len(files)
+    return mean < min_mean_bytes
+
+
 def vacuum_upsert_versions(path: str, keep: int = 2) -> list[int]:
     """Drop old snapshot versions of an upsert table (streaming/sink.py
     ``upsert_stream``), keeping the current one plus ``keep-1`` most

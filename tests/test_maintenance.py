@@ -167,3 +167,32 @@ def test_streaming_incremental_theta_sketch_union(spark, tmpdir):
             .e
         )
         assert est == exact[day], (day, est, exact[day])
+
+
+def test_should_compact_policy(tmpdir):
+    """r11 trigger policy: count-over-threshold OR mean-size-under-
+    threshold flags a partition; a single file (or an already-compacted
+    healthy partition) never does."""
+    from fineventstream_spark.streaming.maintenance import should_compact
+
+    def mkpart(name: str, files: list[int]) -> str:
+        d = os.path.join(tmpdir, name)
+        os.makedirs(d)
+        for i, size in enumerate(files):
+            with open(os.path.join(d, f"part-{i:05d}.parquet"), "wb") as f:
+                f.write(b"\x00" * size)
+        return d
+
+    # 40 files > max_files=32 → compact regardless of size
+    assert should_compact(mkpart("many", [16 * 1024 * 1024] * 40))
+    # 10 large files → healthy
+    assert not should_compact(mkpart("healthy", [64 * 1024 * 1024] * 10))
+    # 10 tiny files → mean under min_mean_bytes → compact
+    assert should_compact(mkpart("tiny", [64 * 1024] * 10))
+    # single file never compacts (nothing to merge)
+    assert not should_compact(mkpart("single", [1024]))
+    # commit-log/_hidden files are ignored
+    d = mkpart("hidden", [64 * 1024 * 1024] * 2)
+    with open(os.path.join(d, "_SUCCESS"), "wb") as f:
+        f.write(b"")
+    assert not should_compact(d)
