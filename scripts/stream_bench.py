@@ -85,11 +85,11 @@ def synth_envelopes(rate_df):
     )
 
 
-def quote_stream(spark, rate: int):
+def quote_stream(spark, rate: int, partitions: int = 8):
     raw = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rate))
-        .option("numPartitions", "8")
+        .option("numPartitions", str(partitions))
         .load()
     )
     decoded = project_quote(filter_valid_quotes(decode_envelope(synth_envelopes(raw))))
@@ -98,11 +98,12 @@ def quote_stream(spark, rate: int):
     )
 
 
-def run_rate(spark, rate: int, seconds: int, trigger: int, workdir: str) -> dict:
-    sink = os.path.join(workdir, f"lake_{rate}")
-    ckpt = os.path.join(workdir, f"ckpt_{rate}")
+def run_rate(spark, rate: int, seconds: int, trigger: int, workdir: str,
+             partitions: int = 8) -> dict:
+    sink = os.path.join(workdir, f"lake_{rate}_{partitions}")
+    ckpt = os.path.join(workdir, f"ckpt_{rate}_{partitions}")
     q = write_partitioned_stream(
-        quote_stream(spark, rate), sink, ckpt, trigger_seconds=trigger
+        quote_stream(spark, rate, partitions), sink, ckpt, trigger_seconds=trigger
     )
     try:
         time.sleep(seconds)
@@ -164,6 +165,8 @@ def main() -> None:
     ap.add_argument("--rates", default="50000,150000,400000")
     ap.add_argument("--seconds", type=int, default=45)
     ap.add_argument("--trigger", type=int, default=1)
+    ap.add_argument("--partitions", type=int, default=8,
+                    help="rate-source partitions = decode parallelism")
     a = ap.parse_args()
 
     spark = get_spark(app_name="stream-bench")
@@ -172,7 +175,8 @@ def main() -> None:
     try:
         for rate in (int(r) for r in a.rates.split(",")):
             print(f"# rate {rate}/s for {a.seconds}s ...", file=sys.stderr)
-            r = run_rate(spark, rate, a.seconds, a.trigger, workdir)
+            r = run_rate(spark, rate, a.seconds, a.trigger, workdir,
+                         partitions=a.partitions)
             results.append(r)
             print(json.dumps(r), file=sys.stderr)
     finally:
@@ -180,6 +184,7 @@ def main() -> None:
     sustained = [r["offered_rows_per_sec"] for r in results if r.get("caught_up")]
     ev = {
         "trigger_seconds": a.trigger,
+        "source_partitions": a.partitions,
         "window_seconds": a.seconds,
         "max_sustained_rows_per_sec": max(sustained) if sustained else None,
         "rates": results,
