@@ -54,8 +54,14 @@ REGISTRY: dict[str, Query] = {}
 # suite at the identical compare strictness. Names not present in
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # oracle changed in r11 (three rows-only→hash-green conversions + the
-    # fingerprint NULL guard)
+    # oracle changed in r11 (seven rows-only→hash-green conversions + the
+    # fingerprint NULL guard): the four boolean-gate sketch conversions
+    # (exact values oracled, sketch certified by a hash-checked
+    # tolerance boolean) first, then the earlier r11 set
+    "q_agg_approx_distinct",
+    "q_agg_sketch_rollup",
+    "q_agg_kll_quantile_rollup",
+    "q_event_theta_overlap",
     "q_agg_approx_percentile",
     "q_llm_knn_ivf",
     "q_llm_kmeans",

@@ -64,13 +64,16 @@ PREWARM_SKIP = (
     "events_shredded,sink,orders_csv,lineitem_orc"
 )
 
-# Sketch outputs are heap-SENSITIVE by design, not wrong: the heap size
-# moves partial-aggregation boundaries, partials merge in a different
-# order, and KLL/HLL merge is not commutative at the estimate's last
-# digits. Their accuracy is certified in-row (rel_err audit columns);
-# exactness across heaps is not claimed, so the cross-heap hash check
-# exempts them (first sweep correctly flagged q_agg_kll_quantile_rollup).
-HASH_EXEMPT = {"q_agg_kll_quantile_rollup"}
+# Raw sketch outputs are heap-SENSITIVE by design, not wrong: the heap
+# size moves partial-aggregation boundaries, partials merge in a
+# different order, and KLL/HLL merge is not commutative at the
+# estimate's last digits (the first sweep correctly flagged
+# q_agg_kll_quantile_rollup on exactly this). Since the r11 oracle
+# conversion the AUDITED form this sweep runs emits exact values plus
+# tolerance BOOLEANS (gate 10× the observed error), so its hash is
+# heap-stable and the exemption is retired; it would return for any
+# query whose hashed output carries a raw estimate.
+HASH_EXEMPT: set[str] = set()
 
 
 # ----------------------------------------------------------- worker ----

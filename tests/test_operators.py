@@ -797,14 +797,17 @@ def test_global_rank_single_value(spark):
     assert [r.pos for r in out.orderBy("id").collect()] == list(range(1, 11))
 
 
-def test_hll_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
+def test_hll_sketch_rollup_accuracy_and_mergeability(spark, sf_dir, monkeypatch):
     """Weekly estimates from unioned daily sketches must (a) land within
     HLL error of the exact weekly distinct counts and (b) equal sketching
     the raw rows per week directly — the mergeability property the
-    incremental-rollup pattern depends on."""
+    incremental-rollup pattern depends on. Uses the production
+    (AUDIT=off) form — since the r11 oracle conversion the audited form
+    carries exact counts + a tolerance boolean, not the raw estimate."""
     from fineventstream_spark.catalog import Tables
     from fineventstream_spark.registry import all_queries
 
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
     events = Tables(spark, sf_dir).events
     got = {
         r.week: r.approx_users
@@ -1208,38 +1211,62 @@ def test_real_media_decode_distributed(spark, sf_dir):
             assert r.sample_rate is None
 
 
-def test_kll_quantile_rollup_error_bounds(spark, sf_dir):
+def test_kll_quantile_rollup_error_bounds(spark, sf_dir, monkeypatch):
     """KLL sketch medians must sit within the sketch's proven rank-error
     envelope of the exact percentiles — per group AND after the global
     merge (k=200 default → ~1.7% rank error; on this distribution that is
-    well under 5% VALUE error)."""
+    well under the 2% VALUE-error gate). The audited form hash-certifies
+    the gates as booleans (r11 oracle conversion); the production form
+    still exposes the raw estimates for the monotonicity check."""
     from fineventstream_spark.registry import all_queries
 
-    rows = all_queries()["q_agg_kll_quantile_rollup"].fn(spark, sf_dir).collect()
+    fn = all_queries()["q_agg_kll_quantile_rollup"].fn
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
+    rows = fn(spark, sf_dir).collect()
     assert len(rows) >= 1
     for r in rows:
-        assert r.rel_err_p50 <= 0.05, r
-        assert r.global_rel_err_p50 <= 0.05, r
+        assert r.p50_within_tol, r
+        assert r.global_within_tol, r
+        assert r.exact_p50 > 0, r
+
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
+    for r in fn(spark, sf_dir).collect():
         assert r.est_p50 <= r.est_p95, r
 
 
-def test_theta_overlap_exact_below_k(spark, sf_dir):
+def test_theta_overlap_exact_below_k(spark, sf_dir, monkeypatch):
     """Theta sketches are EXACT below k=4096 retained entries (the
     small-sf fixtures' daily user sets), so the intersection estimate
     must equal the exact day-pair overlap there; above k (sf1 daily
     sets are ~10-15k users) the estimate must sit inside the sketch's
-    ~3% relative-error envelope. Union >= intersection always."""
+    ~3% relative-error envelope. Union >= intersection always. The
+    audited form hash-certifies the tolerance gates (r11 oracle
+    conversion); the exact-below-k property is checked by joining the
+    production estimates to the audited exact counts."""
     from fineventstream_spark.registry import all_queries
 
-    rows = all_queries()["q_event_theta_overlap"].fn(spark, sf_dir).collect()
-    assert len(rows) >= 1
-    for r in rows:
-        if r.exact_returning < 4096 and r.est_reach < 4096:
-            assert r.overlap_rel_err == 0.0, r
-            assert r.est_returning == r.exact_returning, r
+    fn = all_queries()["q_event_theta_overlap"].fn
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
+    audited = {r.day: r for r in fn(spark, sf_dir).collect()}
+    assert len(audited) >= 1
+    for r in audited.values():
+        assert r.returning_within_tol, r
+        assert r.reach_within_tol, r
+        assert r.exact_reach >= r.exact_returning, r
+
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
+    prod = {r.day: r for r in fn(spark, sf_dir).collect()}
+    assert set(prod) == set(audited)
+    for day, p in prod.items():
+        a = audited[day]
+        assert p.est_reach >= p.est_returning, p
+        if a.exact_returning < 4096 and p.est_reach < 4096:
+            assert p.est_returning == a.exact_returning, (day, p, a)
         else:
-            assert r.overlap_rel_err <= 0.03, r
-        assert r.est_reach >= r.est_returning, r
+            assert (
+                abs(p.est_returning - a.exact_returning)
+                <= 0.03 * max(a.exact_returning, 1)
+            ), (day, p, a)
 
 
 def test_serial_window_ok_routes_on_hot_key(spark, tmp_path):
@@ -1991,44 +2018,78 @@ def test_bucketed_derived_requires_projection(spark, sf_dir):
         )
 
 
-AUDITED_SKETCH_QUERIES = {
-    "q_agg_approx_distinct": ("rel_err", "approx_parts"),
-    "q_agg_sketch_rollup": ("rel_err", "approx_users"),
-    "q_agg_kll_quantile_rollup": ("rel_err_p50", "est_p50"),
-    "q_event_theta_overlap": ("overlap_rel_err", "est_returning"),
-    "q_agg_approx_topk_rollup": ("rel_err", "est_n"),
+# name → (audit cols: audited-form only, est col: production-form only).
+# The r11 oracle conversions moved the four hash-green sketch queries to
+# the boolean-gate shape: the audited form carries exact values + TRUE
+# tolerance booleans (DuckDB-oracled), the production form carries the
+# raw sketch estimate.
+CONVERTED_SKETCH_QUERIES = {
+    "q_agg_approx_distinct": (("approx_within_tol",), "approx_parts"),
+    "q_agg_sketch_rollup": (("approx_within_tol",), "approx_users"),
+    "q_agg_kll_quantile_rollup": (
+        ("p50_within_tol", "global_within_tol"),
+        "est_p50",
+    ),
+    "q_event_theta_overlap": (
+        ("returning_within_tol", "reach_within_tol"),
+        "est_returning",
+    ),
 }
 
 
-@pytest.mark.parametrize("name", sorted(AUDITED_SKETCH_QUERIES))
-def test_sketch_audit_toggle(name, spark, sf_dir, monkeypatch):
-    """SPARK_GRAFT_AUDIT=off (r9 verdict #3) switches the self-certifying
-    sketch queries to their production form: the sketch estimate column
-    survives, the exact-pass audit column disappears, and the estimates
-    the two forms produce agree (same sketch, same data)."""
+@pytest.mark.parametrize("name", sorted(CONVERTED_SKETCH_QUERIES))
+def test_sketch_audit_toggle_converted(name, spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_AUDIT=off switches the oracle-converted sketch queries
+    to their production form: the raw estimate column appears, the
+    tolerance booleans disappear, and in the audited form every boolean
+    is TRUE (the condition the DuckDB oracle hash-checks)."""
     from fineventstream_spark.registry import all_queries
 
-    audit_col, est_col = AUDITED_SKETCH_QUERIES[name]
+    audit_cols, est_col = CONVERTED_SKETCH_QUERIES[name]
     fn = all_queries()[name].fn
 
     monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
     audited = fn(spark, sf_dir)
-    assert audit_col in audited.columns and est_col in audited.columns
+    for c in audit_cols:
+        assert c in audited.columns, f"{name}: missing audit column {c}"
+    assert est_col not in audited.columns, "raw estimate leaked into hashed form"
+    rows = audited.collect()
+    assert rows
+    for r in rows:
+        for c in audit_cols:
+            assert r[c] is True, (name, c, r)
 
     monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
     prod = fn(spark, sf_dir)
-    assert audit_col not in prod.columns, "audit column survived AUDIT=off"
+    for c in audit_cols:
+        assert c not in prod.columns, "audit column survived AUDIT=off"
     assert est_col in prod.columns
-    # the estimates must agree between the two forms — same sketch over the
-    # same data, but KLL/Theta merges are partition-order nondeterministic,
-    # so compare within the sketches' own error class (5% relative), not
-    # bit-exactly
-    a = sorted(float(r[est_col]) for r in audited.select(est_col).collect())
-    p = sorted(float(r[est_col]) for r in prod.select(est_col).collect())
-    assert len(a) == len(p), f"{name}: row count diverged"
+
+
+def test_sketch_audit_toggle_topk(spark, sf_dir, monkeypatch):
+    """The one remaining rows-only sketch query (top-k: tie selection at
+    the boundary is engine-internal, so no oracle): AUDIT=off drops the
+    audit columns, keeps the estimate, and the estimates agree between
+    the two forms (capacity ≥ domain ⇒ counts are exact either way)."""
+    from fineventstream_spark.registry import all_queries
+
+    fn = all_queries()["q_agg_approx_topk_rollup"].fn
+
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
+    audited = fn(spark, sf_dir)
+    assert "rel_err" in audited.columns and "est_n" in audited.columns
+
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
+    prod = fn(spark, sf_dir)
+    assert "rel_err" not in prod.columns, "audit column survived AUDIT=off"
+    assert "est_n" in prod.columns
+
+    a = sorted(float(r.est_n) for r in audited.select("est_n").collect())
+    p = sorted(float(r.est_n) for r in prod.select("est_n").collect())
+    assert len(a) == len(p), "row count diverged"
     for x, y in zip(a, p):
         assert abs(x - y) <= 0.05 * max(abs(x), abs(y), 1.0), (
-            f"{name}: production estimate {y} diverges from audited {x}"
+            f"production estimate {y} diverges from audited {x}"
         )
 
 
