@@ -1,0 +1,162 @@
+"""Determinism under task retry — the 100 TB reliability property.
+
+On a 1000-executor cluster, task retries are ROUTINE (spot preemption,
+executor OOM, shuffle-fetch failures), and Spark's recovery model only
+yields correct results if every stage is deterministic under
+re-execution: a retried task must emit the same rows its first attempt
+would have. The engine's design leans on this in several advertised
+places — md5-prefix uniforms instead of RNG state (sampling), in-plan /
+literal-memoized bucket bounds instead of ``spark_partition_id``
+(chunked rolling's numbering, whose docstring explicitly claims retry
+safety), content-hash dedup keys — but no test ever actually RAN a
+retry.
+
+This test does: a subprocess JVM at ``local[8,3]`` (maxFailures=3 —
+the default ``local[N]`` is maxFailures=1, where any task failure kills
+the job, so retries cannot happen in the shared test session) reads the
+fixture through a pass-through ``mapInPandas`` kernel that THROWS on
+the first attempt of two chosen partitions (TaskContext partitionId /
+attemptNumber), forcing real task retries upstream of the operators
+under test. The flaky run's results must be bit-identical to the clean
+run's for:
+
+- a grouped aggregation (sum/count — partial aggs re-executed),
+- the chunked-rolling zscore path (distributed numbering + carry-in
+  replication downstream of retried tasks),
+- md5-prefix weighted sampling (the no-RNG-state claim).
+
+A sentinel accumulator proves the injected failures actually fired —
+a green run with zero retries would prove nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    sys.path.insert(0, %(repo)r)
+    from pyspark.sql import SparkSession, functions as F
+
+    sf_dir = %(sf_dir)r
+    spark = (
+        SparkSession.builder.master("local[8,3]")
+        .appName("retry-determinism")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fineventstream_spark.catalog import Tables
+
+    events = Tables(spark, sf_dir).events.select(
+        "event_id", "event_type", "user_id", "value",
+        F.unix_micros("ts").alias("us"),
+    ).repartition(8, "event_id")
+
+    # Spark DISCARDS accumulator updates from failed task attempts, so the
+    # sentinel cannot count the throws; it counts SUCCESSFUL attempts with
+    # attemptNumber > 0 — i.e. retries that actually ran to completion,
+    # which is exactly the code path under test.
+    retried = spark.sparkContext.accumulator(0)
+
+    def flaky(kill_parts):
+        def gen(batches):
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            if tc.partitionId() in kill_parts and tc.attemptNumber() == 0:
+                raise RuntimeError("injected-task-failure")
+            if tc.attemptNumber() > 0:
+                retried.add(1)
+            for b in batches:
+                yield b
+        return gen
+
+    def pipeline(src):
+        # 1) grouped aggregation over the (possibly retried) source
+        agg = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("total"),
+        )
+        # 2) chunked-rolling mean (distributed numbering downstream of
+        #    retried tasks; small frame keeps the subprocess fast)
+        from fineventstream_spark.operators.rolling import chunked_rolling
+
+        rolled = chunked_rolling(
+            src.select("event_id", "event_type", "value", "us"),
+            key_cols=["event_type"],
+            order_cols=["us", "event_id"],
+            frame_rows=50,
+            aggs={"m": F.avg("value"), "k": F.count("*")},
+            chunk_rows=512,
+        ).select(
+            "event_id", F.round("m", 4).alias("m"), "k"
+        )
+        # 3) md5-prefix weighted sample (stateless uniform -> top-k)
+        u = (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 13),
+                   16, 10).cast("double") + 0.5
+        ) / float(1 << 52)
+        key = -F.log(u) / F.greatest(F.col("value"), F.lit(0.001))
+        sample = (
+            src.select("event_id", key.alias("k"))
+            .orderBy("k", "event_id").limit(200).select("event_id")
+        )
+        return agg, rolled, sample
+
+    def snapshot(src):
+        agg, rolled, sample = pipeline(src)
+        return {
+            "agg": sorted(str(r) for r in agg.collect()),
+            "rolled": sorted(str(r) for r in rolled.collect()),
+            "sample": sorted(r.event_id for r in sample.collect()),
+        }
+
+    clean = snapshot(events)
+    flaked = events.mapInPandas(flaky({1, 5}), events.schema)
+    flaky_snap = snapshot(flaked)
+
+    print(json.dumps({
+        "fired": retried.value,
+        "match_agg": clean["agg"] == flaky_snap["agg"],
+        "match_rolled": clean["rolled"] == flaky_snap["rolled"],
+        "match_sample": clean["sample"] == flaky_snap["sample"],
+        "n_agg": len(clean["agg"]),
+        "n_rolled": len(clean["rolled"]),
+    }))
+    spark.stop()
+    """
+)
+
+
+def test_retries_fire_and_results_are_bit_identical(sf_dir):
+    code = WORKER % {"repo": REPO, "sf_dir": sf_dir}
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    # each snapshot() over the flaky source re-runs the kernel; ≥3 stages
+    # (agg / rolling / sample) × 2 kill partitions can fire many times —
+    # what matters is that at least one real retry happened
+    assert rec["fired"] >= 1, "injected failure never fired — no retry tested"
+    assert rec["n_agg"] >= 1 and rec["n_rolled"] > 100
+    assert rec["match_agg"], "grouped aggregation diverged under task retry"
+    assert rec["match_rolled"], "chunked rolling diverged under task retry"
+    assert rec["match_sample"], "md5-prefix sampling diverged under task retry"
