@@ -134,9 +134,18 @@ def worker(sf_dir: str, queries: list[str], streams: int, reps: int) -> None:
                       "serial_hashes": hashes}), flush=True)
 
     # --- K concurrent streams -------------------------------------------
+    # Two concurrent phases split by a barrier: phase A (timed — the
+    # makespan measures ONLY the K×set query executions, matching what
+    # the serial total measures) and phase B (value hashes, still under
+    # full concurrency so the correctness evidence is contention-borne,
+    # but excluded from the throughput arithmetic — the first cut ran
+    # hashes inside the makespan while the serial baseline excluded
+    # them, silently understating R by ~2×).
     stream_times: list[dict[str, float]] = [dict() for _ in range(streams)]
     stream_hashes: list[dict[str, tuple]] = [dict() for _ in range(streams)]
     errors: list[str] = []
+    barrier = threading.Barrier(streams)
+    makespans: list[float] = [0.0] * streams
 
     def run_stream(i: int) -> None:
         try:
@@ -144,14 +153,20 @@ def worker(sf_dir: str, queries: list[str], streams: int, reps: int) -> None:
                 "spark.scheduler.pool", f"stream-{i}"
             )
             off = (i * len(queries)) // streams
-            for name in queries[off:] + queries[:off]:
+            rotation = queries[off:] + queries[:off]
+            t0 = time.perf_counter()
+            for name in rotation:
                 stream_times[i][name] = _run_one(spark, registry, name, sf_dir)
+            makespans[i] = time.perf_counter() - t0
+            barrier.wait(timeout=3600)
+            for name in rotation:
                 h = _value_hash(registry[name].fn(spark, sf_dir))
                 stream_hashes[i][name] = (
                     h["n"], None if h["h"] is None else str(h["h"])
                 )
         except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
             errors.append(f"stream-{i}: {type(exc).__name__}: {exc}")
+            barrier.abort()
 
     t0 = time.perf_counter()
     threads = [
@@ -162,7 +177,7 @@ def worker(sf_dir: str, queries: list[str], streams: int, reps: int) -> None:
         t.start()
     for t in threads:
         t.join()
-    makespan = time.perf_counter() - t0
+    makespan = max(makespans) if any(makespans) else time.perf_counter() - t0
 
     print(json.dumps({
         "streams": streams,

@@ -27,6 +27,18 @@ run's for:
 
 A sentinel accumulator proves the injected failures actually fired —
 a green run with zero retries would prove nothing.
+
+SPECULATIVE execution (duplicate attempts of slow tasks) is the sibling
+regime, and it is structurally untestable on one machine: the scheduler
+refuses to launch a speculative copy on any HOST that already ran an
+attempt of the task (TaskSetManager.dequeueSpeculativeTask's
+hasAttemptOnHost guard), and every local / local-cluster executor
+shares one host — verified empirically (aggressive
+quantile=0/multiplier=1.0 configs on local-cluster[2,4,*]: zero
+duplicate attempts ever launch). Determinism under speculation reduces
+to the property this file DOES test — a second attempt of the same
+task emits the same rows — since a speculative copy is exactly a
+retry that races the original.
 """
 
 from __future__ import annotations
