@@ -4,8 +4,10 @@ n-gram Jaccard / embedding-cosine), similarity search (brute-force + IVF),
 text analysis (lang-ID, quality, tokens, fingerprint), multimodal
 plumbing.
 
-Approximate/bucketed operators are rows-only checks (thresholds are
-approximate by design); everything arithmetic is oracle-checked.
+Everything arithmetic is oracle-checked. Since r11 the near-dup family
+is hash-green too (boolean-gate pattern: DuckDB-oracled planted counts +
+a hash-checked recall_ok); only the multimodal decoders remain rows-only
+(planted_ok self-certification, no DuckDB twin by design).
 """
 
 from __future__ import annotations
@@ -108,59 +110,66 @@ def _planted_text_corpus(t: Tables):
     offset by 10^8. An exact copy has an identical MinHash signature /
     SimHash fingerprint, so every planted (orig, clone) pair MUST surface
     through the bucket pipeline unless a hot-bucket cap dropped it —
-    ``planted_recall`` reports exactly that, making the rows-only driver
-    row certify candidate quality, not just execution."""
+    the hash-checked ``recall_ok`` boolean in each query's audited
+    summary (value-oracled since r11) certifies exactly that, so a
+    candidate-quality regression fails the driver's hash compare."""
     src = t.documents.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
     planted = src.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
     corpus = t.documents.select("doc_id", "text").unionByName(planted)
     return src, corpus
 
 
-def _with_planted_recall(
-    pairs: DataFrame, src: DataFrame, offset: int = _PLANT_OFFSET
+def _planted_recall_summary(
+    pairs: DataFrame, src: DataFrame, total: DataFrame, offset: int = _PLANT_OFFSET
 ) -> DataFrame:
-    """Attach (planted_pairs, planted_recall) audit columns: the fraction
-    of planted (orig, orig+offset) pairs present in ``pairs``.
-
-    The audit must never degrade silently in exactly the cases it exists
-    to certify (r5 advisor): a zero denominator (tiny fixture planted
-    nothing) yields an explicit NULL recall, not a divide-null surprise;
-    and an EMPTY pair set (total pipeline failure) emits one sentinel row
-    with null pair columns and planted_recall = 0.0 — visible, instead of
-    an empty result that reads as "nothing to report"."""
+    """The AUDITED (hash-green) form of a near-dup query: ONE summary row
+    whose exact columns a DuckDB oracle reproduces from the base table —
+    ``n_docs`` (corpus size) and ``planted_pairs`` (the deterministic
+    plant predicate) — plus ``recall_ok``, a hash-checked boolean TRUE
+    iff every planted (orig, orig+offset) pair surfaced in ``pairs``
+    (the r11 boolean-gate pattern: a recall regression, including a
+    totally empty pair set, flips the boolean and FAILS the driver's
+    hash compare — strictly stronger than the old rows-only
+    ``planted_recall`` column only a human would read). Vacuously TRUE
+    when the fixture planted nothing. The pair list itself stays the
+    production output (SPARK_GRAFT_AUDIT=off)."""
+    n_docs = total.agg(F.count("*").alias("n_docs"))
     n_planted = src.agg(F.count("*").alias("planted_pairs"))
     n_found = pairs.filter(
         (F.col("id_b") >= offset) & (F.col("id_a") == F.col("id_b") - offset)
-    ).agg(F.count("*").alias("found"))
-    audit = n_planted.crossJoin(n_found).select(
-        "planted_pairs",
-        F.when(
-            F.col("planted_pairs") > 0,
-            F.round(F.col("found") / F.col("planted_pairs"), 4),
-        ).alias("planted_recall"),  # NULL only when nothing was planted
+    ).agg(F.count("*").alias("__found"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_planted))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_docs",
+            "planted_pairs",
+            (F.col("__found") == F.col("planted_pairs")).alias("recall_ok"),
+        )
     )
-    enriched = pairs.crossJoin(F.broadcast(audit)).select(
-        *pairs.columns, "planted_pairs", "planted_recall"
-    )
-    # sentinel branch: the 1-row audit anti-joined against a 1-row probe of
-    # pairs — survives only when pairs is empty (both sides broadcast-tiny)
-    null_pair_cols = [
-        F.lit(None).cast(f.dataType).alias(f.name) for f in pairs.schema.fields
-    ]
-    sentinel = audit.join(
-        F.broadcast(pairs.select(F.lit(1).alias("__probe")).limit(1)),
-        F.lit(True),
-        "left_anti",
-    ).select(*null_pair_cols, "planted_pairs", "planted_recall")
-    return enriched.unionByName(sentinel)
 
 
-@register("q_llm_dedup_near", oracle=None, tags=("U5",))
+_PLANTED_DOC_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id %% 41 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS planted_pairs,
+           TRUE AS recall_ok
+    FROM documents
+    """.replace("%%", "%")
+
+
+@register("q_llm_dedup_near", oracle=_PLANTED_DOC_ORACLE, tags=("U5",))
 def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (64 hashes, 16 bands) with
-    estimated Jaccard ≥ 0.5. Approximate by design → rows-only, so the
-    result self-certifies via planted exact copies + ``planted_recall``
-    in-row (see _planted_text_corpus)."""
+    estimated Jaccard ≥ 0.5. Value-oracled since r11 (boolean-gate
+    pattern): the audited form is a one-row summary whose corpus size and
+    planted-copy count the DuckDB oracle reproduces, plus ``recall_ok``
+    — TRUE iff every planted exact-copy pair surfaced through the
+    signature→band→bucket pipeline (observed 1.0; an LSH regression or
+    an empty pair set flips it and fails the hash compare). The pair
+    list is the production form (SPARK_GRAFT_AUDIT=off)."""
+    from fineventstream_spark.queries._audit import audits_enabled
+
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
     pairs = dedup.persist_tracked(
@@ -168,16 +177,21 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_jaccard") >= 0.5
         )
     )
-    return _with_planted_recall(pairs, src)
+    if not audits_enabled():
+        return pairs
+    return _planted_recall_summary(pairs, src, t.documents)
 
 
-@register("q_llm_dedup_ngram_jaccard", oracle=None, tags=("U5",))
+@register("q_llm_dedup_ngram_jaccard", oracle=_PLANTED_DOC_ORACLE, tags=("U5",))
 def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification over the LSH candidate set only
-    (the scalable verify step — never all-pairs). Self-certifies end to
-    end: a planted exact copy has Jaccard exactly 1.0, so
-    ``planted_recall`` proves candidate generation AND the exact verify
-    both passed each planted pair through."""
+    (the scalable verify step — never all-pairs). Value-oracled since
+    r11 (boolean-gate): ``recall_ok`` is TRUE iff every planted exact
+    copy (Jaccard exactly 1.0) survived candidate generation AND the
+    exact verify — a regression in either stage fails the hash compare.
+    The verified pair list is the production form (AUDIT=off)."""
+    from fineventstream_spark.queries._audit import audits_enabled
+
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
     cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id")
@@ -186,14 +200,20 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard") >= 0.5
         )
     )
-    return _with_planted_recall(verified, src)
+    if not audits_enabled():
+        return verified
+    return _planted_recall_summary(verified, src, t.documents)
 
 
-@register("q_llm_dedup_simhash", oracle=None, tags=("U5",))
+@register("q_llm_dedup_simhash", oracle=_PLANTED_DOC_ORACLE, tags=("U5",))
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, prefix-bucket candidates,
-    Hamming distance ≤ 6. Self-certifies via planted exact copies
-    (identical fingerprint → Hamming 0) + ``planted_recall`` in-row."""
+    Hamming distance ≤ 6. Value-oracled since r11 (boolean-gate):
+    ``recall_ok`` is TRUE iff every planted exact copy (identical
+    fingerprint → Hamming 0) surfaced through the prefix buckets. The
+    pair list is the production form (AUDIT=off)."""
+    from fineventstream_spark.queries._audit import audits_enabled
+
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
     pairs = dedup.persist_tracked(
@@ -201,23 +221,39 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hamming") <= 6
         )
     )
-    return _with_planted_recall(pairs, src)
+    if not audits_enabled():
+        return pairs
+    return _planted_recall_summary(pairs, src, t.documents)
 
 
-@register("q_llm_dedup_embedding", oracle=None, tags=("U5", "U6"))
+@register(
+    "q_llm_dedup_embedding",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN vec_id % 29 = 0
+                          AND len(list_filter(embedding, x -> x <> 0)) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS planted_pairs,
+           TRUE AS recall_ok
+    FROM embeddings
+    """,
+    tags=("U5", "U6"),
+)
 def q_llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets.
 
-    Approximate by design (LSH recall) → rows-only, so the result
-    self-certifies: a deterministic ~3% of nonzero vectors is cloned into
-    the corpus scaled by 1.001 (same direction → cosine exactly 1.0, ids
-    offset by 10^8), and ``planted_recall`` reports the fraction of
-    planted (original, clone) pairs the bucket→exact-cosine pipeline
-    recovered — a driver row that "ran" now also proves the
-    hyperplane-bucket + kernel + threshold path end-to-end (its r1 row
-    recorded 0 rows, which certified nothing). Output: every detected
-    pair ≥ 0.9 (planted ones guarantee nonzero rows) + the in-row audit
-    columns."""
+    Value-oracled since r11 (boolean-gate pattern): a deterministic ~3%
+    of nonzero vectors is cloned into the corpus scaled by 1.001 (same
+    direction → cosine exactly 1.0, ids offset by 10^8); the audited
+    form is a one-row summary whose corpus size and plant count the
+    DuckDB oracle reproduces, plus ``recall_ok`` — TRUE iff the
+    hyperplane-bucket → exact-cosine → threshold pipeline recovered
+    EVERY planted (original, clone) pair. The r10 recall-0 bug (near-
+    parallel sin-generated hyperplanes) would today fail the driver's
+    hash compare instead of needing a human to read a recall column.
+    The pair list (every detected pair ≥ 0.9) is the production form
+    (SPARK_GRAFT_AUDIT=off)."""
+    from fineventstream_spark.queries._audit import audits_enabled
+
     offset = 100_000_000
     t = Tables(spark, sf_dir)
     emb = t.embeddings
@@ -233,7 +269,9 @@ def q_llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, "embedding", "vec_id", dim=64, threshold=0.9
         )
     )
-    return _with_planted_recall(pairs, planted_src, offset=offset)
+    if not audits_enabled():
+        return pairs
+    return _planted_recall_summary(pairs, planted_src, emb, offset=offset)
 
 
 # --------------------------------------------------------------------------
@@ -984,7 +1022,18 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_near_dedup_pipeline", oracle=None, tags=("U5", "X1"))
+@register(
+    "q_llm_near_dedup_pipeline",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS planted_pairs,
+           TRUE AS recall_ok,
+           TRUE AS no_planted_leak
+    FROM documents
+    """,
+    tags=("U5", "X1"),
+)
 def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup ring composed end-to-end: MinHash-LSH candidates →
     exact n-gram Jaccard verify (≥ 0.8) → connected components →
@@ -1037,19 +1086,49 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_corpus, verified.select("id_a", "id_b"), "doc_id"
     ).select(F.col("doc_id").alias("rep_id"), "keeper_id")
     keepers = members.join(rep_keepers, "rep_id").select("doc_id", "keeper_id")
+    from fineventstream_spark.queries._audit import audits_enabled
+
+    if not audits_enabled():
+        return keepers.filter(F.col("doc_id") < offset)
+    # AUDITED form (value-oracled since r11, boolean-gate pattern): one
+    # summary row — n_docs and planted_pairs reproduced by the DuckDB
+    # oracle from the documents table, recall_ok TRUE iff every planted
+    # (orig, clone) pair collapsed to ONE cluster end-to-end, and
+    # no_planted_leak TRUE iff no planted id reached the keeper output.
     orig = keepers.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < offset)).select(
         F.col("doc_id").alias("pid"), F.col("keeper_id").alias("orig_keeper")
     )
     clone = keepers.filter(F.col("doc_id") >= offset).select(
         (F.col("doc_id") - offset).alias("pid"), F.col("keeper_id").alias("clone_keeper")
     )
-    recall = orig.join(clone, "pid").agg(
-        F.count("*").alias("planted_pairs"),
-        F.round(
-            F.avg((F.col("orig_keeper") == F.col("clone_keeper")).cast("double")), 4
-        ).alias("planted_recall"),
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_planted = docs.filter(F.col("doc_id") % 97 == 0).agg(
+        F.count("*").alias("planted_pairs")
     )
-    return keepers.filter(F.col("doc_id") < offset).crossJoin(F.broadcast(recall))
+    recalled = orig.join(clone, "pid").agg(
+        F.coalesce(
+            F.sum((F.col("orig_keeper") == F.col("clone_keeper")).cast("long")),
+            F.lit(0),
+        ).alias("__recalled")
+    )
+    # leak = a planted id surviving into the production output: either as
+    # a row (the output filter drops doc_id >= offset) or as a real doc's
+    # keeper (impossible by construction — cluster minima are real ids —
+    # which is exactly why it's worth hash-checking)
+    leaks = keepers.filter(
+        (F.col("doc_id") < offset) & (F.col("keeper_id") >= offset)
+    ).agg(F.count("*").alias("__leaks"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_planted))
+        .crossJoin(F.broadcast(recalled))
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "n_docs",
+            "planted_pairs",
+            (F.col("__recalled") == F.col("planted_pairs")).alias("recall_ok"),
+            (F.col("__leaks") == 0).alias("no_planted_leak"),
+        )
+    )
 
 
 @register(

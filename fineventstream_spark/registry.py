@@ -54,10 +54,16 @@ REGISTRY: dict[str, Query] = {}
 # suite at the identical compare strictness. Names not present in
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # oracle changed in r11 (seven rows-only→hash-green conversions + the
-    # fingerprint NULL guard): the four boolean-gate sketch conversions
-    # (exact values oracled, sketch certified by a hash-checked
-    # tolerance boolean) first, then the earlier r11 set
+    # oracle changed in r11 (twelve rows-only→hash-green conversions +
+    # the fingerprint NULL guard): the five near-dup boolean-gate
+    # conversions (recall_ok hash-checked vs a DuckDB planted-count
+    # oracle), the four sketch conversions (exact values oracled,
+    # sketch certified by a tolerance boolean), then the earlier r11 set
+    "q_llm_dedup_near",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_ngram_jaccard",
+    "q_llm_dedup_embedding",
+    "q_llm_near_dedup_pipeline",
     "q_agg_approx_distinct",
     "q_agg_sketch_rollup",
     "q_agg_kll_quantile_rollup",

@@ -314,33 +314,6 @@ def test_bucketed_layout_assertion_rejects_multi_file_buckets(tmp_path):
         _assert_one_file_per_bucket(str(d), "orders")
 
 
-def test_planted_recall_audit_never_silently_empty(spark):
-    """The audit row survives the failure modes it certifies (r5 advisor):
-    an empty pair set yields ONE sentinel row with planted_recall = 0.0;
-    a zero-planted corpus yields an explicit NULL recall."""
-    from fineventstream_spark.queries.llm import _with_planted_recall
-
-    src = spark.createDataFrame([(41,), (82,)], "doc_id long")
-    empty_pairs = spark.createDataFrame([], "id_a long, id_b long, est_jaccard double")
-    out = _with_planted_recall(empty_pairs, src).collect()
-    assert len(out) == 1
-    assert out[0].planted_pairs == 2 and out[0].planted_recall == 0.0
-    assert out[0].id_a is None  # sentinel, not a fabricated pair
-
-    no_plants = src.limit(0)
-    out2 = _with_planted_recall(empty_pairs, no_plants).collect()
-    assert len(out2) == 1
-    assert out2[0].planted_pairs == 0 and out2[0].planted_recall is None
-
-    # normal path unchanged: every pair row carries the audit columns
-    pairs = spark.createDataFrame(
-        [(41, 100_000_041, 1.0), (1, 2, 0.9)], "id_a long, id_b long, est_jaccard double"
-    )
-    out3 = _with_planted_recall(pairs, src).collect()
-    assert len(out3) == 2
-    assert all(r.planted_recall == 0.5 for r in out3)
-
-
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     """Docs with a one-word edit must surface as SimHash candidates with a
     small Hamming distance (planted ground truth — the fixture corpus alone
@@ -862,15 +835,18 @@ def test_edit_distance_finds_planted_near_dups(spark):
     assert out == {(1, 2): 1}, f"expected only the planted pair at dist 1, got {out}"
 
 
-def test_near_dedup_pipeline_collapses_planted_cluster(spark, sf_dir):
+def test_near_dedup_pipeline_collapses_planted_cluster(spark, sf_dir, monkeypatch):
     """Three planted copies of one document (two exact, one near — a
     one-word suffix) must collapse to a single keeper through the full
     minhash → jaccard-verify → components pipeline; unrelated docs keep
-    themselves."""
+    themselves. Uses the production (AUDIT=off) keeper form — since the
+    r11 oracle conversion the audited form is a hash-green summary row."""
     import os
     import tempfile
 
     from fineventstream_spark.registry import all_queries
+
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30).collect()
     rows = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base]
@@ -910,22 +886,26 @@ def test_near_dedup_pipeline_collapses_planted_cluster(spark, sf_dir):
         assert j >= 0.8, f"false merge: {k} -> {v} (true jaccard {j:.3f})"
 
 
-def test_near_dedup_pipeline_self_check_recall(spark, sf_dir):
-    """The pipeline's built-in planted-duplicate audit: on the real
-    fixture corpus the in-query exact-copy plants (doc_id % 97) must be
-    recovered end-to-end — recall 1.0, constant across rows. This is the
-    quantitative guarantee the rows-only driver entry certifies."""
+def test_near_dedup_pipeline_self_check_recall(spark, sf_dir, monkeypatch):
+    """The pipeline's planted-duplicate audit (hash-green since r11): the
+    audited summary row must show every in-query exact-copy plant
+    (doc_id % 97) recovered end-to-end and zero planted leakage; the
+    production (AUDIT=off) keeper rows must contain no planted id."""
     from fineventstream_spark.registry import all_queries
 
-    rows = all_queries()["q_llm_near_dedup_pipeline"].fn(spark, sf_dir).collect()
-    assert rows, "pipeline returned no rows"
-    recalls = {r.planted_recall for r in rows}
-    pairs = {r.planted_pairs for r in rows}
-    assert len(recalls) == 1 and len(pairs) == 1, "audit columns must be constant"
-    assert pairs.pop() > 0, "fixture corpus should yield planted pairs"
-    assert recalls.pop() >= 0.99, "planted exact duplicates not recovered"
-    # planted clones never leak into the output
-    assert all(r.doc_id < 100_000_000 for r in rows)
+    fn = all_queries()["q_llm_near_dedup_pipeline"].fn
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 1, "audited form is a single summary row"
+    r = rows[0]
+    assert r.planted_pairs > 0, "fixture corpus should yield planted pairs"
+    assert r.recall_ok, "planted exact duplicates not recovered"
+    assert r.no_planted_leak, r
+
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
+    keepers = fn(spark, sf_dir).collect()
+    assert keepers, "pipeline returned no keeper rows"
+    assert all(k.doc_id < 100_000_000 for k in keepers)
 
 
 def test_knn_ivf_self_check_recall(spark, sf_dir):
@@ -2034,6 +2014,13 @@ CONVERTED_SKETCH_QUERIES = {
         ("returning_within_tol", "reach_within_tol"),
         "est_returning",
     ),
+    # near-dup family (r11): audited = one-row oracled summary with the
+    # recall boolean(s); production = the pair / keeper list
+    "q_llm_dedup_near": (("recall_ok",), "est_jaccard"),
+    "q_llm_dedup_simhash": (("recall_ok",), "hamming"),
+    "q_llm_dedup_ngram_jaccard": (("recall_ok",), "jaccard"),
+    "q_llm_dedup_embedding": (("recall_ok",), "cosine_sim"),
+    "q_llm_near_dedup_pipeline": (("recall_ok", "no_planted_leak"), "keeper_id"),
 }
 
 
