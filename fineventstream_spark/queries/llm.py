@@ -120,23 +120,24 @@ def _planted_text_corpus(t: Tables):
 
 
 def _planted_recall_summary(
-    pairs: DataFrame, src: DataFrame, total: DataFrame, offset: int = _PLANT_OFFSET
+    pairs: DataFrame, expected: DataFrame, total: DataFrame
 ) -> DataFrame:
     """The AUDITED (hash-green) form of a near-dup query: ONE summary row
     whose exact columns a DuckDB oracle reproduces from the base table —
     ``n_docs`` (corpus size) and ``planted_pairs`` (the deterministic
     plant predicate) — plus ``recall_ok``, a hash-checked boolean TRUE
-    iff every planted (orig, orig+offset) pair surfaced in ``pairs``
-    (the r11 boolean-gate pattern: a recall regression, including a
-    totally empty pair set, flips the boolean and FAILS the driver's
-    hash compare — strictly stronger than the old rows-only
+    iff EVERY row of ``expected`` (the structurally-guaranteed (id_a,
+    id_b) edge per planted copy) is present in ``pairs`` (the r11
+    boolean-gate pattern: a recall regression, including a totally
+    empty pair set, flips the boolean and FAILS the driver's hash
+    compare — strictly stronger than the old rows-only
     ``planted_recall`` column only a human would read). Vacuously TRUE
     when the fixture planted nothing. The pair list itself stays the
     production output (SPARK_GRAFT_AUDIT=off)."""
     n_docs = total.agg(F.count("*").alias("n_docs"))
-    n_planted = src.agg(F.count("*").alias("planted_pairs"))
-    n_found = pairs.filter(
-        (F.col("id_b") >= offset) & (F.col("id_a") == F.col("id_b") - offset)
+    n_planted = expected.agg(F.count("*").alias("planted_pairs"))
+    n_found = expected.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
     ).agg(F.count("*").alias("__found"))
     return (
         n_docs.crossJoin(F.broadcast(n_planted))
@@ -145,6 +146,58 @@ def _planted_recall_summary(
             "n_docs",
             "planted_pairs",
             (F.col("__found") == F.col("planted_pairs")).alias("recall_ok"),
+        )
+    )
+
+
+def _exact_collapse(corpus: DataFrame):
+    """Exact-collapse prepass for the near-dup candidate queries — the
+    r10 pipeline pattern, generalized in r11 after the oracle gate's
+    sf10 validation caught SimHash planted recall at 0.48: duplicated
+    texts blow past the hot-bucket caps (a 16-bit SimHash prefix bucket
+    over a duplicated corpus holds thousands of entries, and the cap
+    rightly refuses the quadratic join), taking exact-copy pairs down
+    with them. Collapsing identical texts to ONE representative (min
+    id, partial-aggregated — no skew hazard) before signatures means
+    boilerplate mega-buckets never form, and exact copies surface as
+    linear (rep → member) STAR edges instead of quadratic in-bucket
+    pairs. Returns (rep_corpus, members): candidates run on
+    ``rep_corpus``; star edges and the recall gate derive from
+    ``members``."""
+    rep = corpus.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
+    members = corpus.select("doc_id", "text").join(rep, "text").select(
+        "doc_id", "rep_id"
+    )
+    rep_corpus = corpus.join(
+        rep.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    return rep_corpus, members
+
+
+def _star_edges(members: DataFrame, metric_col: str, metric_exact) -> DataFrame:
+    """(rep → member) edges for every exact copy, carrying the metric at
+    its exact-duplicate value (Jaccard 1.0 / Hamming 0)."""
+    return members.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.lit(metric_exact).alias(metric_col),
+    )
+
+
+def _expected_planted_edges(
+    src: DataFrame, members: DataFrame, offset: int = _PLANT_OFFSET
+) -> DataFrame:
+    """The edge each planted copy is structurally guaranteed to produce
+    under the collapse: (rep of the plant's text group, clone id). Using
+    the REP, not the plant id, keeps the gate exact even when the plant
+    source is itself a duplicate of an earlier doc (then the earlier doc
+    is the representative the star edge points from)."""
+    return (
+        src.select("doc_id")
+        .join(members, "doc_id")
+        .select(
+            F.col("rep_id").alias("id_a"),
+            (F.col("doc_id") + offset).alias("id_b"),
         )
     )
 
@@ -161,25 +214,31 @@ _PLANTED_DOC_ORACLE = """
 @register("q_llm_dedup_near", oracle=_PLANTED_DOC_ORACLE, tags=("U5",))
 def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (64 hashes, 16 bands) with
-    estimated Jaccard ≥ 0.5. Value-oracled since r11 (boolean-gate
-    pattern): the audited form is a one-row summary whose corpus size and
-    planted-copy count the DuckDB oracle reproduces, plus ``recall_ok``
-    — TRUE iff every planted exact-copy pair surfaced through the
-    signature→band→bucket pipeline (observed 1.0; an LSH regression or
-    an empty pair set flips it and fails the hash compare). The pair
+    estimated Jaccard ≥ 0.5, behind the exact-collapse prepass
+    (identical texts → one representative + linear star edges, so
+    boilerplate never forms a capped-out mega-bucket). Value-oracled
+    since r11 (boolean-gate pattern): the audited form is a one-row
+    summary whose corpus size and planted-copy count the DuckDB oracle
+    reproduces, plus ``recall_ok`` — TRUE iff every planted copy's
+    structural (rep, clone) edge is present (an LSH/collapse regression
+    or an empty pair set flips it and fails the hash compare). The pair
     list is the production form (SPARK_GRAFT_AUDIT=off)."""
     from fineventstream_spark.queries._audit import audits_enabled
 
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
+    rep_corpus, members = _exact_collapse(corpus)
+    cands = dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    ).select("id_a", "id_b", "est_jaccard")
     pairs = dedup.persist_tracked(
-        dedup.minhash_lsh_candidates(corpus, "text", "doc_id").filter(
-            F.col("est_jaccard") >= 0.5
-        )
+        cands.unionByName(_star_edges(members, "est_jaccard", 1.0))
     )
     if not audits_enabled():
         return pairs
-    return _planted_recall_summary(pairs, src, t.documents)
+    return _planted_recall_summary(
+        pairs, _expected_planted_edges(src, members), t.documents
+    )
 
 
 @register("q_llm_dedup_ngram_jaccard", oracle=_PLANTED_DOC_ORACLE, tags=("U5",))
@@ -189,41 +248,59 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 (boolean-gate): ``recall_ok`` is TRUE iff every planted exact
     copy (Jaccard exactly 1.0) survived candidate generation AND the
     exact verify — a regression in either stage fails the hash compare.
-    The verified pair list is the production form (AUDIT=off)."""
+    The verified pair list is the production form (AUDIT=off). Runs
+    behind the exact-collapse prepass: identical texts verify trivially
+    (Jaccard 1.0 star edges), the expensive shingle-set verify runs on
+    representative pairs only."""
     from fineventstream_spark.queries._audit import audits_enabled
 
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
-    cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id")
+    rep_corpus, members = _exact_collapse(corpus)
+    cands = dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id")
+    verified_reps = dedup.ngram_jaccard_verify(
+        cands, rep_corpus, "text", "doc_id"
+    ).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b", "jaccard")
     verified = dedup.persist_tracked(
-        dedup.ngram_jaccard_verify(cands, corpus, "text", "doc_id").filter(
-            F.col("jaccard") >= 0.5
-        )
+        verified_reps.unionByName(_star_edges(members, "jaccard", 1.0))
     )
     if not audits_enabled():
         return verified
-    return _planted_recall_summary(verified, src, t.documents)
+    return _planted_recall_summary(
+        verified, _expected_planted_edges(src, members), t.documents
+    )
 
 
 @register("q_llm_dedup_simhash", oracle=_PLANTED_DOC_ORACLE, tags=("U5",))
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, prefix-bucket candidates,
-    Hamming distance ≤ 6. Value-oracled since r11 (boolean-gate):
-    ``recall_ok`` is TRUE iff every planted exact copy (identical
-    fingerprint → Hamming 0) surfaced through the prefix buckets. The
-    pair list is the production form (AUDIT=off)."""
+    Hamming distance ≤ 6, behind the exact-collapse prepass. The
+    prepass is LOAD-BEARING here, not an optimization: this query's
+    sf10 oracle validation (r11) measured planted recall 0.48 without
+    it — a 31-word vocabulary collides fingerprints so heavily that
+    16-bit prefix buckets blow past the hot-bucket cap and the cap
+    (rightly refusing the quadratic join) dropped half the exact-copy
+    pairs. Collapsed, exact copies are linear star edges the caps never
+    see. Value-oracled (boolean-gate): ``recall_ok`` TRUE iff every
+    planted copy's structural (rep, clone) edge is present. The pair
+    list is the production form (AUDIT=off)."""
     from fineventstream_spark.queries._audit import audits_enabled
 
     t = Tables(spark, sf_dir)
     src, corpus = _planted_text_corpus(t)
-    pairs = dedup.persist_tracked(
-        dedup.simhash_candidates(corpus, "text", "doc_id").filter(
-            F.col("hamming") <= 6
-        )
+    rep_corpus, members = _exact_collapse(corpus)
+    cands = dedup.simhash_candidates(rep_corpus, "text", "doc_id").filter(
+        F.col("hamming") <= 6
+    ).select("id_a", "id_b", "hamming")
+    star = _star_edges(members, "hamming", 0).withColumn(
+        "hamming", F.col("hamming").cast(dict(cands.dtypes)["hamming"])
     )
+    pairs = dedup.persist_tracked(cands.unionByName(star))
     if not audits_enabled():
         return pairs
-    return _planted_recall_summary(pairs, src, t.documents)
+    return _planted_recall_summary(
+        pairs, _expected_planted_edges(src, members), t.documents
+    )
 
 
 @register(
@@ -271,7 +348,11 @@ def q_llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not audits_enabled():
         return pairs
-    return _planted_recall_summary(pairs, planted_src, emb, offset=offset)
+    expected = planted_src.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + offset).alias("id_b"),
+    )
+    return _planted_recall_summary(pairs, expected, emb)
 
 
 # --------------------------------------------------------------------------
