@@ -468,13 +468,36 @@ def simhash_candidates(
     Buckets larger than ``max_bucket`` are dropped, same as
     :func:`minhash_lsh_candidates`: boilerplate-heavy corpora collapse into
     one prefix bucket, and an uncapped a×b join there is a quadratic pair
-    explosion on one executor. (Exact duplicates dropped with a hot bucket
-    are still caught by :func:`exact_dedup` upstream.)"""
+    explosion on one executor.
+
+    FINGERPRINT-COLLAPSE prepass (r11 — found by the near-plant oracle
+    gate at sf10): on a small-vocabulary corpus DISTINCT texts collide
+    onto few fingerprints, so prefix buckets blow past the cap even
+    after any text-level dedup and Hamming-0 pairs get dropped with the
+    bucket. Identical fingerprints ARE the strongest answer this
+    operator can give (Hamming exactly 0), so they are emitted as
+    linear (min-id rep → member) star edges instead of in-bucket
+    cliques, and the prefix buckets see ONE entry per distinct
+    fingerprint — bucket size is bounded by fingerprint diversity, not
+    corpus size."""
     # (id, simhash) feeds two consumers post-r5 (bucket counts + the pair
     # join) — persist the 16-byte-per-doc table instead of re-running the
     # CPU-heavy kernel
     sh = persist_tracked(
         with_simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    )
+    fp_rep = sh.groupBy("simhash").agg(F.min("id").alias("__rep"))
+    fp_star = (
+        sh.join(fp_rep, "simhash")
+        .filter(F.col("id") != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    sh = sh.join(
+        fp_rep.select(F.col("__rep").alias("id")), "id", "left_semi"
     )
     rotations = [0, 16, 32, 48]
     bucketed = sh.select(
@@ -538,4 +561,5 @@ def simhash_candidates(
             hamming.cast("int").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .unionByName(fp_star)
     )

@@ -103,20 +103,26 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANT_OFFSET = 100_000_000
 
 
-def _planted_text_corpus(t: Tables):
-    """Corpus + deterministic exact-copy plants for self-certifying the
-    near-dup pipelines (the Z5 pattern from q_llm_dedup_embedding): every
-    doc with ``doc_id % 41 == 0`` (~2.4%) is cloned verbatim with its id
-    offset by 10^8. An exact copy has an identical MinHash signature /
-    SimHash fingerprint, so every planted (orig, clone) pair MUST surface
-    through the bucket pipeline unless a hot-bucket cap dropped it —
-    the hash-checked ``recall_ok`` boolean in each query's audited
-    summary (value-oracled since r11) certifies exactly that, so a
-    candidate-quality regression fails the driver's hash compare."""
-    src = t.documents.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
-    planted = src.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
-    corpus = t.documents.select("doc_id", "text").unionByName(planted)
-    return src, corpus
+def _planted_corpora(docs: DataFrame, mutation, near_words_min: int | None = None):
+    """Audit corpora for the near-dup queries: every doc with
+    ``doc_id % 41 == 0`` (~2.4%) plants an EXACT copy (id + 10^8 —
+    certifies the collapse + star-edge plumbing via ``recall_ok``) and a
+    NEAR copy (id + 2×10^8, ``mutation`` applied to the text — certifies
+    the live signature→bucket(→verify) path via ``near_recall_ok``; the
+    Jaccard families restrict near sources to ≥``near_words_min`` words
+    so the mutated similarity clears every threshold with margin).
+    Returns (src, near_src, corpus)."""
+    src = docs.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    near_src = src if near_words_min is None else src.filter(
+        F.size(F.split("text", " ")) >= near_words_min
+    )
+    exact = src.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(exact)
+        .unionByName(_near_plants(near_src, mutation))
+    )
+    return src, near_src, corpus
 
 
 def _planted_recall_summary(
@@ -146,6 +152,46 @@ def _planted_recall_summary(
             "n_docs",
             "planted_pairs",
             (F.col("__found") == F.col("planted_pairs")).alias("recall_ok"),
+        )
+    )
+
+
+def _near_gate_ids(zero_pairs: DataFrame, expected_ids: DataFrame) -> DataFrame:
+    """1-row (near_recall_ok boolean) for the SimHash family: every
+    expected near-plant representative id appears as the member side of
+    a Hamming-0 edge. The fingerprint-collapse inside simhash_candidates
+    emits (fingerprint-group min → member) star edges, and the group min
+    can be ANY same-fingerprint doc on a small-vocabulary corpus — so
+    the gate checks the member id's presence, which is structural: the
+    plant's source always shares its fingerprint with a smaller id."""
+    n_exp = expected_ids.agg(F.count("*").alias("__n"))
+    n_hit = expected_ids.join(
+        zero_pairs.select(F.col("id_b").alias("vid")), ["vid"], "left_semi"
+    ).agg(F.count("*").alias("__hit"))
+    return n_exp.crossJoin(F.broadcast(n_hit)).select(
+        ((F.col("__hit") == F.col("__n")) & (F.col("__n") > 0)).alias(
+            "near_recall_ok"
+        )
+    )
+
+
+def _near_gate(bucket_pairs: DataFrame, near_expected: DataFrame) -> DataFrame:
+    """1-row (near_recall_ok boolean): every expected near-duplicate edge
+    is present in the BUCKET-PATH output (candidates/verified pairs, NOT
+    the star edges — near plants have mutated text, never collapse, and
+    therefore must survive the actual signature→bucket(→verify) path).
+    This is the non-tautological half of the recall gate: the star-edge
+    half (recall_ok) certifies the collapse plumbing, this half
+    certifies the LSH machinery itself — reintroducing a recall-0 class
+    of bug (r10's near-parallel hyperplanes) flips it and fails the
+    driver's hash compare."""
+    n_exp = near_expected.agg(F.count("*").alias("__n"))
+    n_hit = near_expected.join(
+        bucket_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).agg(F.count("*").alias("__hit"))
+    return n_exp.crossJoin(F.broadcast(n_hit)).select(
+        ((F.col("__hit") == F.col("__n")) & (F.col("__n") > 0)).alias(
+            "near_recall_ok"
         )
     )
 
@@ -202,11 +248,64 @@ def _expected_planted_edges(
     )
 
 
+_NEAR_OFFSET = 200_000_000
+
+
+def _near_plants(src: DataFrame, mutated_text) -> DataFrame:
+    """NEAR-duplicate plants (ids offset by 2×10^8): a mutated — not
+    identical — text per plant source, so they never collapse and must
+    surface through the real signature→bucket(→verify) path. Mutations
+    per family: appended out-of-vocabulary token for the Jaccard
+    pipelines (3-gram shingle Jaccard = (N-2)/(N-1) ≥ 0.93 at the
+    ≥16-word source filter — far above every threshold), word-order
+    PERMUTATION for SimHash (bag-of-words fingerprint → Hamming exactly
+    0 at any scale)."""
+    return src.select(
+        (F.col("doc_id") + _NEAR_OFFSET).alias("doc_id"),
+        mutated_text.alias("text"),
+    )
+
+
+def _expected_near_edges(src: DataFrame, members: DataFrame) -> DataFrame:
+    """DISTINCT (text-group rep, near-plant-group rep) edges the bucket
+    path must recover. Pairs whose mutation was a no-op (a one-word doc
+    reversed — reps equal, the plant collapsed) are excluded; those are
+    the star-edge gate's territory."""
+    orig = src.select("doc_id").join(members, "doc_id").select(
+        "doc_id", F.col("rep_id").alias("id_a")
+    )
+    near = (
+        members.filter(F.col("doc_id") >= _NEAR_OFFSET)
+        .select(
+            (F.col("doc_id") - _NEAR_OFFSET).alias("doc_id"),
+            F.col("rep_id").alias("id_b"),
+        )
+    )
+    return (
+        orig.join(near, "doc_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+_MIN_NEAR_WORDS = 16
+
+
+def _appended_token_mutation():
+    return F.concat(F.col("text"), F.lit(" zzneardup"))
+
+
+def _permuted_words_mutation():
+    return F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+
+
 _PLANTED_DOC_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN doc_id %% 41 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS planted_pairs,
-           TRUE AS recall_ok
+           TRUE AS recall_ok,
+           TRUE AS near_recall_ok
     FROM documents
     """.replace("%%", "%")
 
@@ -226,18 +325,30 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineventstream_spark.queries._audit import audits_enabled
 
     t = Tables(spark, sf_dir)
-    src, corpus = _planted_text_corpus(t)
-    rep_corpus, members = _exact_collapse(corpus)
-    cands = dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id").filter(
-        F.col("est_jaccard") >= 0.5
-    ).select("id_a", "id_b", "est_jaccard")
-    pairs = dedup.persist_tracked(
-        cands.unionByName(_star_edges(members, "est_jaccard", 1.0))
-    )
+    docs = t.documents.select("doc_id", "text")
+
+    def build(corpus):
+        rep_corpus, members = _exact_collapse(corpus)
+        cands = dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id").filter(
+            F.col("est_jaccard") >= 0.5
+        ).select("id_a", "id_b", "est_jaccard")
+        return cands, members
+
     if not audits_enabled():
-        return pairs
+        cands, members = build(docs)
+        return dedup.persist_tracked(
+            cands.unionByName(_star_edges(members, "est_jaccard", 1.0))
+        )
+    src, near_src, corpus = _planted_corpora(
+        docs, _appended_token_mutation(), _MIN_NEAR_WORDS
+    )
+    cands, members = build(corpus)
+    cands = dedup.persist_tracked(cands)
+    pairs = cands.unionByName(_star_edges(members, "est_jaccard", 1.0))
     return _planted_recall_summary(
         pairs, _expected_planted_edges(src, members), t.documents
+    ).crossJoin(
+        F.broadcast(_near_gate(cands, _expected_near_edges(near_src, members)))
     )
 
 
@@ -255,19 +366,31 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineventstream_spark.queries._audit import audits_enabled
 
     t = Tables(spark, sf_dir)
-    src, corpus = _planted_text_corpus(t)
-    rep_corpus, members = _exact_collapse(corpus)
-    cands = dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id")
-    verified_reps = dedup.ngram_jaccard_verify(
-        cands, rep_corpus, "text", "doc_id"
-    ).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b", "jaccard")
-    verified = dedup.persist_tracked(
-        verified_reps.unionByName(_star_edges(members, "jaccard", 1.0))
-    )
+    docs = t.documents.select("doc_id", "text")
+
+    def build(corpus):
+        rep_corpus, members = _exact_collapse(corpus)
+        cands = dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id")
+        verified = dedup.ngram_jaccard_verify(
+            cands, rep_corpus, "text", "doc_id"
+        ).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b", "jaccard")
+        return verified, members
+
     if not audits_enabled():
-        return verified
+        verified, members = build(docs)
+        return dedup.persist_tracked(
+            verified.unionByName(_star_edges(members, "jaccard", 1.0))
+        )
+    src, near_src, corpus = _planted_corpora(
+        docs, _appended_token_mutation(), _MIN_NEAR_WORDS
+    )
+    verified, members = build(corpus)
+    verified = dedup.persist_tracked(verified)
+    pairs = verified.unionByName(_star_edges(members, "jaccard", 1.0))
     return _planted_recall_summary(
-        verified, _expected_planted_edges(src, members), t.documents
+        pairs, _expected_planted_edges(src, members), t.documents
+    ).crossJoin(
+        F.broadcast(_near_gate(verified, _expected_near_edges(near_src, members)))
     )
 
 
@@ -287,19 +410,43 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineventstream_spark.queries._audit import audits_enabled
 
     t = Tables(spark, sf_dir)
-    src, corpus = _planted_text_corpus(t)
-    rep_corpus, members = _exact_collapse(corpus)
-    cands = dedup.simhash_candidates(rep_corpus, "text", "doc_id").filter(
-        F.col("hamming") <= 6
-    ).select("id_a", "id_b", "hamming")
-    star = _star_edges(members, "hamming", 0).withColumn(
-        "hamming", F.col("hamming").cast(dict(cands.dtypes)["hamming"])
-    )
-    pairs = dedup.persist_tracked(cands.unionByName(star))
+    docs = t.documents.select("doc_id", "text")
+
+    def build(corpus):
+        rep_corpus, members = _exact_collapse(corpus)
+        cands = dedup.simhash_candidates(rep_corpus, "text", "doc_id").filter(
+            F.col("hamming") <= 6
+        ).select("id_a", "id_b", "hamming")
+        star = _star_edges(members, "hamming", 0).withColumn(
+            "hamming", F.col("hamming").cast(dict(cands.dtypes)["hamming"])
+        )
+        return cands, star, members
+
     if not audits_enabled():
-        return pairs
+        cands, star, members = build(docs)
+        return dedup.persist_tracked(cands.unionByName(star))
+    # near plant = word-order PERMUTATION: SimHash is a bag-of-words
+    # fingerprint, so the permuted text hashes IDENTICALLY (Hamming 0 at
+    # any scale) while the text differs — it cannot collapse and must
+    # ride the live prefix-bucket path
+    src, near_src, corpus = _planted_corpora(docs, _permuted_words_mutation())
+    cands, star, members = build(corpus)
+    cands = dedup.persist_tracked(cands)
+    pairs = cands.unionByName(star)
+    # near-rep ids whose mutation was NOT a no-op (one-word docs reverse
+    # to themselves and collapse — the star gate's territory)
+    near_rep_ids = (
+        members.filter(F.col("doc_id") >= _NEAR_OFFSET)
+        .select(F.col("rep_id").alias("vid"))
+        .filter(F.col("vid") >= _NEAR_OFFSET)
+        .distinct()
+    )
     return _planted_recall_summary(
         pairs, _expected_planted_edges(src, members), t.documents
+    ).crossJoin(
+        F.broadcast(
+            _near_gate_ids(cands.filter(F.col("hamming") == 0), near_rep_ids)
+        )
     )
 
 
@@ -1110,6 +1257,7 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS planted_pairs,
            TRUE AS recall_ok,
+           TRUE AS near_recall_ok,
            TRUE AS no_planted_leak
     FROM documents
     """,
@@ -1133,13 +1281,38 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), never pairwise; the planted clones add 1% to the scan."""
     from fineventstream_spark.operators.cluster import dedup_keepers
 
+    from fineventstream_spark.queries._audit import audits_enabled
+
     offset = 100_000_000
     t = Tables(spark, sf_dir)
     docs = t.documents
-    planted = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
-        "doc_id", F.col("doc_id") + offset
-    )
-    corpus = docs.unionByName(planted)
+    if audits_enabled():
+        # exact plants (%97, id+1e8) certify collapse→cluster→keeper;
+        # NEAR plants (appended token, id+2e8, ≥16-word sources so the
+        # 0.8 verify threshold clears with margin: 3-gram Jaccard
+        # (N-2)/(N-1) ≥ 0.93) must ride the LIVE LSH→verify→CC path —
+        # the non-tautological half of the gate
+        plant_src = docs.filter(F.col("doc_id") % 97 == 0)
+        near_src = plant_src.filter(
+            F.size(F.split("text", " ")) >= _MIN_NEAR_WORDS
+        ).select("doc_id", "text")
+        planted = plant_src.withColumn("doc_id", F.col("doc_id") + offset)
+        near = near_src.select(
+            (F.col("doc_id") + _NEAR_OFFSET).alias("doc_id"),
+            _appended_token_mutation().alias("text"),
+        )
+        near_padded = near.select(
+            "doc_id",
+            "text",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in docs.schema.fields
+                if f.name not in ("doc_id", "text")
+            ],
+        )
+        corpus = docs.unionByName(planted).unionByName(near_padded)
+    else:
+        corpus = docs
     # EXACT-COLLAPSE prepass (r10, from the skewed planted-recall audit):
     # identical texts — the boilerplate mass on a real crawl — collapse to
     # one representative (min doc_id per text) BEFORE shingling. A 6-18 k-
@@ -1167,10 +1340,8 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_corpus, verified.select("id_a", "id_b"), "doc_id"
     ).select(F.col("doc_id").alias("rep_id"), "keeper_id")
     keepers = members.join(rep_keepers, "rep_id").select("doc_id", "keeper_id")
-    from fineventstream_spark.queries._audit import audits_enabled
-
     if not audits_enabled():
-        return keepers.filter(F.col("doc_id") < offset)
+        return keepers
     # AUDITED form (value-oracled since r11, boolean-gate pattern): one
     # summary row — n_docs and planted_pairs reproduced by the DuckDB
     # oracle from the documents table, recall_ok TRUE iff every planted
@@ -1179,8 +1350,14 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     orig = keepers.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < offset)).select(
         F.col("doc_id").alias("pid"), F.col("keeper_id").alias("orig_keeper")
     )
-    clone = keepers.filter(F.col("doc_id") >= offset).select(
+    clone = keepers.filter(
+        (F.col("doc_id") >= offset) & (F.col("doc_id") < _NEAR_OFFSET)
+    ).select(
         (F.col("doc_id") - offset).alias("pid"), F.col("keeper_id").alias("clone_keeper")
+    )
+    near_k = keepers.filter(F.col("doc_id") >= _NEAR_OFFSET).select(
+        (F.col("doc_id") - _NEAR_OFFSET).alias("pid"),
+        F.col("keeper_id").alias("near_keeper"),
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     n_planted = docs.filter(F.col("doc_id") % 97 == 0).agg(
@@ -1192,6 +1369,16 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("__recalled")
     )
+    # near gate: every ≥16-word plant source's NEAR copy (mutated text —
+    # never collapses) must have ridden the live LSH→verify→CC path into
+    # its source's cluster
+    n_near = near_src.agg(F.count("*").alias("__n_near"))
+    near_recalled = orig.join(near_k, "pid").agg(
+        F.coalesce(
+            F.sum((F.col("orig_keeper") == F.col("near_keeper")).cast("long")),
+            F.lit(0),
+        ).alias("__near_recalled")
+    )
     # leak = a planted id surviving into the production output: either as
     # a row (the output filter drops doc_id >= offset) or as a real doc's
     # keeper (impossible by construction — cluster minima are real ids —
@@ -1202,11 +1389,17 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_docs.crossJoin(F.broadcast(n_planted))
         .crossJoin(F.broadcast(recalled))
+        .crossJoin(F.broadcast(n_near))
+        .crossJoin(F.broadcast(near_recalled))
         .crossJoin(F.broadcast(leaks))
         .select(
             "n_docs",
             "planted_pairs",
             (F.col("__recalled") == F.col("planted_pairs")).alias("recall_ok"),
+            (
+                (F.col("__near_recalled") == F.col("__n_near"))
+                & (F.col("__n_near") > 0)
+            ).alias("near_recall_ok"),
             (F.col("__leaks") == 0).alias("no_planted_leak"),
         )
     )

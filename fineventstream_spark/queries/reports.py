@@ -1042,10 +1042,12 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_report_product_profit",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+           ROUND(SUM({REV_UNITS_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+                     - CAST(ROUND(p.p_retailprice * 100) AS BIGINT) * 60
+                       * CAST(ROUND(l.l_quantity) AS BIGINT)) / 10000.0, 4)
+             AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1114,9 +1116,16 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     od = bucketed_table(spark, sf_dir, "orders")
     li = bucketed_table(spark, sf_dir, "lineitem")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact integer 1e-4 units (r11, _money.py discipline): the skew
+    # branch sums per-(order, nation) BEFORE the (nation, year) total, a
+    # different float association whose last digit can cross the 4-dp
+    # rounding grid vs the oracle; integer units are order-proof, so both
+    # branches and the oracle agree bit-exactly at any scale/skew.
+    profit_units = rev_units() - (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * 60
+        * F.round(F.col("l_quantity")).cast("long")
+    )
     if layout_skew_degenerate(spark, sf_dir, "lineitem"):
         per_order = (
             bucketed_table(spark, sf_dir, "lineitem", route_skew=True)
@@ -1127,7 +1136,7 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(parts, F.col("l_partkey") == F.col("p_partkey"))
             .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("l_orderkey", "n_name")
-            .agg(F.sum(profit).alias("__profit"))
+            .agg(F.sum(profit_units).alias("__profit_units"))
         )
         return (
             per_order.join(
@@ -1138,7 +1147,7 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_name").alias("nation"),
                 F.year("o_orderdate").cast("int").alias("o_year"),
             )
-            .agg(F.round(F.sum("__profit"), 4).alias("sum_profit"))
+            .agg(sum_money(F.col("__profit_units"), 4).alias("sum_profit"))
         )
     lines = li.select(
         "l_orderkey",
@@ -1158,7 +1167,7 @@ def q_report_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .agg(sum_money(profit_units, 4).alias("sum_profit"))
     )
 
 

@@ -92,7 +92,7 @@ def _run_one(spark, registry, name: str, sf_dir: str) -> float:
 def worker(sf_dir: str, queries: list[str], streams: int, reps: int) -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
-    from mem_pressure import _value_hash
+    from mem_pressure import _value_hash, warm_worker
     from fineventstream_spark.registry import all_queries
     from fineventstream_spark.session import get_spark
 
@@ -101,22 +101,7 @@ def worker(sf_dir: str, queries: list[str], streams: int, reps: int) -> None:
         app_name=f"concurrency-{streams}x",
         extra_conf={"spark.scheduler.mode": "FAIR"},
     )
-    # warm: python worker pool + page cache + derivatives (bench.py's
-    # discipline — cold-start noise must not masquerade as contention).
-    from pyspark.sql.functions import PandasUDFType
-
-    _warm = F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
-    spark.range(10_000).repartition(64).select(_warm("id")).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    for tbl in ("lineitem", "orders", "customer", "nation", "part",
-                "supplier", "region", "events", "documents", "embeddings"):
-        p = os.path.join(sf_dir, f"{tbl}.parquet")
-        if os.path.exists(p):
-            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
-    from fineventstream_spark.queries.scans import prewarm_derivatives
-
-    prewarm_derivatives(spark, sf_dir)
+    warm_worker(spark, sf_dir)  # shared warm discipline (mem_pressure.py)
     # untimed pass: materialize bucketed layouts / .cache derivatives the
     # set depends on, so neither arm pays one-off build cost
     for name in queries:
@@ -246,10 +231,16 @@ def main() -> None:
             times = [st[q] for st in conc["stream_times"] if q in st]
             if times and serial.get(q):
                 inflation[q] = round(sum(times) / len(times) / serial[q], 2)
-        hash_ok = all(
-            sh.get(q) == serial_hashes.get(q)
-            for sh in conc["stream_hashes"]
-            for q in sh
+        # a crashed stream leaves an empty/partial hash dict; all() over
+        # nothing would read as green — require K COMPLETE matching sets
+        hash_ok = (
+            not conc["errors"]
+            and all(set(sh) == set(queries) for sh in conc["stream_hashes"])
+            and all(
+                sh.get(q) == serial_hashes.get(q)
+                for sh in conc["stream_hashes"]
+                for q in queries
+            )
         )
         out_blob["runs"][str(streams)] = {
             "serial_total_sec": round(serial_total, 2),

@@ -120,24 +120,18 @@ def _value_hash(df):
     ).first()
 
 
-def worker(heap: str, sf_dir: str, queries: list[str], reps: int) -> None:
-    os.environ["SPARK_GRAFT_DRIVER_MEM"] = heap
-    from pyspark.sql import functions as F  # noqa: F401
-
-    from fineventstream_spark.registry import all_queries
-    from fineventstream_spark.session import get_spark
-
-    registry = all_queries()
-    spark = get_spark(app_name=f"mem-pressure-{heap}")
-    # warm: python worker pool + page cache + derivatives (bench.py's
-    # discipline — cold-fork/import noise must not masquerade as
-    # memory-pressure slowdown). functionType passed explicitly: under
-    # `from __future__ import annotations` a locally-imported pandas
-    # alias is unresolvable as a string type hint.
+def warm_worker(spark, sf_dir: str) -> None:
+    """Warm python worker pool + page cache + derivatives (bench.py's
+    discipline — cold-fork/import noise must not masquerade as a
+    resource-axis slowdown). Shared by mem_pressure and
+    concurrency_bench so the evidence axes warm identically.
+    functionType passed explicitly: under `from __future__ import
+    annotations` a locally-imported pandas alias is unresolvable as a
+    string type hint."""
+    from pyspark.sql import functions as F
     from pyspark.sql.functions import PandasUDFType
 
     _warm = F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
-
     spark.range(10_000).repartition(64).select(_warm("id")).write.format(
         "noop"
     ).mode("overwrite").save()
@@ -149,6 +143,20 @@ def worker(heap: str, sf_dir: str, queries: list[str], reps: int) -> None:
     from fineventstream_spark.queries.scans import prewarm_derivatives
 
     prewarm_derivatives(spark, sf_dir)
+
+
+def worker(heap: str, sf_dir: str, queries: list[str], reps: int) -> None:
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = heap
+    from fineventstream_spark.registry import all_queries
+    from fineventstream_spark.session import get_spark
+
+    registry = all_queries()
+    spark = get_spark(app_name=f"mem-pressure-{heap}")
+    warm_worker(spark, sf_dir)
+    # sentinel: a JVM death BEFORE this line is a warm-phase failure, not
+    # the first query's fault (the first sweep would have blamed and
+    # skipped an innocent query)
+    print(json.dumps({"warmed": True}), flush=True)
 
     for name in queries:
         q = registry[name]
@@ -194,7 +202,7 @@ def run_heap(heap: str, sf_dir: str, reps: int) -> dict[str, dict]:
         ]
         env = dict(os.environ, SPARK_GRAFT_PREWARM_SKIP=PREWARM_SKIP)
         proc = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
-        done = False
+        done = warmed = False
         for line in proc.stdout.splitlines():
             try:
                 rec = json.loads(line)
@@ -202,9 +210,19 @@ def run_heap(heap: str, sf_dir: str, reps: int) -> dict[str, dict]:
                 continue
             if rec.get("done"):
                 done = True
+            elif rec.get("warmed"):
+                warmed = True
             elif "query" in rec:
                 results[rec.pop("query")] = rec
         if done:
+            break
+        if not warmed:
+            # the JVM died in the WARM phase — no query ever ran; blaming
+            # (and skipping) remaining[0] would falsify the evidence blob
+            tail = proc.stderr.strip().splitlines()[-3:]
+            print(f"# {heap}: JVM died during WARM-UP (no query ran): {tail}",
+                  file=sys.stderr)
+            results["__warmup__"] = {"failed": True, "stderr_tail": tail}
             break
         # the worker died mid-query: the first un-recorded name is the victim
         victim = next((q for q in remaining if q not in results), None)

@@ -124,16 +124,23 @@ def run_rate(spark, rate: int, seconds: int, trigger: int, workdir: str,
     # steady-state = drop the first third (stream warm-up: shuffle/state
     # init, first file commits)
     steady = proc[len(proc) // 3:]
-    half = len(batches) // 2
+    # max(1, ...) guards the single-batch case (a rate far past capacity
+    # with a short window): mean(()) raises StatisticsError and would kill
+    # the sweep after the earlier rates' unsaved work
+    half = max(1, len(batches) // 2)
     early_ms = statistics.mean(
         p["durationMs"]["triggerExecution"] for p in batches[:half]
     )
     late_ms = statistics.mean(
         p["durationMs"]["triggerExecution"] for p in batches[half:]
-    )
-    # state plateau: max over the last third must not exceed the overall
-    # max (i.e. the peak happened before expiry kicked in, not at the end)
+        # single batch: late == early, backlog_growing correctly False
+    ) if batches[half:] else early_ms
+    # state plateau: the last third must not set a NEW peak — i.e. the
+    # max was reached before expiry kicked in. (The first cut compared
+    # max(last_third) <= max(state), a tautology since last_third ⊆
+    # state; a monotonically leaking store passed it.)
     last_third = state[-max(1, len(state) // 3):]
+    head = state[: len(state) - len(last_third)]
     n_files = sum(
         1
         for dp, _, fs in os.walk(sink)
@@ -153,7 +160,7 @@ def run_rate(spark, rate: int, seconds: int, trigger: int, workdir: str,
         "backlog_growing": late_ms > 1.5 * early_ms and late_ms > 1000.0 * trigger,
         "state_rows_max": max(state) if state else None,
         "state_rows_final": state[-1] if state else None,
-        "state_plateaued": bool(state) and max(last_third) <= max(state),
+        "state_plateaued": bool(head) and max(last_third) <= max(head),
         "sink_parquet_files": n_files,
         "caught_up": (not (late_ms > 1.5 * early_ms and late_ms > 1000.0 * trigger))
         and (statistics.mean(steady) >= 0.9 * rate if steady else False),

@@ -331,10 +331,13 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
     assert all(cands[p] <= 8 for p in expected), f"hamming too large: {[cands[p] for p in expected]}"
 
 
-def test_simhash_bucket_cap_bounds_pairs(spark):
-    """200 identical-prefix (boilerplate) docs collapse into hot buckets
-    that must be dropped, not exploded into ~20k pairs; a small planted
-    triple below the cap still surfaces."""
+def test_simhash_fingerprint_collapse_bounds_pairs(spark):
+    """200 identical-fingerprint (boilerplate) docs must yield LINEAR
+    (min-id rep → member) Hamming-0 star edges — never the ~20k
+    in-bucket clique, and never be silently dropped either (the pre-r11
+    cap did exactly that: the near-plant oracle gate measured planted
+    recall 0.48 at sf10 because hot prefix buckets took their Hamming-0
+    pairs down with them). The identical trio collapses the same way."""
     from fineventstream_spark.operators.dedup import simhash_candidates
 
     boiler = [(i, "lorem ipsum dolor sit amet boilerplate common header footer")
@@ -343,10 +346,11 @@ def test_simhash_bucket_cap_bounds_pairs(spark):
             for i in range(3)]
     df = spark.createDataFrame(boiler + trio, "doc_id long, text string")
     pairs = simhash_candidates(df, "text", "doc_id").collect()
-    found = {(r.id_a, r.id_b) for r in pairs}
-    assert found == {(1000, 1001), (1000, 1002), (1001, 1002)}, (
-        f"expected only the capped-out boilerplate dropped and the trio kept, got {len(found)} pairs"
-    )
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert set(found) == (
+        {(0, i) for i in range(1, 200)} | {(1000, 1001), (1000, 1002)}
+    ), f"expected linear star edges, got {len(found)} pairs"
+    assert all(h == 0 for h in found.values())
 
 
 def test_ngram_jaccard_verify_planted(spark):
@@ -2015,12 +2019,18 @@ CONVERTED_SKETCH_QUERIES = {
         "est_returning",
     ),
     # near-dup family (r11): audited = one-row oracled summary with the
-    # recall boolean(s); production = the pair / keeper list
-    "q_llm_dedup_near": (("recall_ok",), "est_jaccard"),
-    "q_llm_dedup_simhash": (("recall_ok",), "hamming"),
-    "q_llm_dedup_ngram_jaccard": (("recall_ok",), "jaccard"),
+    # recall booleans (recall_ok gates the collapse/star plumbing via
+    # exact plants; near_recall_ok gates the LIVE signature→bucket
+    # (→verify) path via mutated-text plants that cannot collapse);
+    # production = the plant-free pair / keeper list
+    "q_llm_dedup_near": (("recall_ok", "near_recall_ok"), "est_jaccard"),
+    "q_llm_dedup_simhash": (("recall_ok", "near_recall_ok"), "hamming"),
+    "q_llm_dedup_ngram_jaccard": (("recall_ok", "near_recall_ok"), "jaccard"),
     "q_llm_dedup_embedding": (("recall_ok",), "cosine_sim"),
-    "q_llm_near_dedup_pipeline": (("recall_ok", "no_planted_leak"), "keeper_id"),
+    "q_llm_near_dedup_pipeline": (
+        ("recall_ok", "near_recall_ok", "no_planted_leak"),
+        "keeper_id",
+    ),
 }
 
 

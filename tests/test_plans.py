@@ -1099,8 +1099,8 @@ def test_report_skew_variants_equivalent_and_shaped(spark, tmp_path):
     degenerate. Pin on a 35%-hot mini-fixture:
 
     - both branches (forced via the routing-threshold conf) return
-      IDENTICAL rows (Q9's profit sums compared at the oracle's own 4-dp
-      rounding);
+      IDENTICAL rows — bit-exact since the r11 integer-unit rewrite of
+      Q9's profit sum (summation-order-proof on both branches);
     - the Q12 skew plan pre-aggregates on (l_orderkey, l_shipdate)
       WITHOUT adding a fact exchange (same Exchange count as baseline —
       the pre-agg rides the bucket distribution);
@@ -1150,10 +1150,7 @@ def test_report_skew_variants_equivalent_and_shaped(spark, tmp_path):
 
     base9, _ = run(q_report_product_profit, "0")
     skew9, plan9_skew = run(q_report_product_profit, "4.0")
-    assert len(base9) == len(skew9) and all(
-        a[0] == b[0] and a[1] == b[1] and abs(a[2] - b[2]) <= 1e-4
-        for a, b in zip(base9, skew9)
-    )
+    assert base9 == skew9, "integer-unit profit must be branch-bit-identical"
     assert "l_orderkey" in plan9_skew and "n_name" in plan9_skew
     # the skew branch reads the plain parquet, not the bucketed derivative
     assert "lineitem_bucketed" not in plan9_skew, (
