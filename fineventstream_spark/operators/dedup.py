@@ -479,7 +479,19 @@ def simhash_candidates(
     linear (min-id rep → member) star edges instead of in-bucket
     cliques, and the prefix buckets see ONE entry per distinct
     fingerprint — bucket size is bounded by fingerprint diversity, not
-    corpus size."""
+    corpus size.
+
+    OUTPUT CONTRACT under the collapse (r11 advisor): only the min-id
+    representative of each fingerprint group enters the prefix buckets,
+    so a Hamming 1–6 pair between a NON-representative member and a doc
+    in another group is NOT emitted directly — it derives transitively
+    through the member's Hamming-0 star edge to its rep (member ≡ rep at
+    distance 0, so every rep-level pair applies to every member at the
+    identical distance). Pairwise consumers that need member-level edges
+    must expand rep-level pairs through the star edges; set-level
+    consumers (dedup keep/drop, clustering) get the same connected
+    components either way — ``dedup_cluster`` already unions both edge
+    kinds before label propagation."""
     # (id, simhash) feeds two consumers post-r5 (bucket counts + the pair
     # join) — persist the 16-byte-per-doc table instead of re-running the
     # CPU-heavy kernel

@@ -65,12 +65,22 @@ _PYTHON_NODES = (
 # Expression kernels that are expensive per ROW when they run once per
 # joined fact row (the measured routing-favored class). Word-ish matches
 # against the Project node's expression string.
+# Unambiguous per-row-expensive kernel names: these token spellings only
+# appear in a ProjectExec expression string when the kernel itself runs.
 _EXPENSIVE_EXPRS = re.compile(
     r"\b(regexp_extract|regexp_replace|regexp_extract_all|regexp_count"
     r"|rlike|levenshtein|from_json|to_json|get_json_object|json_tuple"
     r"|schema_of_json|xxhash64|md5|sha1|sha2|crc32|conv|aes_encrypt"
-    r"|aes_decrypt|base64|unbase64|transform|aggregate|zip_with|filter"
-    r"|exists|forall)\("
+    r"|aes_decrypt|base64|unbase64)\("
+)
+# Higher-order functions share token spellings with unrelated plan text
+# (a rewritten EXISTS predicate prints `exists(`, dataset filters print
+# `filter(`), so these only count as expensive when the node string also
+# carries a `lambdafunction` — the printed form of a real HOF lambda —
+# keeping the registry lint sweep from going red on benign future
+# queries (r11 advisor).
+_EXPENSIVE_HOF = re.compile(
+    r"\b(transform|aggregate|zip_with|filter|exists|forall)\("
 )
 
 # Ancestors that END the per-row span above the join: past any of these
@@ -133,8 +143,12 @@ def _expensive(node) -> str | None:
         if p in nm:
             return f"python-eval node {nm}"
     if nm == "ProjectExec":
-        m = _EXPENSIVE_EXPRS.search(node.toString())
+        s = node.toString()
+        m = _EXPENSIVE_EXPRS.search(s)
         if m:
+            return f"expensive per-row expression `{m.group(1)}` in {nm}"
+        m = _EXPENSIVE_HOF.search(s)
+        if m and "lambdafunction" in s:
             return f"expensive per-row expression `{m.group(1)}` in {nm}"
     return None
 

@@ -163,15 +163,19 @@ def _near_gate_ids(zero_pairs: DataFrame, expected_ids: DataFrame) -> DataFrame:
     emits (fingerprint-group min → member) star edges, and the group min
     can be ANY same-fingerprint doc on a small-vocabulary corpus — so
     the gate checks the member id's presence, which is structural: the
-    plant's source always shares its fingerprint with a smaller id."""
+    plant's source always shares its fingerprint with a smaller id.
+
+    Vacuously TRUE when no qualifying near-plant source exists (r11
+    advisor: the DuckDB oracle hard-codes TRUE, so a fixture whose %41
+    docs all collapse under the mutation must not hash-mismatch) —
+    non-vacuity on the real fixtures is asserted by
+    ``tests/test_operators.py::test_near_gates_not_vacuous`` instead."""
     n_exp = expected_ids.agg(F.count("*").alias("__n"))
     n_hit = expected_ids.join(
         zero_pairs.select(F.col("id_b").alias("vid")), ["vid"], "left_semi"
     ).agg(F.count("*").alias("__hit"))
     return n_exp.crossJoin(F.broadcast(n_hit)).select(
-        ((F.col("__hit") == F.col("__n")) & (F.col("__n") > 0)).alias(
-            "near_recall_ok"
-        )
+        (F.col("__hit") == F.col("__n")).alias("near_recall_ok")
     )
 
 
@@ -184,15 +188,19 @@ def _near_gate(bucket_pairs: DataFrame, near_expected: DataFrame) -> DataFrame:
     half (recall_ok) certifies the collapse plumbing, this half
     certifies the LSH machinery itself — reintroducing a recall-0 class
     of bug (r10's near-parallel hyperplanes) flips it and fails the
-    driver's hash compare."""
+    driver's hash compare.
+
+    Vacuously TRUE when the fixture plants no qualifying near source
+    (all %41 docs below the word floor), matching the oracle's
+    hard-coded TRUE and ``recall_ok``'s documented vacuous behavior
+    (r11 advisor). Non-vacuity on the real fixtures is pinned by
+    ``tests/test_operators.py::test_near_gates_not_vacuous``."""
     n_exp = near_expected.agg(F.count("*").alias("__n"))
     n_hit = near_expected.join(
         bucket_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
     ).agg(F.count("*").alias("__hit"))
     return n_exp.crossJoin(F.broadcast(n_hit)).select(
-        ((F.col("__hit") == F.col("__n")) & (F.col("__n") > 0)).alias(
-            "near_recall_ok"
-        )
+        (F.col("__hit") == F.col("__n")).alias("near_recall_ok")
     )
 
 
@@ -1396,10 +1404,12 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "planted_pairs",
             (F.col("__recalled") == F.col("planted_pairs")).alias("recall_ok"),
-            (
-                (F.col("__near_recalled") == F.col("__n_near"))
-                & (F.col("__n_near") > 0)
-            ).alias("near_recall_ok"),
+            # vacuously TRUE when no >=16-word %97 source exists (oracle
+            # hard-codes TRUE; non-vacuity pinned by
+            # test_near_gates_not_vacuous — r11 advisor)
+            (F.col("__near_recalled") == F.col("__n_near")).alias(
+                "near_recall_ok"
+            ),
             (F.col("__leaks") == 0).alias("no_planted_leak"),
         )
     )

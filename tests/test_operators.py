@@ -2305,3 +2305,52 @@ def test_repartition_sorted_layout(spark, sf_dir):
         us = set(p["users"])
         assert not (us & seen), f"user split across partitions: {sorted(us & seen)[:3]}"
         seen |= us
+
+
+def test_near_gates_not_vacuous(spark, sf_dir):
+    """The near_recall_ok gates are vacuously TRUE when the fixture
+    plants no qualifying near source (r11 advisor: the DuckDB oracles
+    hard-code TRUE, so the Spark side must not flip FALSE on a vacuous
+    fixture). That makes non-vacuity a TEST property, pinned here: the
+    driver fixture must yield >0 expected near edges for every gated
+    family, otherwise the gate certifies nothing and the fixture (or
+    the plant predicate) changed shape."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.queries.llm import (
+        _MIN_NEAR_WORDS,
+        _NEAR_OFFSET,
+        _appended_token_mutation,
+        _exact_collapse,
+        _expected_near_edges,
+        _permuted_words_mutation,
+        _planted_corpora,
+    )
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+
+    # Jaccard families (MinHash-LSH / n-gram verify): >=16-word sources
+    src, near_src, corpus = _planted_corpora(
+        docs, _appended_token_mutation(), _MIN_NEAR_WORDS
+    )
+    _, members = _exact_collapse(corpus)
+    n_jacc = _expected_near_edges(near_src, members).count()
+    assert n_jacc > 0, "Jaccard near gate vacuous: no >=16-word %41 docs"
+
+    # SimHash family: permutation must be a non-no-op for some plant
+    src, near_src, corpus = _planted_corpora(docs, _permuted_words_mutation())
+    _, members = _exact_collapse(corpus)
+    n_sim = (
+        members.filter(F.col("doc_id") >= _NEAR_OFFSET)
+        .filter(F.col("rep_id") >= _NEAR_OFFSET)
+        .count()
+    )
+    assert n_sim > 0, "SimHash near gate vacuous: every permutation collapsed"
+
+    # end-to-end pipeline family: %97 plant predicate, same word floor
+    n_pipe = docs.filter(
+        (F.col("doc_id") % 97 == 0)
+        & (F.size(F.split("text", " ")) >= _MIN_NEAR_WORDS)
+    ).count()
+    assert n_pipe > 0, "pipeline near gate vacuous: no >=16-word %97 docs"
