@@ -869,7 +869,16 @@ def q_agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_topk_rollup",
-    oracle=None,  # sketch internals are engine-specific → rows-only + audit
+    oracle="""
+    SELECT event_type || ':' || CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS exact_n,
+           TRUE AS est_found,
+           TRUE AS est_within_tol
+    FROM events
+    GROUP BY 1
+    ORDER BY exact_n DESC, cell
+    LIMIT 10
+    """,
     tags=("A4",),
 )
 def q_agg_approx_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,45 +899,54 @@ def q_agg_approx_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's Misra-Gries heavy-hitters (q_event_heavy_hitters), whose
     candidate bound degrades gracefully instead of vanishing.
 
-    Self-certifying (rows-only driver check, the house pattern): each
-    estimated cell carries its in-plan exact count (``rel_err``) and
-    membership in the exact top-10 (``in_exact_topk``)."""
+    Value-oracled since r12 (was rows-only; the r11 boolean-gate
+    template): the audited form returns the EXACT top-10 cells and
+    counts (DuckDB twin — deterministic (count desc, cell) order) and
+    the sketch certifies itself through two hash-checked booleans per
+    row: ``est_found`` (the exact-top cell surfaced in the merged
+    estimate — the estimate asks for k=100 so an exact-vs-estimate tie
+    at the #10 boundary can never flip the gate) and ``est_within_tol``
+    (merged estimate within 1% of exact; on a sub-capacity domain the
+    family's counts are exact, so the observed error is 0). A sketch,
+    merge, or capacity regression (the r7 empty-estimate failure mode)
+    flips both gates on every row and fails the hash compare. The
+    estimated ranking alone is the production form (AUDIT=off)."""
     t = Tables(spark, sf_dir)
     cell = F.concat_ws(":", "event_type", F.hour("ts").cast("string"))
     daily = t.events.select(
         F.date_trunc("day", "ts").cast("date").alias("day"), cell.alias("cell")
     ).groupBy("day").agg(F.expr("approx_top_k_accumulate(cell, 4096)").alias("acc"))
+    audit = audits_enabled()
     est = daily.agg(
-        F.expr("approx_top_k_estimate(approx_top_k_combine(acc, 4096), 10)").alias(
-            "topk"
-        )
+        F.expr(
+            f"approx_top_k_estimate(approx_top_k_combine(acc, 4096), {100 if audit else 10})"
+        ).alias("topk")
     )
     items = est.select(F.explode("topk").alias("e")).select(
         F.col("e.item").alias("cell"), F.col("e.count").alias("est_n")
     )
-    if not audits_enabled():
+    if not audit:
         return items.orderBy(F.desc("est_n"), "cell")
-    exact_counts = t.events.groupBy(cell.alias("cell")).agg(
-        F.count(F.lit(1)).alias("exact_n")
-    )
     exact_top = (
-        exact_counts.orderBy(F.desc("exact_n"), "cell")
+        t.events.groupBy(cell.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "cell")
         .limit(10)
-        .select("cell", F.lit(True).alias("__hit"))
     )
     return (
-        items.join(exact_counts, "cell")
-        .join(exact_top, "cell", "left")
+        exact_top.join(F.broadcast(items), "cell", "left")
         .select(
             "cell",
-            "est_n",
             "exact_n",
-            F.round(
-                F.abs(F.col("est_n") - F.col("exact_n"))
-                / F.col("exact_n").cast("double"),
-                6,
-            ).alias("rel_err"),
-            F.coalesce(F.col("__hit"), F.lit(False)).alias("in_exact_topk"),
+            F.col("est_n").isNotNull().alias("est_found"),
+            (
+                F.col("est_n").isNotNull()
+                & (
+                    F.abs(F.col("est_n") - F.col("exact_n"))
+                    / F.col("exact_n").cast("double")
+                    <= 0.01
+                )
+            ).alias("est_within_tol"),
         )
-        .orderBy(F.desc("est_n"), "cell")
+        .orderBy(F.desc("exact_n"), "cell")
     )

@@ -805,80 +805,138 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("q_mm_features", oracle=None, tags=("U8",))
+@register(
+    "q_mm_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(4 + doc_id % 13 AS INT)
+                WHEN doc_id % 3 = 2 THEN CAST(2 * (2 + doc_id % 8) AS INT)
+           END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(3 + doc_id % 7 AS INT)
+                WHEN doc_id % 3 = 2 THEN CAST(2 * (1 + doc_id % 5) AS INT)
+           END AS height,
+           CASE WHEN doc_id % 3 = 1
+                THEN ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INT) + 1]
+           END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(64 + doc_id % 64 AS BIGINT)
+           END AS n_samples,
+           CASE WHEN doc_id % 3 = 2 THEN CAST(3 + doc_id % 6 AS INT)
+           END AS n_frames,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(([24, 25, 30, 60])[CAST(doc_id % 4 AS INT) + 1] AS DOUBLE)
+           END AS fps,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+    tags=("U8",),
+)
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → mapInPandas REAL decode (round 4): doc_id % 3
     picks the modality — actual 24-bit BMP images, 16-bit PCM WAVs, and
     YUV4MPEG2 raw videos (pure-python codecs, operators/multimodal.py) —
     width/height/mean-luminance, sample-rate/frame-count/RMS, and
     frame-count/fps are parsed from the bytes, not echoed from metadata.
-    Self-certifying (rows-only driver check): the synthesis plants known
-    geometry (image w = 4 + id % 13, h = 3 + id % 7; audio rate ladder by
-    id % 4, 64 + id % 64 samples; video w = 2*(2 + id % 8),
-    h = 2*(1 + id % 5), 3 + id % 6 frames), and ``planted_ok`` reports the
-    fraction of rows whose DECODED values match the planted formula — 1.0
-    proves encode→Arrow→decode end-to-end for all three modalities."""
+
+    Value-oracled since r12 (was rows-only + a planted_ok fraction only a
+    human would read): the audited form hash-checks every DECODED
+    structural value — width/height/sample_rate/n_samples/n_frames/fps,
+    NULL outside the row's modality — against the DuckDB twin computing
+    the planted-geometry formulas (image w = 4 + id % 13, h = 3 + id % 7;
+    audio rate ladder by id % 4, 64 + id % 64 samples; video
+    w = 2*(2 + id % 8), h = 2*(1 + id % 5), 3 + id % 6 frames, fps ladder
+    by id % 4), so a decode regression in any modality is a per-row hash
+    mismatch. The payload-dependent signal stats DuckDB cannot reproduce
+    (mean_lum, rms, n_bytes) certify through ``decode_ok``, a
+    hash-checked boolean TRUE iff the row's stats are present and
+    in-range for its modality (luminance in [0,255], rms ≥ 0, a payload
+    longer than its codec header). The full decoded feature frame
+    (stats included) is the production form (SPARK_GRAFT_AUDIT=off)."""
+    from fineventstream_spark.queries._audit import audits_enabled
+
     t = Tables(spark, sf_dir)
     media = multimodal.synthesize_real_media(t.documents)
     feats = multimodal.decode_media_features(media)
-    m = F.col("media_id")
-    ok = (
+    if not audits_enabled():
+        return feats.select(
+            "media_id", "kind", "n_bytes", "width", "height", "mean_lum",
+            "sample_rate", "n_samples", "rms", "n_frames", "fps",
+        )
+    stats_ok = (
         F.when(
             F.col("kind") == "image",
-            (F.col("width") == 4 + m % 13) & (F.col("height") == 3 + m % 7),
+            F.col("mean_lum").isNotNull()
+            & (F.col("mean_lum") >= 0) & (F.col("mean_lum") <= 255)
+            & (F.col("n_bytes") > 54),  # BMP header
         )
         .when(
             F.col("kind") == "audio",
-            (
-                F.col("sample_rate")
-                == F.element_at(
-                    F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
-                    (m % 4 + 1).cast("int"),
-                )
-            )
-            & (F.col("n_samples") == 64 + m % 64),
+            F.col("rms").isNotNull() & (F.col("rms") >= 0)
+            & (F.col("n_bytes") > 44),  # WAV header
         )
         .otherwise(
-            (F.col("width") == 2 * (2 + m % 8))
-            & (F.col("height") == 2 * (1 + m % 5))
-            & (F.col("n_frames") == 3 + m % 6)
+            F.col("mean_lum").isNotNull()
+            & (F.col("mean_lum") >= 0) & (F.col("mean_lum") <= 255)
+            & (F.col("n_bytes") > 10)  # Y4M stream header
         )
     )
-    audit = feats.agg(
-        F.round(F.avg(ok.cast("double")), 4).alias("planted_ok")
-    )
     return feats.select(
-        "media_id", "kind", "n_bytes", "width", "height", "mean_lum",
-        "sample_rate", "n_samples", "rms", "n_frames", "fps",
-    ).crossJoin(F.broadcast(audit))
+        "media_id", "kind", "width", "height", "sample_rate",
+        "n_samples", "n_frames", "fps", stats_ok.alias("decode_ok"),
+    )
 
 
-@register("q_mm_frame_sample", oracle=None, tags=("U8", "U3"))
+@register(
+    "q_mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((j * (3 + doc_id % 6)) // 3 AS INT) AS frame_idx,
+           CAST(3 + doc_id % 6 AS INT) AS n_src_frames,
+           CAST(2 * (2 + doc_id % 8) AS INT) AS width,
+           CAST(2 * (1 + doc_id % 5) AS INT) AS height,
+           CAST(2 * (2 + doc_id % 8) * 2 * (1 + doc_id % 5) * 3 / 2 AS BIGINT)
+             AS n_bytes,
+           TRUE AS frame_exact
+    FROM documents, UNNEST([0, 1, 2]) AS t(j)
+    WHERE doc_id % 3 = 2
+    """,
+    tags=("U8", "U3"),
+)
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling (round 4): Y4M payloads → one scan over
     FRAME markers → 3 evenly-spaced source frames sliced byte-exactly per
     video via mapInPandas (row-expanding; unsampled frames never
-    materialize). Self-certifying rows-only check: ``planted_ok`` is the
-    fraction of emitted frames whose decoded geometry matches the planted
-    formula AND whose payload is exactly one 4:2:0 frame
-    (width*height*3/2 bytes) — 1.0 proves the seeks land on frame
-    boundaries."""
+    materialize).
+
+    Value-oracled since r12 (was rows-only + a planted_ok fraction): the
+    DuckDB twin replays the sampling arithmetic from the planted geometry
+    — per planted video (3 + id % 6 source frames, all ≥ 3 so the k=3
+    even-spacing rule ``j*n//3`` always yields 3 distinct indices) it
+    emits the exact (frame_idx, n_src_frames, width, height) rows plus
+    the 4:2:0 frame byte count w*h*3/2. Every one of those is a DECODED /
+    MEASURED value on the Spark side (``n_bytes`` is the length of the
+    actually-sliced payload), so a seek landing off a frame boundary, a
+    miscounted FRAME marker, or a dropped video is a per-row hash
+    mismatch. ``frame_exact`` additionally gates that the sliced bytes
+    are exactly one planar frame (length matches the header geometry
+    in-row). Frames WITH payloads are the production form (AUDIT=off)."""
+    from fineventstream_spark.queries._audit import audits_enabled
+
     t = Tables(spark, sf_dir)
     media = multimodal.synthesize_real_media(t.documents).filter(
         F.col("kind") == "video"
     )
     frames = multimodal.sample_video_frames(media, k=3)
-    m = F.col("media_id")
-    ok = (
-        (F.col("width") == 2 * (2 + m % 8))
-        & (F.col("height") == 2 * (1 + m % 5))
-        & (F.col("n_src_frames") == 3 + m % 6)
-        & (F.col("n_bytes") == (F.col("width") * F.col("height") * 3 / 2).cast("long"))
-    )
-    audit = frames.agg(F.round(F.avg(ok.cast("double")), 4).alias("planted_ok"))
+    if not audits_enabled():
+        return frames
     return frames.select(
-        "media_id", "frame_idx", "n_src_frames", "width", "height", "n_bytes"
-    ).crossJoin(F.broadcast(audit))
+        "media_id", "frame_idx", "n_src_frames", "width", "height", "n_bytes",
+        (
+            F.col("n_bytes")
+            == (F.col("width") * F.col("height") * 3 / 2).cast("long")
+        ).alias("frame_exact"),
+    )
 
 
 # --------------------------------------------------------------------------
