@@ -104,6 +104,9 @@ HEADLINE = [
     "q_llm_sample_weighted",
     "q_agg_approx_topk_rollup",
     "q_llm_bm25",
+    # round-12 addition: incremental shard-vs-store near-dedup (the
+    # production daily-ingest form; store build amortizes via .cache)
+    "q_llm_dedup_incremental",
 ]
 
 

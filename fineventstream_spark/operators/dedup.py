@@ -575,3 +575,377 @@ def simhash_candidates(
         .dropDuplicates(["id_a", "id_b"])
         .unionByName(fp_star)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup: persisted MinHash fingerprint store (r12)
+#
+# The production form of near-dedup a daily-ingest pipeline needs: dedup a
+# new shard against the accumulated corpus WITHOUT rescanning it. The
+# corpus's text never moves again — what persists is a fingerprint store,
+# O(reps) and text-free:
+#
+#   sigs/   (rep_id, text_sha, sig array<bigint>)     content-addressed probe
+#                                                      + est_jaccard lookup
+#   bands/  (band, bucket, rep_id) PARTITIONED BY bp   the LSH index the
+#           = pmod(bucket, 64), bucket-sorted files     shard joins against
+#   store.json                                          spec sidecar (success
+#                                                       marker, param guard)
+#
+# Incremental cost is O(shard + matched buckets): the shard pays its own
+# signature kernel, the store contributes only (a) a text_sha probe of the
+# compact sigs table and (b) the band entries in buckets the shard actually
+# touches (the (bp, band, bucket) join key lets dynamic partition pruning
+# skip store partitions entirely for small shards, and the bucket-sorted
+# files give parquet row-group skipping inside each partition). History
+# docs' texts are never read, and the signature kernel never re-runs on
+# them.
+#
+# This is the batch-corpus twin of the reference's streaming high-water
+# dedup (src/producer/producer_company_news.py:128-141: only items past the
+# persisted high-water mark are reprocessed); equivalence with the
+# from-scratch recompute is the registered oracle of
+# q_llm_dedup_incremental (queries/llm.py).
+# ---------------------------------------------------------------------------
+
+_STORE_SIDECAR = "store.json"
+_STORE_BUCKET_PARTS = 64
+
+
+def _rep_signatures(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Collapse to per-text representatives (min id — the exact-collapse
+    rule every corpus dedup query uses) and compute their MinHash
+    signatures + band buckets: (rep_id, text_sha, sig, buckets)."""
+    n_cores = docs.sparkSession.sparkContext.defaultParallelism
+    rep = docs.groupBy(text_col).agg(F.min(id_col).alias("rep_id"))
+    return (
+        rep.repartition(n_cores, "rep_id")
+        .select(
+            "rep_id",
+            F.sha2(F.col(text_col), 256).alias("text_sha"),
+            text_to_minhash_udf(num_hashes, shingle_n, bands)(
+                F.col(text_col)
+            ).alias("sb"),
+        )
+        .select(
+            "rep_id",
+            "text_sha",
+            F.slice("sb", 1, num_hashes).alias("sig"),
+            F.slice("sb", num_hashes + 1, bands).alias("buckets"),
+        )
+    )
+
+
+def _exploded_bands(sigs: DataFrame) -> DataFrame:
+    """(rep_id, band, bucket, bp) — the band table rows for a signature
+    frame. bp is the store's directory-partition key."""
+    return sigs.select(
+        "rep_id", F.posexplode("buckets").alias("band", "bucket")
+    ).withColumn(
+        "bp", F.pmod(F.col("bucket"), F.lit(_STORE_BUCKET_PARTS)).cast("int")
+    )
+
+
+def _write_bands(bands_df: DataFrame, path: str, mode: str) -> None:
+    """Write band rows into the bp-partitioned layout, bucket-sorted
+    within files so parquet row-group min/max stats prune inside a
+    partition."""
+    import os
+
+    (
+        bands_df.repartition(_STORE_BUCKET_PARTS, "bp")
+        .sortWithinPartitions("bp", "band", "bucket")
+        .write.mode(mode)
+        .partitionBy("bp")
+        .parquet(os.path.join(path, "bands"))
+    )
+
+
+def build_minhash_store(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Build the persisted fingerprint store from the current corpus.
+
+    One signature pass over the corpus reps, then the corpus text is
+    never needed again: subsequent shards dedup against ``path`` via
+    :func:`incremental_dedup_against_store` and fold in via
+    :func:`append_minhash_store`. The sidecar is written LAST — it is
+    the store-level success marker (a torn build has no sidecar and is
+    rebuilt)."""
+    import json
+    import os
+
+    spark = docs.sparkSession
+    sigs = _rep_signatures(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    # re-read rather than recompute: the Arrow kernel is the expensive
+    # step, and reading back also guarantees sigs/ and bands/ agree
+    sigs_r = spark.read.parquet(os.path.join(path, "sigs"))
+    _write_bands(_exploded_bands(sigs_r), path, "overwrite")
+    tmp = os.path.join(path, _STORE_SIDECAR + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "bucket_parts": _STORE_BUCKET_PARTS,
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(path, _STORE_SIDECAR))
+
+
+def _load_store_spec(path: str) -> dict:
+    import json
+    import os
+
+    sidecar = os.path.join(path, _STORE_SIDECAR)
+    if not os.path.exists(sidecar):
+        raise FileNotFoundError(
+            f"no fingerprint store at {path} (missing {_STORE_SIDECAR})"
+        )
+    with open(sidecar) as fh:
+        return json.load(fh)
+
+
+def append_minhash_store(new_sigs: DataFrame, path: str) -> None:
+    """Fold a shard's NEW representatives (the ``new_sigs`` frame an
+    incremental run returns) into the store: append to sigs/ and bands/.
+    Idempotence is the caller's job (exactly-once per shard — at 100 TB
+    the append runs under the lake's usual manifest/commit discipline,
+    streaming/sink.py's pattern)."""
+    new_sigs = persist_tracked(new_sigs)
+    import os
+
+    new_sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+    _write_bands(_exploded_bands(new_sigs), path, "append")
+
+
+def incremental_dedup_against_store(
+    spark: SparkSession,
+    path: str,
+    shard: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float | None = None,
+    max_bucket: int = 50,
+    return_new_sigs: bool = False,
+):
+    """Dedup a new shard against the persisted fingerprint store.
+
+    Returns (id_a, id_b, est_jaccard, kind) with kind ∈ ('exact','lsh'):
+    every pair a from-scratch run on (store corpus ∪ shard) would emit
+    that TOUCHES the shard — exact copies as linear star edges (store
+    rep → shard doc, shard rep → later shard copy), near-dup candidates
+    through the identical banded-LSH + joint-bucket-cap machinery. With
+    ``return_new_sigs=True`` also returns the shard's new-representative
+    signature frame, ready for :func:`append_minhash_store`.
+
+    EQUIVALENCE CONTRACT (the q_llm_dedup_incremental oracle): output ==
+    from-scratch pairs restricted to shard-touching, exactly, PROVIDED
+    every store id < every shard id (arrival order aligned with id order
+    — true for any monotone ingest key). The bucket cap is applied on the
+    JOINT bucket size (stored entries + shard additions), so cap
+    decisions match the from-scratch run bucket for bucket; est_jaccard
+    comes from the same full signatures.
+
+    Scale shape: O(shard) signature work; store access = one probe join
+    of the compact sigs table (text_sha) + band entries of TOUCHED
+    buckets only (partition-pruned via bp, row-group-pruned via the
+    bucket sort). No step scans corpus text."""
+    from fineventstream_spark.operators.sizing import maybe_broadcast
+
+    spec = _load_store_spec(path)
+    num_hashes = spec["num_hashes"]
+    import os
+
+    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    n_cores = spark.sparkContext.defaultParallelism
+
+    # 1. exact copies of stored content: ONE content-addressed probe of
+    # the compact sigs table (left join, persisted — the hit rows are the
+    # star edges, the miss rows feed everything downstream; the store-side
+    # twin of _exact_collapse)
+    store_sha = sigs.select("rep_id", "text_sha")
+    probe = persist_tracked(
+        shard.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .withColumn("text_sha", F.sha2("t", 256))
+        .join(store_sha, "text_sha", "left")
+    )
+    sha_star = probe.filter(F.col("rep_id").isNotNull()).select(
+        F.col("rep_id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit("exact").alias("kind"),
+    )
+    miss = probe.filter(F.col("rep_id").isNull()).select("id", "t", "text_sha")
+
+    # 2. shard-internal exact collapse (min id per content, as
+    # from-scratch — keyed on the sha so the shuffle carries 32-byte
+    # digests, not document text)
+    s_rep = miss.groupBy("text_sha").agg(F.min("id").alias("s_rep"))
+    miss2 = miss.join(s_rep, "text_sha")
+    internal_star = miss2.filter(F.col("id") != F.col("s_rep")).select(
+        F.col("s_rep").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit("exact").alias("kind"),
+    )
+    new_reps = miss2.filter(F.col("id") == F.col("s_rep")).select(
+        "id", "t", "text_sha"
+    )
+
+    # 3. signature kernel over the shard's NEW representatives only
+    nsig = persist_tracked(
+        new_reps.repartition(n_cores, "id")
+        .select(
+            "id",
+            "text_sha",
+            text_to_minhash_udf(
+                num_hashes, spec["shingle_n"], spec["bands"]
+            )(F.col("t")).alias("sb"),
+        )
+        .select(
+            "id",
+            "text_sha",
+            F.slice("sb", 1, num_hashes).alias("sig"),
+            F.slice("sb", num_hashes + 1, spec["bands"]).alias("buckets"),
+        )
+    )
+    shard_bands = persist_tracked(
+        nsig.select("id", F.posexplode("buckets").alias("band", "bucket"))
+        .withColumn(
+            "bp",
+            F.pmod(F.col("bucket"), F.lit(spec["bucket_parts"])).cast("int"),
+        )
+    )
+
+    # 4. store band entries in TOUCHED buckets only. The touched-bucket
+    # list is shard-sized: size-guarded broadcast keeps the store's band
+    # table from EVER crossing the wire (it streams map-side, partition-
+    # pruned via bp and row-group-pruned via the bucket sort); a corpus-
+    # scale shard falls back un-hinted and AQE picks from runtime stats.
+    store_bands = spark.read.parquet(os.path.join(path, "bands"))
+    touched = shard_bands.select("bp", "band", "bucket").distinct()
+    matched = persist_tracked(
+        store_bands.join(maybe_broadcast(touched), ["bp", "band", "bucket"])
+    )
+
+    # 5. joint-size cap: stored entries + shard additions, same rule the
+    # from-scratch run applies to the full bucket
+    st_cnt = matched.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__ns")
+    )
+    sh_cnt = shard_bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__nh")
+    )
+    joint = F.coalesce(F.col("__ns"), F.lit(0)) + F.col("__nh")
+    # the n ≥ 2 half of the filter matches from-scratch's bsz > 1 and is
+    # ALSO the cost bound: singleton buckets (the vast majority on a
+    # mostly-unique corpus) never reach the sig-carrying pair machinery
+    keep = (
+        sh_cnt.join(st_cnt, ["band", "bucket"], "left")
+        .filter((joint >= 2) & (joint <= max_bucket))
+        .select("band", "bucket")
+    )
+
+    agree_frac = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+
+    # 6a. store × shard candidates (bounded: both sides ≤ max_bucket per
+    # kept bucket); est_jaccard from the full signatures via two compact
+    # lookups — O(matches), never O(store)
+    cross = (
+        matched.join(keep, ["band", "bucket"], "left_semi")
+        .select("band", "bucket", "rep_id")
+        .join(
+            shard_bands.join(keep, ["band", "bucket"], "left_semi").select(
+                "band", "bucket", "id"
+            ),
+            ["band", "bucket"],
+        )
+        .select("rep_id", "id")
+        .dropDuplicates(["rep_id", "id"])
+    )
+    # est_jaccard from full signatures: the pair table is matches-sized —
+    # size-guarded broadcast keeps the store's sig-array column from
+    # shuffling (one column-pruned scan, streamed past the broadcast)
+    cross = (
+        sigs.select("rep_id", F.col("sig").alias("__sa"))
+        .join(maybe_broadcast(cross), "rep_id")
+        .join(nsig.select("id", F.col("sig").alias("__sb")), "id")
+        .select(
+            F.least("rep_id", "id").alias("id_a"),
+            F.greatest("rep_id", "id").alias("id_b"),
+            F.round(agree_frac(F.col("__sa"), F.col("__sb")), 4).alias(
+                "est_jaccard"
+            ),
+            F.lit("lsh").alias("kind"),
+        )
+    )
+
+    # 6b. shard × shard candidates: the exact pair-formation shape of
+    # minhash_lsh_candidates (bounded collect_list + upper triangle)
+    sh_sig = (
+        shard_bands.join(keep, ["band", "bucket"], "left_semi")
+        .join(nsig.select("id", "sig"), "id")
+    )
+    buckets_g = sh_sig.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("es")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size("es") - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("es") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("es"), i + 1).alias("a"),
+                        F.element_at(F.col("es"), j + 1).alias("b"),
+                    ),
+                ),
+            )
+        )
+    )
+    shard_pairs = (
+        buckets_g.filter(F.size("es") >= 2)
+        .select(pair.alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.round(agree_frac(F.col("p.a.sig"), F.col("p.b.sig")), 4).alias(
+                "est_jaccard"
+            ),
+            F.lit("lsh").alias("kind"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    cands = cross.unionByName(shard_pairs)
+    if threshold is not None:
+        cands = cands.filter(F.col("est_jaccard") >= threshold)
+    out = sha_star.unionByName(internal_star).unionByName(cands)
+    if return_new_sigs:
+        return out, nsig.select(
+            F.col("id").alias("rep_id"), "text_sha", "sig", "buckets"
+        )
+    return out

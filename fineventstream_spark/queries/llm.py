@@ -458,6 +458,150 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_store_path(spark: SparkSession, sf_dir: str, thr: int) -> str:
+    """Fingerprint-keyed cache path for the persisted MinHash store over
+    the history split (doc_id < thr) — same derivative discipline as the
+    bucketed layouts: source fingerprint in the dirname (a regenerated
+    fixture rebuilds, never serves stale fingerprints), spec in the
+    dirname (a parameter change rebuilds), stale siblings of the same
+    spec pruned only after a successful build."""
+    import os
+
+    from fineventstream_spark.catalog import source_fingerprint
+    from fineventstream_spark.operators.bucketed import _CACHE_ROOT
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = source_fingerprint(docs, sf_dir, "documents")
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    spec = f"mh64b16s3_bp{dedup._STORE_BUCKET_PARTS}_thr{thr}"
+    return os.path.join(_CACHE_ROOT, sf, f"minhash_store-{spec}-{fp}")
+
+
+def _ensure_minhash_store(
+    spark: SparkSession, sf_dir: str, history: DataFrame, thr: int
+) -> str:
+    import glob
+    import os
+    import shutil
+
+    path = _minhash_store_path(spark, sf_dir, thr)
+    if not os.path.exists(os.path.join(path, dedup._STORE_SIDECAR)):
+        dedup.build_minhash_store(history, "text", "doc_id", path)
+        spec_prefix = os.path.basename(path).rsplit("-", 1)[0]
+        parent = os.path.dirname(path)
+        for sib in glob.glob(os.path.join(parent, f"{spec_prefix}-*")):
+            if os.path.abspath(sib) != os.path.abspath(path):
+                shutil.rmtree(sib, ignore_errors=True)
+    return path
+
+
+_INCR_DEDUP_ORACLE = """
+    WITH thr AS (
+      SELECT CAST(FLOOR(0.9 * (MAX(doc_id) + 1)) AS BIGINT) AS t FROM documents
+    )
+    SELECT CAST(SUM(CASE WHEN d.doc_id < thr.t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_history,
+           CAST(SUM(CASE WHEN d.doc_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shard,
+           CAST(SUM(CASE WHEN d.doc_id >= thr.t AND EXISTS (
+                  SELECT 1 FROM documents e
+                  WHERE e.text = d.text AND e.doc_id < d.doc_id
+                ) THEN 1 ELSE 0 END) AS BIGINT) AS n_shard_exact_dups,
+           TRUE AS matches_recompute
+    FROM documents d, thr
+    """
+
+
+@register("q_llm_dedup_incremental", oracle=_INCR_DEDUP_ORACLE, tags=("U5",))
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus near-dedup against a persisted fingerprint store
+    (r12 — the production form of U5 a daily-ingest pipeline needs; the
+    batch-corpus twin of the reference's streaming high-water dedup,
+    producer_company_news.py:128-141). The newest 10% of documents by id
+    plays the role of "today's shard"; the other 90% is the accumulated
+    corpus whose MinHash store (operators/dedup.py: sigs + bp-partitioned
+    band table, O(reps), text-free) persists under .cache/ exactly like
+    the bucketed layouts. The shard dedups against the STORE — its own
+    signature kernel plus a content-sha probe and a touched-buckets band
+    join; history text is never rescanned.
+
+    Value-oracled (the q_rollup_incremental equivalence pattern): the
+    audited form returns split sizes and the exact shard-duplicate count
+    (all three DuckDB-reproducible — the duplicate count via an EXISTS
+    over earlier identical texts, which is precisely what the star edges
+    assert), plus ``matches_recompute`` — a hash-checked boolean TRUE iff
+    the incremental pair set EQUALS the from-scratch recompute on
+    (history ∪ shard) restricted to shard-touching pairs, kind and
+    est_jaccard included (exceptAll both ways == empty). Any drift in
+    collapse semantics, cap arithmetic, store staleness, or signature
+    determinism flips it. The incremental pair list itself is the
+    production form (SPARK_GRAFT_AUDIT=off)."""
+    import math
+
+    from fineventstream_spark.queries._audit import audits_enabled
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]  # bounded scalar
+    thr = int(math.floor(0.9 * (max_id + 1)))
+    history = docs.filter(F.col("doc_id") < thr)
+    shard = docs.filter(F.col("doc_id") >= thr)
+
+    path = _ensure_minhash_store(spark, sf_dir, history, thr)
+    inc = dedup.incremental_dedup_against_store(
+        spark, path, shard, "text", "doc_id", threshold=0.5
+    )
+    if not audits_enabled():
+        return inc
+    inc = dedup.persist_tracked(inc.select("id_a", "id_b", "est_jaccard", "kind"))
+
+    # from-scratch twin on the full corpus, restricted to shard-touching
+    rep_corpus, members = _exact_collapse(docs)
+    fs_cands = (
+        dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id")
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b", "est_jaccard", F.lit("lsh").alias("kind"))
+    )
+    fs_star = _star_edges(members, "est_jaccard", 1.0).select(
+        "id_a", "id_b", "est_jaccard", F.lit("exact").alias("kind")
+    )
+    fs = (
+        fs_cands.unionByName(fs_star)
+        .filter((F.col("id_a") >= thr) | (F.col("id_b") >= thr))
+    )
+    # multiset equality via per-row count compare (semantically
+    # exceptAll-both-ways == empty; spelled as a groupBy + full join
+    # because Spark 4.1's exceptAll rewrite loses an attribute on this
+    # persisted-union lineage: INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    cols = ["id_a", "id_b", "est_jaccard", "kind"]
+    ic = inc.groupBy(*cols).agg(F.count(F.lit(1)).alias("__ni"))
+    fc = fs.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nf"))
+    sym_diff = (
+        ic.join(fc, cols, "full")
+        .filter(
+            F.coalesce(F.col("__ni"), F.lit(0))
+            != F.coalesce(F.col("__nf"), F.lit(0))
+        )
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    n_history = history.agg(F.count(F.lit(1)).alias("n_history"))
+    n_shard = shard.agg(F.count(F.lit(1)).alias("n_shard"))
+    n_dups = inc.filter(F.col("kind") == "exact").agg(
+        F.count(F.lit(1)).alias("n_shard_exact_dups")
+    )
+    return (
+        n_history.crossJoin(F.broadcast(n_shard))
+        .crossJoin(F.broadcast(n_dups))
+        .crossJoin(F.broadcast(sym_diff))
+        .select(
+            "n_history",
+            "n_shard",
+            "n_shard_exact_dups",
+            (F.col("__d") == 0).alias("matches_recompute"),
+        )
+    )
+
+
 @register(
     "q_llm_dedup_embedding",
     oracle="""

@@ -1,0 +1,157 @@
+"""Incremental corpus dedup vs the persisted MinHash fingerprint store
+(operators/dedup.py, r12): equivalence with the from-scratch recompute,
+the append path, and the store's partition layout.
+
+The equivalence assertions here are the collect()-level twin of
+q_llm_dedup_incremental's hash-checked ``matches_recompute`` gate — these
+run on ADVERSARIAL synthetic corpora (boilerplate past the bucket cap,
+exact dups crossing the history/shard boundary, shard-internal dups,
+near-dup mutations) that the fixture corpus may not exercise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineventstream_spark.operators import dedup
+
+VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform"
+).split()
+
+
+def _mk_text(i: int, words: int = 20) -> str:
+    return " ".join(VOCAB[(i * 7 + j * 3) % len(VOCAB)] for j in range(words))
+
+
+def _corpus(spark):
+    """200 docs: ids 0..179 history, 180..199 shard. Plants:
+    - boilerplate: ids 0..59 all share ONE text (collapse + cap stress);
+      shard ids 180,181 are copies of it (cross-boundary exact dups);
+    - near dups: shard 182..185 are history texts 100..103 + one token;
+    - shard-internal dups: 190 == 191 == 192 (a shard-only text);
+    - the rest unique."""
+    rows = []
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    for i in range(180):
+        rows.append((i, boiler if i < 60 else _mk_text(i)))
+    rows.append((180, boiler))
+    rows.append((181, boiler))
+    for k, src in enumerate(range(100, 104)):
+        rows.append((182 + k, _mk_text(src) + " zzneardup"))
+    shard_only = _mk_text(990)
+    for i in (190, 191, 192):
+        rows.append((i, shard_only))
+    for i in (186, 187, 188, 189, 193, 194, 195, 196, 197, 198, 199):
+        rows.append((i, _mk_text(i)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _from_scratch_restricted(docs, thr, threshold=0.5):
+    from fineventstream_spark.queries.llm import _exact_collapse, _star_edges
+
+    rep_corpus, members = _exact_collapse(docs)
+    cands = (
+        dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id")
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard", F.lit("lsh").alias("kind"))
+    )
+    star = _star_edges(members, "est_jaccard", 1.0).select(
+        "id_a", "id_b", "est_jaccard", F.lit("exact").alias("kind")
+    )
+    return (
+        cands.unionByName(star)
+        .filter((F.col("id_a") >= thr) | (F.col("id_b") >= thr))
+    )
+
+
+def _pairs(df):
+    return sorted(
+        (r.id_a, r.id_b, r.est_jaccard, r.kind)
+        for r in df.select("id_a", "id_b", "est_jaccard", "kind").collect()
+    )
+
+
+def test_incremental_matches_recompute_synthetic(spark, tmp_path):
+    docs = _corpus(spark)
+    thr = 180
+    store = str(tmp_path / "store")
+    dedup.build_minhash_store(
+        docs.filter(F.col("doc_id") < thr), "text", "doc_id", store
+    )
+    inc = dedup.incremental_dedup_against_store(
+        spark, store, docs.filter(F.col("doc_id") >= thr), "text", "doc_id",
+        threshold=0.5,
+    )
+    got = _pairs(inc)
+    want = _pairs(_from_scratch_restricted(docs, thr))
+    assert got == want
+    # sanity on the plants themselves, not just self-consistency:
+    exact_targets = {b for a, b, e, k in got if k == "exact"}
+    assert {180, 181, 191, 192} <= exact_targets
+    near_ids = {b for a, b, e, k in got if k == "lsh"} | {
+        a for a, b, e, k in got if k == "lsh"
+    }
+    # ≥3 of 4 near plants surface (the 7-word-period _mk_text shingle
+    # sets put one plant's signature estimate under the 0.5 threshold —
+    # identically in both runs, which is what the equivalence asserts)
+    assert len({182, 183, 184, 185} & near_ids) >= 3
+
+
+def test_append_then_second_shard(spark, tmp_path):
+    docs = _corpus(spark)
+    thr1, thr2 = 180, 190
+    store = str(tmp_path / "store")
+    dedup.build_minhash_store(
+        docs.filter(F.col("doc_id") < thr1), "text", "doc_id", store
+    )
+    shard1 = docs.filter((F.col("doc_id") >= thr1) & (F.col("doc_id") < thr2))
+    _, new_sigs = dedup.incremental_dedup_against_store(
+        spark, store, shard1, "text", "doc_id", threshold=0.5,
+        return_new_sigs=True,
+    )
+    dedup.append_minhash_store(new_sigs, store)
+    shard2 = docs.filter(F.col("doc_id") >= thr2)
+    got = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, shard2, "text", "doc_id", threshold=0.5
+        )
+    )
+    want = _pairs(_from_scratch_restricted(docs, thr2))
+    assert got == want
+    # the appended store now holds shard1's new reps: a shard2-internal
+    # dup of a shard1 text would resolve against the STORE. 190/191/192
+    # share a shard-only text introduced in... shard2 itself here, so
+    # additionally check a shard1 rep is queryable:
+    sigs = spark.read.parquet(os.path.join(store, "sigs"))
+    assert sigs.filter(F.col("rep_id") >= thr1).count() > 0
+
+
+def test_store_layout_partition_pruned(spark, tmp_path):
+    docs = _corpus(spark)
+    store = str(tmp_path / "store")
+    dedup.build_minhash_store(docs, "text", "doc_id", store)
+    bands_root = os.path.join(store, "bands")
+    parts = [d for d in os.listdir(bands_root) if d.startswith("bp=")]
+    assert len(parts) > 1, "band table not directory-partitioned by bp"
+    # a bp-filtered read must prune at PARTITION level (file skipping) —
+    # the mechanism the shard join's (bp, band, bucket) key hands to DPP
+    plan = (
+        spark.read.parquet(bands_root)
+        .filter(F.col("bp") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(bp" in plan
+
+
+def test_store_spec_guard(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        dedup.incremental_dedup_against_store(
+            spark, str(tmp_path / "nope"), _corpus(spark), "text", "doc_id"
+        )
