@@ -17,6 +17,18 @@ build from query:
 
 Recall/latency trade is the standard IVF one (raise nprobe for recall);
 determinism: k-means seeds from the first k vectors by id, no RNG.
+
+**Incremental maintenance (r12)**: production appends embeddings daily;
+rebuilding the index per append is the O(corpus) cost this module
+exists to avoid. :func:`append_ivf_index` assigns NEW vectors to the
+EXISTING centroids and appends into the partitioned list layout —
+O(append) work, queries prune exactly as before. Appends drift the
+list balance (the data distribution moves away from the build-time
+centroids), so the sidecar records per-list counts at build time and
+every append updates them; :func:`needs_recluster` compares the
+current max/mean list skew against the build-time skew and flags when
+the drift passes a threshold — the recorded, testable signal for the
+(still O(corpus), deliberately explicit) rebuild.
 """
 
 from __future__ import annotations
@@ -34,6 +46,33 @@ from fineventstream_spark.operators.similarity import cosine_topk, ivf_assign
 _SIDECAR = "_IVF_CENTROIDS.json"
 
 
+def _list_counts(assigned: DataFrame) -> dict[str, int]:
+    rows = assigned.groupBy("ivf_bucket").count().collect()  # k rows, bounded
+    return {str(r["ivf_bucket"]): int(r["count"]) for r in rows}
+
+
+def _write_sidecar(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, _SIDECAR + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _SIDECAR))
+
+
+def _load_sidecar(path: str) -> dict:
+    with open(os.path.join(path, _SIDECAR)) as f:
+        meta = json.load(f)
+    if isinstance(meta, list):  # legacy pre-r12 format: bare centroid list
+        return {"centroids": meta, "list_counts": {}, "built_counts": {}}
+    return meta
+
+
+def _skew(counts: dict[str, int]) -> float:
+    vals = list(counts.values())
+    if not vals or sum(vals) == 0:
+        return 1.0
+    return max(vals) / (sum(vals) / len(vals))
+
+
 def build_ivf_index(
     df: DataFrame,
     vec_col: str,
@@ -42,15 +81,61 @@ def build_ivf_index(
     n_lists: int = 16,
     iterations: int = 5,
 ) -> list[list[float]]:
-    """Fit centroids, bucket the corpus, persist partitioned by list."""
+    """Fit centroids, bucket the corpus, persist partitioned by list.
+    The sidecar records the build-time per-list counts — the baseline
+    :func:`needs_recluster` measures append drift against."""
     centroids, _ = kmeans_fit(df, vec_col, id_col, k=n_lists, iterations=iterations)
     assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
     assigned.write.mode("overwrite").partitionBy("ivf_bucket").parquet(
         os.path.join(path, "vectors")
     )
-    with open(os.path.join(path, _SIDECAR), "w") as f:
-        json.dump(centroids, f)
+    counts = _list_counts(
+        df.sparkSession.read.parquet(os.path.join(path, "vectors"))
+    )
+    _write_sidecar(
+        path,
+        {"centroids": centroids, "list_counts": counts, "built_counts": counts},
+    )
     return centroids
+
+
+def append_ivf_index(
+    df: DataFrame, vec_col: str, id_col: str, path: str
+) -> dict:
+    """Fold new vectors into the persisted index WITHOUT re-clustering:
+    assign to the existing centroids (one narrow pass over the append —
+    no shuffle, no touch of the stored lists) and append into the
+    partitioned layout. Returns the updated sidecar meta (counts +
+    skew), so callers can act on :func:`needs_recluster` immediately.
+    Idempotence is the caller's commit discipline, as with every lake
+    append."""
+    meta = _load_sidecar(path)
+    assigned = ivf_assign(df.select(id_col, vec_col), vec_col, meta["centroids"])
+    new_counts = _list_counts(assigned)
+    assigned.write.mode("append").partitionBy("ivf_bucket").parquet(
+        os.path.join(path, "vectors")
+    )
+    counts = dict(meta.get("list_counts", {}))
+    for b, n in new_counts.items():
+        counts[b] = counts.get(b, 0) + n
+    meta["list_counts"] = counts
+    _write_sidecar(path, meta)
+    return meta
+
+
+def needs_recluster(path: str, drift_ratio: float = 1.5) -> bool:
+    """True when appended data has drifted the list balance past the
+    threshold: current max/mean list skew > ``drift_ratio`` × the
+    build-time skew. Skew RELATIVE to build (not absolute) because a
+    corpus can be legitimately imbalanced at build time — the signal is
+    appends concentrating where the centroids no longer describe the
+    data, which degrades the nprobe/recall trade (hot lists scan more,
+    cold lists waste probes)."""
+    meta = _load_sidecar(path)
+    built, now = meta.get("built_counts", {}), meta.get("list_counts", {})
+    if not built or not now:
+        return False
+    return _skew(now) > drift_ratio * _skew(built)
 
 
 def query_ivf_index(
@@ -63,8 +148,7 @@ def query_ivf_index(
     nprobe: int = 4,
 ) -> DataFrame:
     """Top-k over the persisted index, reading only the probed partitions."""
-    with open(os.path.join(path, _SIDECAR)) as f:
-        centroids = json.load(f)
+    centroids = _load_sidecar(path)["centroids"]
 
     def cos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))

@@ -218,6 +218,43 @@ def _band_buckets_udf(planes: np.ndarray, n_bands: int):
     return _keys
 
 
+def _band_bucket_chain_udf(
+    planes: np.ndarray,
+    n_bands: int,
+    extra: np.ndarray,
+    split_levels: int,
+    split_bits: int,
+):
+    """Per-band FULL-DEPTH bucket keys: the band's base sign bits followed
+    by ``split_levels`` blocks of ``split_bits`` extra sign bits (per-band
+    independent planes). The depth-d key is a fixed-length PREFIX, so the
+    hierarchical cap split downstream is a JVM ``substring`` — one Arrow
+    pass computes every band and every level."""
+    per_band = planes.shape[0] // n_bands
+    per_chain = split_levels * split_bits
+
+    @F.pandas_udf("array<string>")
+    def _keys(vecs: pd.Series) -> pd.Series:
+        m = _stack(vecs)
+        signs = (m @ planes.T) > 0
+        xsigns = (m @ extra.T) > 0  # (n, n_bands * per_chain)
+        out = []
+        for row, xrow in zip(signs, xsigns):
+            bits = "".join("1" if b else "0" for b in row)
+            xbits = "".join("1" if b else "0" for b in xrow)
+            out.append(
+                [
+                    f"{band}:"
+                    + bits[band * per_band : (band + 1) * per_band]
+                    + xbits[band * per_chain : (band + 1) * per_chain]
+                    for band in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return _keys
+
+
 def _pair_cosine_udf():
     @F.pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -240,8 +277,11 @@ def cosine_near_dup_pairs(
     n_bands: int = 3,
     threshold: float = 0.9,
     max_bucket: int = 100,
+    split_levels: int = 3,
+    split_bits: int = 8,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via BANDED random-hyperplane LSH.
+    """Embedding near-duplicate pairs via BANDED random-hyperplane LSH
+    with HIERARCHICAL over-cap bucket splitting.
 
     ``n_planes`` hyperplanes split into ``n_bands`` bands of
     ``n_planes/n_bands`` planes each; a pair is a candidate when it shares
@@ -256,19 +296,42 @@ def cosine_near_dup_pairs(
     sub-buckets, leaving 300+ vectors per bucket at sf10, ALL past the
     cap, and every candidate pair (planted identical clones included) was
     silently dropped. 18 planes/band ≈ 2^9 splits keeps clustered buckets
-    under the cap at sf10 (and the cap degrades gracefully: caps bind per
-    band, and an identical pair — same sign pattern in EVERY band — is
-    dropped only if all ``n_bands`` independent bucketings cap out).
+    under the cap at sf10.
     P(candidate at cosine θ) = 1-(1-(1-θ/π)^planes_per_band)^n_bands.
     Measured at sf10 (BASELINE r10): recall 0.0 → 1.0, pairs bounded.
+
+    Why hierarchical splitting (r12 — the sf30 recall-gate sweep caught
+    the NEXT decade's collapse, exactly as r11's sf10 sweep caught
+    SimHash's): at sf30 each label cluster holds ~60k vectors, ~117 per
+    2^9 sub-bucket — past the cap in ALL bands, planted recall fell to
+    FALSE. Fixed plane counts can never be scale-robust; instead, a
+    bucket over the cap is SPLIT with ``split_bits`` additional per-band
+    hyperplanes, up to ``split_levels`` times (the depth-d key is a
+    prefix of one precomputed bit string, so splitting is a JVM
+    substring + window count over the shrinking over-cap subset; only a
+    bucket still over cap at max depth is dropped). Same-direction pairs
+    (exact duplicates, scaled clones) have IDENTICAL sign bits at every
+    depth, so splitting never separates them — recall for the dedup
+    target class is structural; what splitting sacrifices is far-apart
+    pairs inside giant clusters, the pairs the cap was already dropping
+    wholesale. Capacity bound: max_bucket × 2^(levels × bits) per
+    band-bucket (100 × 2^24 here) before anything is dropped.
     """
     if n_planes % n_bands:
         raise ValueError(f"n_planes ({n_planes}) must divide into {n_bands} bands")
     planes = np.asarray([_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64)
+    extra = np.asarray(
+        [
+            _hyperplane(dim, n_planes + j)
+            for j in range(n_bands * split_levels * split_bits)
+        ],
+        dtype=np.float64,
+    )
+    chain = _band_bucket_chain_udf(planes, n_bands, extra, split_levels, split_bits)
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.explode(_band_buckets_udf(planes, n_bands)(F.col(vec_col))).alias("bucket"),
+        F.explode(chain(F.col(vec_col))).alias("chain"),
     )
 
     # Window-count cap, not groupBy + join-back: the multi-occupancy bucket
@@ -278,10 +341,30 @@ def cosine_near_dup_pairs(
     # is baked into the bucket key, so caps bind per (band, bucket).
     from pyspark.sql import Window
 
-    bucket_w = Window.partitionBy("bucket")
-    capped = keyed.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
-        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
-    )
+    base_len = len(f"{n_bands - 1}:") + n_planes // n_bands
+    finals = []
+    remaining = keyed
+    for d in range(split_levels + 1):
+        cur = remaining.withColumn(
+            "bucket", F.substring("chain", 1, base_len + d * split_bits)
+        )
+        bucket_w = Window.partitionBy("bucket")
+        cur = cur.withColumn("bsz", F.count(F.lit(1)).over(bucket_w))
+        finals.append(
+            cur.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)).select(
+                "bucket", "id", "vec"
+            )
+        )
+        if d < split_levels:
+            remaining = cur.filter(F.col("bsz") > max_bucket).select(
+                "id", "vec", "chain"
+            )
+        # else: still-over-cap buckets at max depth are dropped (degenerate
+        # piles of identical-direction vectors, e.g. all-zero embeddings)
+
+    capped = finals[0]
+    for f_ in finals[1:]:
+        capped = capped.unionByName(f_)
     a = capped.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = capped.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     sim = _pair_cosine_udf()(F.col("vec_a"), F.col("vec_b"))

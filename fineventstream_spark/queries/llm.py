@@ -495,20 +495,24 @@ def _ensure_minhash_store(
     return path
 
 
+# "has an earlier identical text" is computed against the per-text MIN id
+# (LINEAR group-by + 1:1 join), never as a correlated EXISTS with an id
+# inequality — on the zipf fixture (8 boilerplate templates × ~19k copies
+# at sf30) that correlate explodes to billions of intermediate rows and
+# OOMed the oracle process at 99 GB (r12, found by the sf30 gate sweep).
 _INCR_DEDUP_ORACLE = """
     WITH thr AS (
       SELECT CAST(FLOOR(0.9 * (MAX(doc_id) + 1)) AS BIGINT) AS t FROM documents
-    )
+    ),
+    m AS (SELECT text, MIN(doc_id) AS min_id FROM documents GROUP BY text)
     SELECT CAST(SUM(CASE WHEN d.doc_id < thr.t THEN 1 ELSE 0 END) AS BIGINT)
              AS n_history,
            CAST(SUM(CASE WHEN d.doc_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT)
              AS n_shard,
-           CAST(SUM(CASE WHEN d.doc_id >= thr.t AND EXISTS (
-                  SELECT 1 FROM documents e
-                  WHERE e.text = d.text AND e.doc_id < d.doc_id
-                ) THEN 1 ELSE 0 END) AS BIGINT) AS n_shard_exact_dups,
+           CAST(SUM(CASE WHEN d.doc_id >= thr.t AND d.doc_id > m.min_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shard_exact_dups,
            TRUE AS matches_recompute
-    FROM documents d, thr
+    FROM documents d JOIN m ON d.text = m.text, thr
     """
 
 

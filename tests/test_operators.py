@@ -2064,30 +2064,32 @@ def test_sketch_audit_toggle_converted(name, spark, sf_dir, monkeypatch):
 
 
 def test_sketch_audit_toggle_topk(spark, sf_dir, monkeypatch):
-    """The one remaining rows-only sketch query (top-k: tie selection at
-    the boundary is engine-internal, so no oracle): AUDIT=off drops the
-    audit columns, keeps the estimate, and the estimates agree between
-    the two forms (capacity ≥ domain ⇒ counts are exact either way)."""
+    """r12 (oracled since): the audited form is the EXACT top-10 with
+    hash-checked gate booleans; AUDIT=off is the estimated ranking alone.
+    The toggle invariant: the production estimate's top-10 cells must
+    agree with the audited exact top-10 (sub-capacity domain ⇒ the
+    sketch's counts are exact), and both gates hold on every row."""
     from fineventstream_spark.registry import all_queries
 
     fn = all_queries()["q_agg_approx_topk_rollup"].fn
 
     monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
     audited = fn(spark, sf_dir)
-    assert "rel_err" in audited.columns and "est_n" in audited.columns
+    assert {"cell", "exact_n", "est_found", "est_within_tol"} == set(
+        audited.columns
+    )
+    arows = audited.collect()
+    assert len(arows) == 10
+    assert all(r.est_found and r.est_within_tol for r in arows)
 
     monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
     prod = fn(spark, sf_dir)
-    assert "rel_err" not in prod.columns, "audit column survived AUDIT=off"
+    assert "exact_n" not in prod.columns, "audit column survived AUDIT=off"
     assert "est_n" in prod.columns
-
-    a = sorted(float(r.est_n) for r in audited.select("est_n").collect())
-    p = sorted(float(r.est_n) for r in prod.select("est_n").collect())
-    assert len(a) == len(p), "row count diverged"
-    for x, y in zip(a, p):
-        assert abs(x - y) <= 0.05 * max(abs(x), abs(y), 1.0), (
-            f"production estimate {y} diverges from audited {x}"
-        )
+    prows = prod.collect()
+    assert {r.cell for r in arows} == {r.cell for r in prows}, (
+        "production estimated top-10 diverges from the exact top-10"
+    )
 
 
 def test_bucketed_layout_self_reports_skew(spark, tmp_path, monkeypatch):
@@ -2354,3 +2356,76 @@ def test_near_gates_not_vacuous(spark, sf_dir):
         & (F.size(F.split("text", " ")) >= _MIN_NEAR_WORDS)
     ).count()
     assert n_pipe > 0, "pipeline near gate vacuous: no >=16-word %97 docs"
+
+
+def test_ivf_append_recall_prune_and_drift(spark, sf_dir, tmp_path):
+    """r12 incremental ANN maintenance: (a) appending new vectors to the
+    persisted index (assign-to-existing-centroids, no re-cluster) keeps
+    recall@10 within tolerance of an index REBUILT from scratch on the
+    same corpus; (b) queries on the appended index still prune at the
+    partition level; (c) the recorded list-balance drift signal flips
+    when appends concentrate on one list."""
+    import math
+
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.operators.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        needs_recluster,
+        query_ivf_index,
+    )
+    from fineventstream_spark.operators.similarity import cosine_topk
+
+    emb = Tables(spark, sf_dir).embeddings
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    appended = str(tmp_path / "ivf_app")
+    build_ivf_index(half, "embedding", "vec_id", appended, n_lists=8, iterations=3)
+    assert not needs_recluster(appended)
+    append_ivf_index(rest, "embedding", "vec_id", appended)
+
+    rebuilt = str(tmp_path / "ivf_full")
+    build_ivf_index(emb, "embedding", "vec_id", rebuilt, n_lists=8, iterations=3)
+
+    query = [round(math.sin(j + 1), 6) for j in range(64)]
+    got_app = query_ivf_index(
+        spark, appended, "embedding", "vec_id", query, k=10, nprobe=3
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        got_app._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "ivf_bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:300], "appended index no longer prunes partitions"
+
+    brute = {
+        r.vec_id
+        for r in cosine_topk(emb, "embedding", "vec_id", query, k=10).collect()
+    }
+    rec_app = len({r.vec_id for r in got_app.collect()} & brute)
+    rec_rebuild = len(
+        {
+            r.vec_id
+            for r in query_ivf_index(
+                spark, rebuilt, "embedding", "vec_id", query, k=10, nprobe=3
+            ).collect()
+        }
+        & brute
+    )
+    # tolerance: append may trail the rebuild (its centroids never saw
+    # the appended half) but must stay within 3 of it and useful overall
+    assert rec_app >= max(rec_rebuild - 3, 5), (
+        f"append recall {rec_app}/10 vs rebuilt {rec_rebuild}/10"
+    )
+
+    # (c) drift signal: append a pile of identical off-distribution
+    # vectors — they all land in ONE list and skew max/mean
+    hot = spark.range(5000).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.array(*[F.lit(9.9)] * 64).alias("embedding"),
+    )
+    meta = append_ivf_index(hot, "embedding", "vec_id", appended)
+    assert needs_recluster(appended), (
+        f"drift signal did not flip; counts={meta['list_counts']}"
+    )
