@@ -37,82 +37,31 @@ REGISTRY: dict[str, Query] = {}
 # The external driver hash-checks the registry in iteration order and (as
 # observed in rounds 1-3) records only the first ~50 entries. This list
 # rotates per round so every declared query cycles through hard driver
-# rows. Round-11 rotation (r10 verdict #7): the ORACLE-CHANGED queries
-# first — the two r11 rows-only→hash-green conversions
-# (q_agg_approx_percentile exact-twin columns + hash-checked tolerance
-# boolean; q_llm_knn_ivf full SQL replay of the IVF pipeline) and
-# q_llm_fingerprint (r11 NULL-passthrough oracle guard) — then the
-# r10-verdict-named set (the routing-affected bucketed queries and the
-# frame-range sibling of the r10-rewritten frame query, plus Q12-split
-# whose plan the r11 skew work touches), then the ENTIRE remaining
-# r6/r7-stale set oldest-first (computed from the CORRECTNESS_r01..r10
-# union: every name below the named block last got a hard driver row in
-# r7 or earlier). After this round no query's last hard check predates
-# r8. The list is duplicate-free by construction (guarded below — the r7
-# advisor found 4 dead duplicate slots overstating rotation coverage).
+# rows. The list is duplicate-free by construction (guarded below — the
+# r7 advisor found 4 dead duplicate slots overstating rotation coverage).
 # Everything past the window is still covered by the local differential
 # suite at the identical compare strictness. Names not present in
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # oracle changed in r11 (twelve rows-only→hash-green conversions +
-    # the fingerprint NULL guard): the five near-dup boolean-gate
-    # conversions (recall_ok hash-checked vs a DuckDB planted-count
-    # oracle), the four sketch conversions (exact values oracled,
-    # sketch certified by a tolerance boolean), then the earlier r11 set
-    "q_llm_dedup_near",
-    "q_llm_dedup_simhash",
-    "q_llm_dedup_ngram_jaccard",
+    # Round-12 rotation (r11 verdict #5): ORACLE-CHANGED/NEW first — the
+    # new incremental-dedup query, the three r12 rows-only→hash-green
+    # conversions, the embedding query (r12 hierarchical-split plan), and
+    # the four near-gate queries whose vacuity semantics changed (r11
+    # advisor) — then the ENTIRE r7-stale set, then the r8-stale set
+    # alphabetical (computed from the CORRECTNESS_r01..r11 union). The
+    # ~50-entry window covers new+r7 and ~30 of the 41 r8 names; the
+    # remainder fronts r13. After this round no query's last hard check
+    # predates r8.
+    "q_llm_dedup_incremental",
+    "q_agg_approx_topk_rollup",
+    "q_mm_features",
+    "q_mm_frame_sample",
     "q_llm_dedup_embedding",
+    "q_llm_dedup_near",
+    "q_llm_dedup_ngram_jaccard",
+    "q_llm_dedup_simhash",
     "q_llm_near_dedup_pipeline",
-    "q_agg_approx_distinct",
-    "q_agg_sketch_rollup",
-    "q_agg_kll_quantile_rollup",
-    "q_event_theta_overlap",
-    "q_agg_approx_percentile",
-    "q_llm_knn_ivf",
-    "q_llm_kmeans",
-    "q_llm_fingerprint",
-    # r10-verdict-named: routing-affected bucketed queries + frame-range
-    # + the r11 skew-work report pair
-    "q_join_inner",
-    "q_report_nation_volume",
-    "q_win_frame_range",
-    "q_report_product_profit",
-    "q_report_ship_priority_split",
-    # r6-stale
-    "q_win_rank",
-    "q_win_topk_per_group",
-    # r7-stale set, alphabetical (all same age)
-    "q_agg_count_min_freq",
-    "q_agg_count_of_counts",
-    "q_dq_violations",
-    "q_event_drawdown",
-    "q_event_gap_detection",
-    "q_event_heavy_hitters",
-    "q_event_resample_ffill",
-    "q_event_rolling_zscore",
-    "q_event_volatility",
-    "q_except",
-    "q_filter_in_between_like",
-    "q_llm_curation_pipeline",
-    "q_llm_domain_mix",
-    "q_llm_edit_distance",
-    "q_llm_embed_quantize",
-    "q_llm_idf",
-    "q_llm_pii_redact",
-    "q_llm_quality_quantile",
-    "q_llm_repetition",
-    "q_llm_sample_hash",
-    "q_llm_sample_stratified",
-    "q_llm_sample_weighted",
-    "q_llm_stopword_filter",
-    "q_llm_tfidf_top",
-    "q_report_customer_distribution",
-    "q_report_disjunctive_revenue",
-    "q_report_large_orders",
-    "q_report_market_share",
-    "q_report_min_cost_supplier",
-    "q_report_order_priority",
+    # r7-stale (last driver hard row: r07)
     "q_report_pricing_summary",
     "q_report_promo_effect",
     "q_report_sales_opportunity",
@@ -124,6 +73,48 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scan_json",
     "q_scan_schema_drift",
     "q_union_distinct",
+    # r8-stale, alphabetical
+    "q_agg_collect",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_groupby_basic",
+    "q_agg_having",
+    "q_agg_median_mode",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_salted",
+    "q_dq_profile",
+    "q_event_concentration",
+    "q_event_correlation",
+    "q_event_funnel_windowed",
+    "q_event_ohlc_bars",
+    "q_event_similar_days",
+    "q_event_twap",
+    "q_event_wow_change",
+    "q_fn_string_agg",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_full",
+    "q_join_left",
+    "q_join_range",
+    "q_join_semi",
+    "q_llm_bigram_counts",
+    "q_llm_bm25",
+    "q_llm_pack_sequences",
+    "q_llm_text_stats",
+    "q_llm_token_count",
+    "q_llm_unigram_logprob",
+    "q_report_dominant_supplier",
+    "q_report_important_stock",
+    "q_report_supplier_part_count",
+    "q_rollup_incremental",
+    "q_scan_nested",
+    "q_scan_orc",
+    "q_scan_partition_prune",
+    "q_scd2_user_segment",
+    "q_snapshot_diff",
+    "q_source_datasource_quotes",
 )
 # Explicit raise, not `assert` (r8 advisor): asserts are stripped under
 # `python -O`, which would silently re-allow the dead-rotation-slot bug.
