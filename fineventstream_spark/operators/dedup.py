@@ -653,19 +653,36 @@ def _exploded_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _write_bands(bands_df: DataFrame, path: str, mode: str) -> None:
-    """Write band rows into the bp-partitioned layout, bucket-sorted
-    within files so parquet row-group min/max stats prune inside a
-    partition."""
+def _write_bands(bands_df: DataFrame, path: str, epoch: int) -> None:
+    """Write band rows into one EPOCH of the bp-partitioned layout,
+    bucket-sorted within files so parquet row-group min/max stats prune
+    inside a partition. An epoch directory is only visible to readers
+    once the sidecar commits it (see append_minhash_store)."""
     import os
 
     (
         bands_df.repartition(_STORE_BUCKET_PARTS, "bp")
         .sortWithinPartitions("bp", "band", "bucket")
-        .write.mode(mode)
+        .write.mode("overwrite")
         .partitionBy("bp")
-        .parquet(os.path.join(path, "bands"))
+        .parquet(os.path.join(path, "bands", f"e={epoch}"))
     )
+
+
+def _read_store_sigs(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    import os
+
+    root = os.path.join(path, "sigs")
+    paths = [os.path.join(root, f"e={e}") for e in meta["epochs"]]
+    return spark.read.option("basePath", root).parquet(*paths).drop("e")
+
+
+def _read_store_bands(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    import os
+
+    root = os.path.join(path, "bands")
+    paths = [os.path.join(root, f"e={e}") for e in meta["epochs"]]
+    return spark.read.option("basePath", root).parquet(*paths).drop("e")
 
 
 def build_minhash_store(
@@ -683,30 +700,44 @@ def build_minhash_store(
     One signature pass over the corpus reps, then the corpus text is
     never needed again: subsequent shards dedup against ``path`` via
     :func:`incremental_dedup_against_store` and fold in via
-    :func:`append_minhash_store`. The sidecar is written LAST — it is
-    the store-level success marker (a torn build has no sidecar and is
-    rebuilt)."""
-    import json
+    :func:`append_minhash_store`.
+
+    Storage is EPOCH-COMMITTED (r12): sigs/ and bands/ hold ``e=N``
+    directories, and the sidecar's ``epochs`` list is the manifest —
+    readers load only committed epochs, so a torn build (no sidecar) or
+    a torn append (epoch dir written, sidecar not yet replaced) is
+    simply invisible. The sidecar ``os.replace`` is the atomic commit
+    point, the same shape a table format's transaction log provides.
+    Single-writer per store, as with every .cache derivative."""
     import os
 
     spark = docs.sparkSession
     sigs = _rep_signatures(docs, text_col, id_col, num_hashes, bands, shingle_n)
-    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs", "e=0"))
     # re-read rather than recompute: the Arrow kernel is the expensive
     # step, and reading back also guarantees sigs/ and bands/ agree
-    sigs_r = spark.read.parquet(os.path.join(path, "sigs"))
-    _write_bands(_exploded_bands(sigs_r), path, "overwrite")
+    sigs_r = spark.read.parquet(os.path.join(path, "sigs", "e=0"))
+    _write_bands(_exploded_bands(sigs_r), path, 0)
+    _commit_sidecar(
+        path,
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "bucket_parts": _STORE_BUCKET_PARTS,
+            "epochs": [0],
+            "tags": {},
+        },
+    )
+
+
+def _commit_sidecar(path: str, meta: dict) -> None:
+    import json
+    import os
+
     tmp = os.path.join(path, _STORE_SIDECAR + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "num_hashes": num_hashes,
-                "bands": bands,
-                "shingle_n": shingle_n,
-                "bucket_parts": _STORE_BUCKET_PARTS,
-            },
-            fh,
-        )
+        json.dump(meta, fh)
     os.replace(tmp, os.path.join(path, _STORE_SIDECAR))
 
 
@@ -723,17 +754,37 @@ def _load_store_spec(path: str) -> dict:
         return json.load(fh)
 
 
-def append_minhash_store(new_sigs: DataFrame, path: str) -> None:
+def append_minhash_store(
+    new_sigs: DataFrame, path: str, tag: str | None = None
+) -> bool:
     """Fold a shard's NEW representatives (the ``new_sigs`` frame an
-    incremental run returns) into the store: append to sigs/ and bands/.
-    Idempotence is the caller's job (exactly-once per shard — at 100 TB
-    the append runs under the lake's usual manifest/commit discipline,
-    streaming/sink.py's pattern)."""
-    new_sigs = persist_tracked(new_sigs)
+    incremental run returns) into the store as the next EPOCH.
+
+    The epoch directory is written first, then the sidecar commit
+    (atomic ``os.replace``) makes it visible — a crash mid-append leaves
+    an orphan directory readers never load. With ``tag`` set (e.g.
+    "<checkpoint>:<batch_id>" from a streaming caller), a tag already
+    committed is a no-op returning False — the exactly-once recipe of
+    streaming/sink.py applied to the store, which is itself the
+    reference's high-water idempotence pattern
+    (producer_company_news.py:128-141). Returns True when the epoch
+    committed."""
     import os
 
-    new_sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
-    _write_bands(_exploded_bands(new_sigs), path, "append")
+    meta = _load_store_spec(path)
+    if tag is not None and tag in meta.get("tags", {}):
+        return False
+    new_sigs = persist_tracked(new_sigs)
+    epoch = max(meta["epochs"]) + 1
+    new_sigs.write.mode("overwrite").parquet(
+        os.path.join(path, "sigs", f"e={epoch}")
+    )
+    _write_bands(_exploded_bands(new_sigs), path, epoch)
+    meta["epochs"] = meta["epochs"] + [epoch]
+    if tag is not None:
+        meta.setdefault("tags", {})[tag] = epoch
+    _commit_sidecar(path, meta)
+    return True
 
 
 def incremental_dedup_against_store(
@@ -773,9 +824,8 @@ def incremental_dedup_against_store(
 
     spec = _load_store_spec(path)
     num_hashes = spec["num_hashes"]
-    import os
 
-    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    sigs = _read_store_sigs(spark, path, spec)
     n_cores = spark.sparkContext.defaultParallelism
 
     # 1. exact copies of stored content: ONE content-addressed probe of
@@ -841,7 +891,7 @@ def incremental_dedup_against_store(
     # table from EVER crossing the wire (it streams map-side, partition-
     # pruned via bp and row-group-pruned via the bucket sort); a corpus-
     # scale shard falls back un-hinted and AQE picks from runtime stats.
-    store_bands = spark.read.parquet(os.path.join(path, "bands"))
+    store_bands = _read_store_bands(spark, path, spec)
     touched = shard_bands.select("bp", "band", "bucket").distinct()
     matched = persist_tracked(
         store_bands.join(maybe_broadcast(touched), ["bp", "band", "bucket"])

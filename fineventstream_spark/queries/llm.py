@@ -473,7 +473,9 @@ def _minhash_store_path(spark: SparkSession, sf_dir: str, thr: int) -> str:
     docs = load_table(spark, sf_dir, "documents")
     fp = source_fingerprint(docs, sf_dir, "documents")
     sf = os.path.basename(os.path.normpath(sf_dir))
-    spec = f"mh64b16s3_bp{dedup._STORE_BUCKET_PARTS}_thr{thr}"
+    # v2 = the r12 epoch-committed layout (sigs/e=N, bands/e=N/bp=K);
+    # pre-epoch stores under the unversioned spec are never reused
+    spec = f"mh64b16s3_bp{dedup._STORE_BUCKET_PARTS}_thr{thr}_v2"
     return os.path.join(_CACHE_ROOT, sf, f"minhash_store-{spec}-{fp}")
 
 

@@ -139,3 +139,71 @@ def read_upsert_snapshot(spark, path: str) -> DataFrame:
     with open(os.path.join(path, "_CURRENT")) as f:
         state = json.load(f)
     return spark.read.parquet(os.path.join(path, f"v={state['version']}"))
+
+
+def incremental_dedup_stream(
+    df: DataFrame,
+    store_path: str,
+    text_col: str,
+    id_col: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Streaming incremental near-dedup: each micro-batch dedups against
+    the persisted MinHash fingerprint store and folds its new
+    representatives in — the LIVE form of q_llm_dedup_incremental, and
+    the store-backed generalization of the reference's streaming
+    high-water dedup (producer_company_news.py:128-141: only content past
+    what the persisted state has seen does new work).
+
+    Exactly-once without a transaction log, by ordering + idempotence:
+
+    1. the batch's pair list is written ``mode("overwrite")`` into its
+       own ``batch=<id>`` directory — a replay rewrites the identical
+       content (the store is unchanged until step 2 commits, and every
+       operator in the path is deterministic);
+    2. the store append is TAGGED "<checkpoint>:<batch_id>" — the
+       epoch-committed store (operators/dedup.py) makes the append
+       atomic, and a replayed batch whose tag already committed skips
+       the whole body (its pairs directory already exists from the
+       first attempt, byte-equivalent).
+
+    A crash between 1 and 2 replays into case-1 recompute (same store
+    state → same pairs); a crash after 2 replays into the tag no-op.
+    """
+    import os
+
+    from fineventstream_spark.operators.dedup import (
+        _load_store_spec,
+        append_minhash_store,
+        incremental_dedup_against_store,
+        release_intermediates,
+    )
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"{checkpoint_dir}:{batch_id}"
+        if tag in _load_store_spec(store_path).get("tags", {}):
+            return  # replayed, fully-committed batch
+        pairs, new_sigs = incremental_dedup_against_store(
+            spark,
+            store_path,
+            batch_df,
+            text_col,
+            id_col,
+            threshold=threshold,
+            return_new_sigs=True,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        append_minhash_store(new_sigs, store_path, tag=tag)
+        release_intermediates(spark)
+
+    return (
+        df.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

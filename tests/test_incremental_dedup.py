@@ -126,8 +126,10 @@ def test_append_then_second_shard(spark, tmp_path):
     # the appended store now holds shard1's new reps: a shard2-internal
     # dup of a shard1 text would resolve against the STORE. 190/191/192
     # share a shard-only text introduced in... shard2 itself here, so
-    # additionally check a shard1 rep is queryable:
-    sigs = spark.read.parquet(os.path.join(store, "sigs"))
+    # additionally check a shard1 rep is queryable via the COMMITTED view:
+    meta = dedup._load_store_spec(store)
+    assert meta["epochs"] == [0, 1]
+    sigs = dedup._read_store_sigs(spark, store, meta)
     assert sigs.filter(F.col("rep_id") >= thr1).count() > 0
 
 
@@ -135,13 +137,15 @@ def test_store_layout_partition_pruned(spark, tmp_path):
     docs = _corpus(spark)
     store = str(tmp_path / "store")
     dedup.build_minhash_store(docs, "text", "doc_id", store)
-    bands_root = os.path.join(store, "bands")
-    parts = [d for d in os.listdir(bands_root) if d.startswith("bp=")]
+    epoch_root = os.path.join(store, "bands", "e=0")
+    parts = [d for d in os.listdir(epoch_root) if d.startswith("bp=")]
     assert len(parts) > 1, "band table not directory-partitioned by bp"
-    # a bp-filtered read must prune at PARTITION level (file skipping) —
-    # the mechanism the shard join's (bp, band, bucket) key hands to DPP
+    # a bp-filtered read of the committed view must prune at PARTITION
+    # level (file skipping) — the mechanism the shard join's
+    # (bp, band, bucket) key hands to DPP
+    meta = dedup._load_store_spec(store)
     plan = (
-        spark.read.parquet(bands_root)
+        dedup._read_store_bands(spark, store, meta)
         .filter(F.col("bp") == 3)
         ._jdf.queryExecution()
         .executedPlan()
@@ -155,3 +159,62 @@ def test_store_spec_guard(spark, tmp_path):
         dedup.incremental_dedup_against_store(
             spark, str(tmp_path / "nope"), _corpus(spark), "text", "doc_id"
         )
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """The LIVE form: three micro-batches of shard docs stream through
+    incremental_dedup_stream (foreachBatch: dedup vs store → write pairs
+    → tagged epoch append). The UNION of per-batch pair lists must equal
+    the from-scratch recompute restricted to shard-touching pairs — every
+    pair's later side lands in some batch, its earlier side is already in
+    the store by then (arrival order == id order). Also pins the
+    exactly-once machinery: one committed epoch per batch, and a replayed
+    tag is a no-op."""
+    import json
+
+    from fineventstream_spark.streaming.sink import incremental_dedup_stream
+
+    docs = _corpus(spark)
+    thr = 180
+    store = str(tmp_path / "store")
+    dedup.build_minhash_store(
+        docs.filter(F.col("doc_id") < thr), "text", "doc_id", store
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shard_rows = sorted(
+        ((r.doc_id, r.text) for r in docs.filter(F.col("doc_id") >= thr).collect())
+    )
+    chunks = [shard_rows[0:7], shard_rows[7:14], shard_rows[14:]]
+    for i, chunk in enumerate(chunks):
+        p = os.path.join(src, f"b{i}.jsonl")
+        with open(p, "w") as fh:
+            for did, text in chunk:
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(p, (1704100000 + i, 1704100000 + i))
+
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = incremental_dedup_stream(
+        stream, store, "text", "doc_id", out, ckpt, threshold=0.5
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    got = _pairs(spark.read.parquet(out))
+    want = _pairs(_from_scratch_restricted(docs, thr))
+    assert got == want
+
+    meta = dedup._load_store_spec(store)
+    assert meta["epochs"] == [0, 1, 2, 3], meta["epochs"]
+    assert len(meta["tags"]) == 3
+    # replayed tag → no-op, store unchanged
+    some_tag = next(iter(meta["tags"]))
+    new_sigs = dedup._read_store_sigs(spark, store, meta).limit(1)
+    assert dedup.append_minhash_store(new_sigs, store, tag=some_tag) is False
+    assert dedup._load_store_spec(store)["epochs"] == [0, 1, 2, 3]
