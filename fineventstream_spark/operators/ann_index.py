@@ -110,11 +110,17 @@ def append_ivf_index(
     Idempotence is the caller's commit discipline, as with every lake
     append."""
     meta = _load_sidecar(path)
-    assigned = ivf_assign(df.select(id_col, vec_col), vec_col, meta["centroids"])
+    # persisted: the assignment kernel feeds both the counts job and the
+    # write — unpersisted it would run twice (r12 review), doubling the
+    # dominant cost of the operation this function exists to make cheap
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), vec_col, meta["centroids"]
+    ).persist()
     new_counts = _list_counts(assigned)
     assigned.write.mode("append").partitionBy("ivf_bucket").parquet(
         os.path.join(path, "vectors")
     )
+    assigned.unpersist()
     counts = dict(meta.get("list_counts", {}))
     for b, n in new_counts.items():
         counts[b] = counts.get(b, 0) + n

@@ -624,7 +624,11 @@ def _rep_signatures(
     rule every corpus dedup query uses) and compute their MinHash
     signatures + band buckets: (rep_id, text_sha, sig, buckets)."""
     n_cores = docs.sparkSession.sparkContext.defaultParallelism
-    rep = docs.groupBy(text_col).agg(F.min(id_col).alias("rep_id"))
+    rep = (
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(text_col)
+        .agg(F.min(id_col).alias("rep_id"))
+    )
     return (
         rep.repartition(n_cores, "rep_id")
         .select(
@@ -643,17 +647,20 @@ def _rep_signatures(
     )
 
 
-def _exploded_bands(sigs: DataFrame) -> DataFrame:
+def _exploded_bands(sigs: DataFrame, bucket_parts: int) -> DataFrame:
     """(rep_id, band, bucket, bp) — the band table rows for a signature
-    frame. bp is the store's directory-partition key."""
+    frame. bp is the store's directory-partition key; it MUST come from
+    the store's recorded spec, never the module constant (r12 review: a
+    future constant change would otherwise write appended epochs with a
+    different modulus than the probe computes, silently unmatched)."""
     return sigs.select(
         "rep_id", F.posexplode("buckets").alias("band", "bucket")
-    ).withColumn(
-        "bp", F.pmod(F.col("bucket"), F.lit(_STORE_BUCKET_PARTS)).cast("int")
-    )
+    ).withColumn("bp", F.pmod(F.col("bucket"), F.lit(bucket_parts)).cast("int"))
 
 
-def _write_bands(bands_df: DataFrame, path: str, epoch: int) -> None:
+def _write_bands(
+    bands_df: DataFrame, path: str, epoch: int, bucket_parts: int
+) -> None:
     """Write band rows into one EPOCH of the bp-partitioned layout,
     bucket-sorted within files so parquet row-group min/max stats prune
     inside a partition. An epoch directory is only visible to readers
@@ -661,12 +668,20 @@ def _write_bands(bands_df: DataFrame, path: str, epoch: int) -> None:
     import os
 
     (
-        bands_df.repartition(_STORE_BUCKET_PARTS, "bp")
+        bands_df.repartition(bucket_parts, "bp")
         .sortWithinPartitions("bp", "band", "bucket")
         .write.mode("overwrite")
         .partitionBy("bp")
         .parquet(os.path.join(path, "bands", f"e={epoch}"))
     )
+
+
+# NULL text is NON-CONTENT: the from-scratch collapse (_exact_collapse's
+# inner join on text) silently drops NULL-text docs from dedup, so the
+# store path excludes them EXPLICITLY at both build and probe — same
+# semantics, stated instead of accidental (r12 review: sha2(NULL) is NULL
+# and NULL join keys never match, but the internal groupBy would have
+# grouped NULLs, silently diverging from the from-scratch twin).
 
 
 def _read_store_sigs(spark: SparkSession, path: str, meta: dict) -> DataFrame:
@@ -717,7 +732,9 @@ def build_minhash_store(
     # re-read rather than recompute: the Arrow kernel is the expensive
     # step, and reading back also guarantees sigs/ and bands/ agree
     sigs_r = spark.read.parquet(os.path.join(path, "sigs", "e=0"))
-    _write_bands(_exploded_bands(sigs_r), path, 0)
+    _write_bands(
+        _exploded_bands(sigs_r, _STORE_BUCKET_PARTS), path, 0, _STORE_BUCKET_PARTS
+    )
     _commit_sidecar(
         path,
         {
@@ -779,7 +796,8 @@ def append_minhash_store(
     new_sigs.write.mode("overwrite").parquet(
         os.path.join(path, "sigs", f"e={epoch}")
     )
-    _write_bands(_exploded_bands(new_sigs), path, epoch)
+    bp_parts = meta["bucket_parts"]
+    _write_bands(_exploded_bands(new_sigs, bp_parts), path, epoch, bp_parts)
     meta["epochs"] = meta["epochs"] + [epoch]
     if tag is not None:
         meta.setdefault("tags", {})[tag] = epoch
@@ -834,7 +852,8 @@ def incremental_dedup_against_store(
     # twin of _exact_collapse)
     store_sha = sigs.select("rep_id", "text_sha")
     probe = persist_tracked(
-        shard.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        shard.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .withColumn("text_sha", F.sha2("t", 256))
         .join(store_sha, "text_sha", "left")
     )

@@ -232,6 +232,11 @@ def _band_bucket_chain_udf(
     pass computes every band and every level."""
     per_band = planes.shape[0] // n_bands
     per_chain = split_levels * split_bits
+    # fixed-width band prefix: the depth-d key downstream is a substring
+    # of one fixed length, so EVERY band's prefix must be equally wide
+    # (r12 review: an unpadded "10:" vs "3:" misaligns the split bits
+    # for n_bands >= 11)
+    bw = len(str(n_bands - 1))
 
     @F.pandas_udf("array<string>")
     def _keys(vecs: pd.Series) -> pd.Series:
@@ -244,7 +249,7 @@ def _band_bucket_chain_udf(
             xbits = "".join("1" if b else "0" for b in xrow)
             out.append(
                 [
-                    f"{band}:"
+                    f"{band:0{bw}d}:"
                     + bits[band * per_band : (band + 1) * per_band]
                     + xbits[band * per_chain : (band + 1) * per_chain]
                     for band in range(n_bands)
@@ -327,11 +332,19 @@ def cosine_near_dup_pairs(
         ],
         dtype=np.float64,
     )
+    from fineventstream_spark.operators.dedup import persist_tracked
+
     chain = _band_bucket_chain_udf(planes, n_bands, extra, split_levels, split_bits)
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(chain(F.col(vec_col))).alias("chain"),
+    # persisted: the chain kernel (126 plane dot products per vector)
+    # feeds split_levels+1 union branches AND both sides of the pair
+    # self-join — unpersisted, AQE re-executes it per branch (r12 review;
+    # same lesson as the r5 minhash history note above)
+    keyed = persist_tracked(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(chain(F.col(vec_col))).alias("chain"),
+        )
     )
 
     # Window-count cap, not groupBy + join-back: the multi-occupancy bucket
@@ -341,7 +354,7 @@ def cosine_near_dup_pairs(
     # is baked into the bucket key, so caps bind per (band, bucket).
     from pyspark.sql import Window
 
-    base_len = len(f"{n_bands - 1}:") + n_planes // n_bands
+    base_len = len(str(n_bands - 1)) + 1 + n_planes // n_bands
     finals = []
     remaining = keyed
     for d in range(split_levels + 1):
@@ -365,6 +378,9 @@ def cosine_near_dup_pairs(
     capped = finals[0]
     for f_ in finals[1:]:
         capped = capped.unionByName(f_)
+    # persisted: capped feeds both sides of the pair join below; without
+    # it the whole level hierarchy (windows included) executes twice
+    capped = persist_tracked(capped)
     a = capped.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = capped.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     sim = _pair_cosine_udf()(F.col("vec_a"), F.col("vec_b"))

@@ -514,8 +514,13 @@ _INCR_DEDUP_ORACLE = """
            CAST(SUM(CASE WHEN d.doc_id >= thr.t AND d.doc_id > m.min_id
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shard_exact_dups,
            TRUE AS matches_recompute
-    FROM documents d JOIN m ON d.text = m.text, thr
+    FROM documents d LEFT JOIN m ON d.text = m.text, thr
     """
+# ^ LEFT join: a NULL-text doc keeps its row (counted in n_history /
+#   n_shard) but its min_id is NULL so it is never a duplicate — exactly
+#   the engine's semantics, where NULL text is non-content and excluded
+#   from dedup (operators/dedup.py r12 note; _exact_collapse's inner
+#   join does the same on the from-scratch side).
 
 
 @register("q_llm_dedup_incremental", oracle=_INCR_DEDUP_ORACLE, tags=("U5",))
@@ -1013,23 +1018,25 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id", "kind", "n_bytes", "width", "height", "mean_lum",
             "sample_rate", "n_samples", "rms", "n_frames", "fps",
         )
+    # mean_lum is NORMALIZED [0,1] (decode_bmp/decode_y4m divide by 255);
+    # the bound is 1.0 so a dropped normalization — the scale-confusion
+    # regression this gate exists to catch — flips decode_ok (r12 review:
+    # an earlier <=255 bound certified nothing about the scale)
+    lum_ok = (
+        F.col("mean_lum").isNotNull()
+        & (F.col("mean_lum") >= 0) & (F.col("mean_lum") <= 1.0)
+    )
     stats_ok = (
         F.when(
             F.col("kind") == "image",
-            F.col("mean_lum").isNotNull()
-            & (F.col("mean_lum") >= 0) & (F.col("mean_lum") <= 255)
-            & (F.col("n_bytes") > 54),  # BMP header
+            lum_ok & (F.col("n_bytes") > 54),  # BMP header
         )
         .when(
             F.col("kind") == "audio",
             F.col("rms").isNotNull() & (F.col("rms") >= 0)
             & (F.col("n_bytes") > 44),  # WAV header
         )
-        .otherwise(
-            F.col("mean_lum").isNotNull()
-            & (F.col("mean_lum") >= 0) & (F.col("mean_lum") <= 255)
-            & (F.col("n_bytes") > 10)  # Y4M stream header
-        )
+        .otherwise(lum_ok & (F.col("n_bytes") > 10))  # Y4M stream header
     )
     return feats.select(
         "media_id", "kind", "width", "height", "sample_rate",

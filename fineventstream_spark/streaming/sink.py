@@ -171,6 +171,17 @@ def incremental_dedup_stream(
 
     A crash between 1 and 2 replays into case-1 recompute (same store
     state → same pairs); a crash after 2 replays into the tag no-op.
+
+    CONTRACT PRECISION (r12 review): each batch's pair list is EXACTLY
+    the from-scratch recompute against the store state at that batch.
+    The union across batches equals the final-corpus recompute only
+    while no LSH bucket crosses ``max_bucket`` between batches; a bucket
+    that grows past the cap mid-stream keeps the pairs emitted while it
+    was under — the union is a SUPERSET of the final-corpus recompute
+    (bucket sizes only grow, so anything under the cap at the end was
+    under it at every prefix). That path-dependence is inherent to
+    capped incremental LSH and is the conservative direction for dedup
+    (extra candidate pairs, never missed ones).
     """
     import os
 

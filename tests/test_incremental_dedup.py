@@ -167,9 +167,12 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     → tagged epoch append). The UNION of per-batch pair lists must equal
     the from-scratch recompute restricted to shard-touching pairs — every
     pair's later side lands in some batch, its earlier side is already in
-    the store by then (arrival order == id order). Also pins the
-    exactly-once machinery: one committed epoch per batch, and a replayed
-    tag is a no-op."""
+    the store by then (arrival order == id order). Equality holds here
+    because no LSH bucket crosses max_bucket between batches (the
+    boilerplate collapses to one rep); in general the union is a SUPERSET
+    around cap crossings — see incremental_dedup_stream's contract note.
+    Also pins the exactly-once machinery: one committed epoch per batch,
+    and a replayed tag is a no-op."""
     import json
 
     from fineventstream_spark.streaming.sink import incremental_dedup_stream
@@ -218,3 +221,33 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     new_sigs = dedup._read_store_sigs(spark, store, meta).limit(1)
     assert dedup.append_minhash_store(new_sigs, store, tag=some_tag) is False
     assert dedup._load_store_spec(store)["epochs"] == [0, 1, 2, 3]
+
+
+def test_null_text_is_non_content(spark, tmp_path):
+    """NULL text is NON-CONTENT (r12 review): the from-scratch collapse's
+    inner join on text silently drops NULL-text docs from dedup, and the
+    store path excludes them explicitly — so NULL docs (history or shard)
+    produce NO edges and cause no divergence, incrementally or from
+    scratch. (The oracle's LEFT join keeps them countable in n_history /
+    n_shard while never marking them duplicates.)"""
+    rows = [(0, None), (1, _mk_text(1)), (2, _mk_text(2))] + [
+        (i, _mk_text(i)) for i in range(3, 10)
+    ] + [(10, None), (11, None), (12, _mk_text(12))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "store")
+    dedup.build_minhash_store(
+        docs.filter(F.col("doc_id") < 10), "text", "doc_id", store
+    )
+    got = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, docs.filter(F.col("doc_id") >= 10), "text", "doc_id",
+            threshold=0.5,
+        )
+    )
+    want = _pairs(_from_scratch_restricted(docs, 10))
+    assert got == want
+    null_ids = {0, 10, 11}
+    assert not any(a in null_ids or b in null_ids for a, b, _, _ in got)
+    # _mk_text collides mod 3 (i*7 mod 21), so 12 duplicates 3's text —
+    # the non-null machinery still works in the same corpus
+    assert (3, 12, 1.0, "exact") in got
