@@ -287,6 +287,34 @@ def main() -> None:
         # as a speedup
         result["failures"] = failures
         result["total_is_partial"] = True
+    # Durable artifact (r12 verdict #7): the driver's BENCH_r{N}.json
+    # truncates the per-query map (~9 of 53 timings recoverable in r12),
+    # so cross-round per-query comparison depended on BASELINE.md prose.
+    # Persist the COMPLETE result to a repo-tracked file. The round is
+    # inferred as max(BENCH_r*.json)+1 (the driver writes its artifact
+    # AFTER running bench), overridable via SPARK_GRAFT_ROUND. Solo runs
+    # (explicit query args) don't overwrite the sweep artifact.
+    if not solo:
+        import glob as _glob
+        import re as _re
+
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            seen = [
+                int(m.group(1))
+                for f in _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = str(max(seen, default=0) + 1)
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{int(rnd):02d}.json"
+        )
+        try:
+            with open(local_path, "w") as fh:
+                json.dump(result, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError as exc:
+            print(f"# could not write {local_path}: {exc}", file=sys.stderr)
     print(json.dumps(result))
 
 

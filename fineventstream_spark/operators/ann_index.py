@@ -29,6 +29,18 @@ every append updates them; :func:`needs_recluster` compares the
 current max/mean list skew against the build-time skew and flags when
 the drift passes a threshold — the recorded, testable signal for the
 (still O(corpus), deliberately explicit) rebuild.
+
+**Epoch-committed appends (r13)**: each build/append writes its own
+``vectors/e=N`` directory and the sidecar's ``epochs`` list is the
+manifest — readers load only committed epochs, so appended rows and
+the updated ``list_counts`` become visible ATOMICALLY at the sidecar
+``os.replace``. The prior ``mode("append")`` made appended rows
+reader-visible before the counts committed, and a crash between write
+and sidecar left a torn state a replay would double-append (r12
+advisor); now a torn epoch directory is simply invisible and a replay
+``mode("overwrite")``s it with identical content before committing.
+Optional ``tag`` gives streaming callers the same idempotence key the
+minhash store has (operators/dedup.py). Single-writer per index.
 """
 
 from __future__ import annotations
@@ -66,6 +78,18 @@ def _load_sidecar(path: str) -> dict:
     return meta
 
 
+def _read_vectors(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    """Committed epochs only; ``e`` dropped so callers see the stable
+    (id, vec, ivf_bucket) schema. Legacy pre-r13 indexes (no ``epochs``
+    manifest) read the flat layout as before."""
+    root = os.path.join(path, "vectors")
+    epochs = meta.get("epochs")
+    if epochs is None:
+        return spark.read.parquet(root)
+    paths = [os.path.join(root, f"e={e}") for e in epochs]
+    return spark.read.option("basePath", root).parquet(*paths).drop("e")
+
+
 def _skew(counts: dict[str, int]) -> float:
     vals = list(counts.values())
     if not vals or sum(vals) == 0:
@@ -87,29 +111,48 @@ def build_ivf_index(
     centroids, _ = kmeans_fit(df, vec_col, id_col, k=n_lists, iterations=iterations)
     assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
     assigned.write.mode("overwrite").partitionBy("ivf_bucket").parquet(
-        os.path.join(path, "vectors")
+        os.path.join(path, "vectors", "e=0")
     )
     counts = _list_counts(
-        df.sparkSession.read.parquet(os.path.join(path, "vectors"))
+        df.sparkSession.read.parquet(os.path.join(path, "vectors", "e=0"))
     )
     _write_sidecar(
         path,
-        {"centroids": centroids, "list_counts": counts, "built_counts": counts},
+        {
+            "centroids": centroids,
+            "list_counts": counts,
+            "built_counts": counts,
+            "epochs": [0],
+            "tags": {},
+        },
     )
     return centroids
 
 
 def append_ivf_index(
-    df: DataFrame, vec_col: str, id_col: str, path: str
+    df: DataFrame, vec_col: str, id_col: str, path: str, tag: str | None = None
 ) -> dict:
     """Fold new vectors into the persisted index WITHOUT re-clustering:
     assign to the existing centroids (one narrow pass over the append —
-    no shuffle, no touch of the stored lists) and append into the
-    partitioned layout. Returns the updated sidecar meta (counts +
-    skew), so callers can act on :func:`needs_recluster` immediately.
-    Idempotence is the caller's commit discipline, as with every lake
-    append."""
+    no shuffle, no touch of the stored lists) and write them as a NEW
+    committed epoch. Returns the updated sidecar meta (counts + skew),
+    so callers can act on :func:`needs_recluster` immediately.
+
+    Atomicity: rows land in ``vectors/e=N`` (invisible — not in the
+    manifest), then the sidecar commits epochs+counts+tags in one
+    ``os.replace``. A crash before the commit leaves an orphan dir the
+    replay overwrites with identical content; a replay of a COMMITTED
+    tagged append is a no-op (``tag`` already in the manifest), so
+    streaming callers get exactly-once, same as the minhash store."""
     meta = _load_sidecar(path)
+    if tag is not None and tag in meta.get("tags", {}):
+        return meta  # replayed, fully-committed append
+    epochs = meta.get("epochs")
+    if epochs is None:
+        raise ValueError(
+            f"legacy non-epoch IVF layout at {path}: rebuild via build_ivf_index"
+        )
+    epoch = max(epochs) + 1
     # persisted: the assignment kernel feeds both the counts job and the
     # write — unpersisted it would run twice (r12 review), doubling the
     # dominant cost of the operation this function exists to make cheap
@@ -117,14 +160,17 @@ def append_ivf_index(
         df.select(id_col, vec_col), vec_col, meta["centroids"]
     ).persist()
     new_counts = _list_counts(assigned)
-    assigned.write.mode("append").partitionBy("ivf_bucket").parquet(
-        os.path.join(path, "vectors")
+    assigned.write.mode("overwrite").partitionBy("ivf_bucket").parquet(
+        os.path.join(path, "vectors", f"e={epoch}")
     )
     assigned.unpersist()
     counts = dict(meta.get("list_counts", {}))
     for b, n in new_counts.items():
         counts[b] = counts.get(b, 0) + n
     meta["list_counts"] = counts
+    meta["epochs"] = epochs + [epoch]
+    if tag is not None:
+        meta.setdefault("tags", {})[tag] = epoch
     _write_sidecar(path, meta)
     return meta
 
@@ -153,8 +199,10 @@ def query_ivf_index(
     k: int = 10,
     nprobe: int = 4,
 ) -> DataFrame:
-    """Top-k over the persisted index, reading only the probed partitions."""
-    centroids = _load_sidecar(path)["centroids"]
+    """Top-k over the persisted index, reading only the probed partitions
+    of the COMMITTED epochs."""
+    meta = _load_sidecar(path)
+    centroids = meta["centroids"]
 
     def cos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))
@@ -165,6 +213,6 @@ def query_ivf_index(
     probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query))[
         :nprobe
     ]
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    vectors = _read_vectors(spark, path, meta)
     pruned = vectors.filter(F.col("ivf_bucket").isin([int(p) for p in probe]))
     return cosine_topk(pruned, vec_col, id_col, query, k)

@@ -676,12 +676,12 @@ def _write_bands(
     )
 
 
-# NULL text is NON-CONTENT: the from-scratch collapse (_exact_collapse's
-# inner join on text) silently drops NULL-text docs from dedup, so the
-# store path excludes them EXPLICITLY at both build and probe — same
-# semantics, stated instead of accidental (r12 review: sha2(NULL) is NULL
-# and NULL join keys never match, but the internal groupBy would have
-# grouped NULLs, silently diverging from the from-scratch twin).
+# NULL text is NON-CONTENT: both the from-scratch collapse
+# (queries/llm.py _exact_collapse, which since r13 filters
+# text.isNotNull() explicitly — the r12 advisor found its groupBy kept
+# one NULL-text doc as a REP, diverging from this path on corpora mixing
+# NULL and empty texts) and the store path exclude them EXPLICITLY at
+# build and probe, so the two sides share one stated semantics.
 
 
 def _read_store_sigs(spark: SparkSession, path: str, meta: dict) -> DataFrame:

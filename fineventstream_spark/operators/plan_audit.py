@@ -147,10 +147,29 @@ def _expensive(node) -> str | None:
         m = _EXPENSIVE_EXPRS.search(s)
         if m:
             return f"expensive per-row expression `{m.group(1)}` in {nm}"
-        m = _EXPENSIVE_HOF.search(s)
-        if m and "lambdafunction" in s:
-            return f"expensive per-row expression `{m.group(1)}` in {nm}"
+        # A HOF token only counts when the `lambdafunction` sits INSIDE
+        # that call's own parenthesized argument span — checking the whole
+        # node string let a benign rewritten-EXISTS `exists(` go red
+        # whenever any unrelated lambda appeared elsewhere in a mixed
+        # projection (r12 advisor, refining the r11 fix).
+        for m in _EXPENSIVE_HOF.finditer(s):
+            if "lambdafunction" in s[m.end() : _close_paren(s, m.end() - 1)]:
+                return f"expensive per-row expression `{m.group(1)}` in {nm}"
     return None
+
+
+def _close_paren(s: str, open_idx: int) -> int:
+    """Index just past the ')' matching ``s[open_idx] == '('``; end of
+    string if unbalanced (truncated node strings print '...')."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return len(s)
 
 
 def routing_lint(df: DataFrame) -> list[str]:

@@ -217,7 +217,17 @@ def _exact_collapse(corpus: DataFrame):
     linear (rep → member) STAR edges instead of quadratic in-bucket
     pairs. Returns (rep_corpus, members): candidates run on
     ``rep_corpus``; star edges and the recall gate derive from
-    ``members``."""
+    ``members``.
+
+    NULL text is NON-CONTENT (the shared contract with the fingerprint
+    store, operators/dedup.py): filtered EXPLICITLY here, not just
+    dropped by the inner join below — before the r13 fix the groupBy
+    kept one NULL-text doc as a rep in ``rep_corpus``, where the
+    minhash kernel maps it to the empty-shingle signature (identical
+    to a whitespace-only text), so a corpus containing both a NULL and
+    an empty text could emit a from-scratch pair the store path (which
+    filters NULL at build and probe) never can (r12 advisor)."""
+    corpus = corpus.filter(F.col("text").isNotNull())
     rep = corpus.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
     members = corpus.select("doc_id", "text").join(rep, "text").select(
         "doc_id", "rep_id"

@@ -43,67 +43,23 @@ REGISTRY: dict[str, Query] = {}
 # suite at the identical compare strictness. Names not present in
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round-12 rotation (r11 verdict #5): ORACLE-CHANGED/NEW first — the
-    # new incremental-dedup query, the three r12 rows-only→hash-green
-    # conversions, the embedding query (r12 hierarchical-split plan), and
-    # the four near-gate queries whose vacuity semantics changed (r11
-    # advisor) — then the ENTIRE r7-stale set, then the r8-stale set
-    # alphabetical (computed from the CORRECTNESS_r01..r11 union). The
-    # ~50-entry window covers new+r7 and ~30 of the 41 r8 names; the
-    # remainder fronts r13. After this round no query's last hard check
-    # predates r8.
+    # Round-13 rotation (r12 verdict #5): PLAN-CHANGED first — the four
+    # r12 perf-weak singles whose physical plans change this round
+    # (dominant_supplier exchange reuse, count_min_freq xxhash64
+    # production cells, heavy_hitters size-selected dispatch, dedup
+    # cluster batched label-prop) and the incremental-dedup query whose
+    # store read path gains epoch compaction — then the ENTIRE r8-stale
+    # set (11 names, promised by the r12 rotation comment), then the
+    # r9-stale set alphabetical (30 names, computed from the
+    # CORRECTNESS_r01..r12 union, dedup_cluster fronted out of it).
+    # 44 distinct entries: the ~50 window
+    # covers all of them, so after this round no query's last hard check
+    # predates r10.
     "q_llm_dedup_incremental",
-    "q_agg_approx_topk_rollup",
-    "q_mm_features",
-    "q_mm_frame_sample",
-    "q_llm_dedup_embedding",
-    "q_llm_dedup_near",
-    "q_llm_dedup_ngram_jaccard",
-    "q_llm_dedup_simhash",
-    "q_llm_near_dedup_pipeline",
-    # r7-stale (last driver hard row: r07)
-    "q_report_pricing_summary",
-    "q_report_promo_effect",
-    "q_report_sales_opportunity",
-    "q_report_shipping_priority",
-    "q_report_small_qty_revenue",
-    "q_report_top_supplier",
-    "q_report_volume_shipping",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_scan_schema_drift",
-    "q_union_distinct",
-    # r8-stale, alphabetical
-    "q_agg_collect",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_groupby_basic",
-    "q_agg_having",
-    "q_agg_median_mode",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_agg_salted",
-    "q_dq_profile",
-    "q_event_concentration",
-    "q_event_correlation",
-    "q_event_funnel_windowed",
-    "q_event_ohlc_bars",
-    "q_event_similar_days",
-    "q_event_twap",
-    "q_event_wow_change",
-    "q_fn_string_agg",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_full",
-    "q_join_left",
-    "q_join_range",
-    "q_join_semi",
-    "q_llm_bigram_counts",
-    "q_llm_bm25",
-    "q_llm_pack_sequences",
-    "q_llm_text_stats",
-    "q_llm_token_count",
+    "q_llm_dedup_cluster",
+    "q_agg_count_min_freq",
+    "q_event_heavy_hitters",
+    # r8-stale (last driver hard row: r08)
     "q_llm_unigram_logprob",
     "q_report_dominant_supplier",
     "q_report_important_stock",
@@ -115,6 +71,36 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_scd2_user_segment",
     "q_snapshot_diff",
     "q_source_datasource_quotes",
+    # r9-stale, alphabetical
+    "q_agg_stats",
+    "q_array_explode",
+    "q_array_hof",
+    "q_base64_roundtrip",
+    "q_case_when",
+    "q_date_arith",
+    "q_date_extract",
+    "q_date_trunc_format",
+    "q_event_vwap",
+    "q_hash_stable",
+    "q_join_cross",
+    "q_json_extract",
+    "q_llm_dedup_exact",
+    "q_llm_knn_cosine",
+    "q_llm_lang_id",
+    "q_llm_quality_score",
+    "q_llm_substring_dedup",
+    "q_llm_train_split",
+    "q_map_ops",
+    "q_math_basic",
+    "q_report_forecast_revenue",
+    "q_report_returned_items",
+    "q_string_basic",
+    "q_string_regexp",
+    "q_try_cast",
+    "q_udaf_grouped",
+    "q_udf_scalar",
+    "q_win_pct_rank",
+    "q_win_share_of_total",
 )
 # Explicit raise, not `assert` (r8 advisor): asserts are stripped under
 # `python -O`, which would silently re-allow the dead-rotation-slot bug.

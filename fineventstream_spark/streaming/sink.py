@@ -192,9 +192,17 @@ def incremental_dedup_stream(
         release_intermediates,
     )
 
+    # Idempotence key: NORMALIZED checkpoint path + batch id. Spark's own
+    # replay detection keys on the checkpoint contents, but our store tag
+    # must match it string-for-string across restarts — a restart that
+    # spells the same checkpoint differently (relative vs absolute,
+    # trailing slash) would otherwise mint a fresh tag namespace and
+    # double-append every replayed epoch (r12 advisor).
+    tag_prefix = os.path.abspath(checkpoint_dir).rstrip("/")
+
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        tag = f"{checkpoint_dir}:{batch_id}"
+        tag = f"{tag_prefix}:{batch_id}"
         if tag in _load_store_spec(store_path).get("tags", {}):
             return  # replayed, fully-committed batch
         pairs, new_sigs = incremental_dedup_against_store(

@@ -125,9 +125,26 @@ def _scatter_ranks(ranks: np.ndarray, n_keys: int) -> np.ndarray:
     return (ranks * step + 7) % n_keys
 
 
-def generate(sf: float, out: str, seed: int = 42, skew: float | None = None) -> None:
+def generate(
+    sf: float,
+    out: str,
+    seed: int = 42,
+    skew: float | None = None,
+    tables: set[str] | None = None,
+) -> None:
+    """``tables=None`` generates everything. A subset (r12 verdict #4:
+    the sf100 recall sweep touches only documents/embeddings — the full
+    sf100 TPC-H ring would be ~19 GB ×2 fixtures for queries the sweep
+    never runs) generates just those tables. NOTE: rng state is consumed
+    per-table in declaration order, so a subset fixture is NOT
+    column-identical to the same table inside a full fixture — fine for
+    the recall gates, which compare Spark vs DuckDB on the SAME files.
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
+
+    def want(name: str) -> bool:
+        return tables is None or name in tables
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
     n_part = int(200_000 * sf)
@@ -137,133 +154,144 @@ def generate(sf: float, out: str, seed: int = 42, skew: float | None = None) -> 
     n_docs = int(50_000 * sf)
     n_vec = int(20_000 * sf)
 
-    _write(out, "region", pa.table({
-        "r_regionkey": pa.array(range(5), pa.int32()),
-        "r_name": REGIONS,
-    }))
-    _write(out, "nation", pa.table({
-        "n_nationkey": pa.array(range(25), pa.int32()),
-        "n_name": [f"NATION_{i:02d}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
-    }))
-    _write(out, "customer", pa.table({
-        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
-        "c_acctbal": np.round(rng.uniform(-1000, 10_000, n_cust), 2),
-        "c_mktsegment": pa.array(np.array(MKTSEGS)[rng.integers(0, 5, n_cust)]),
-    }))
-    _write(out, "supplier", pa.table({
-        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
-        "s_acctbal": np.round(rng.uniform(-1000, 10_000, n_supp), 2),
-    }))
-    _write(out, "part", pa.table({
-        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
-        "p_name": [f"{PADJS[i % 8]} {PNOUNS[(i // 8) % 8]}" for i in range(n_part)],
-        "p_brand": [f"Brand#{i % 25}" for i in range(n_part)],
-        "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, n_part)]),
-        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
-        "p_retailprice": np.round(900.0 + np.arange(n_part) * 0.1 % 1200, 2),
-    }))
+    if want("region"):
+        _write(out, "region", pa.table({
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": REGIONS,
+        }))
+    if want("nation"):
+        _write(out, "nation", pa.table({
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": [f"NATION_{i:02d}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }))
+    if want("customer"):
+        _write(out, "customer", pa.table({
+            "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+            "c_acctbal": np.round(rng.uniform(-1000, 10_000, n_cust), 2),
+            "c_mktsegment": pa.array(np.array(MKTSEGS)[rng.integers(0, 5, n_cust)]),
+        }))
+    if want("supplier"):
+        _write(out, "supplier", pa.table({
+            "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+            "s_acctbal": np.round(rng.uniform(-1000, 10_000, n_supp), 2),
+        }))
+    if want("part"):
+        _write(out, "part", pa.table({
+            "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+            "p_name": [f"{PADJS[i % 8]} {PNOUNS[(i // 8) % 8]}" for i in range(n_part)],
+            "p_brand": [f"Brand#{i % 25}" for i in range(n_part)],
+            "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, n_part)]),
+            "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+            "p_retailprice": np.round(900.0 + np.arange(n_part) * 0.1 % 1200, 2),
+        }))
 
-    order_days = rng.uniform(0, 2404, n_ord)  # 1995-01-01 .. 2001-08-01
-    _write(out, "orders", pa.table({
-        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
-        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)]),
-        "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
-        "o_orderdate": _ts_ms(np.floor(order_days)),
-        "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
-    }))
+    if want("orders") or want("lineitem"):
+        order_days = rng.uniform(0, 2404, n_ord)  # 1995-01-01 .. 2001-08-01
+    if want("orders"):
+        _write(out, "orders", pa.table({
+            "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+            "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)]),
+            "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
+            "o_orderdate": _ts_ms(np.floor(order_days)),
+            "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
+        }))
 
-    if skew is not None:
-        # zipf rank-counts scattered over the orderkey domain: same
-        # expected 4 lines/order, but the hottest key holds ~1/ζ(s) of
-        # ALL lineitem rows
-        ranks = _bounded_zipf(rng, skew, n_ord, int(4.0 * n_ord))
-        keys = _scatter_ranks(ranks, n_ord)
-        lines_per = np.bincount(keys, minlength=n_ord)
-    else:
-        lines_per = rng.poisson(4.0, n_ord)
-    l_orderkey = np.repeat(np.arange(n_ord), lines_per)
-    n_li = len(l_orderkey)
-    l_orderdays = np.repeat(np.floor(order_days), lines_per)
-    # mostly ship 1..95 days after the order; a small tail is fully random
-    ship = l_orderdays + rng.integers(1, 96, n_li)
-    wild = rng.random(n_li) < 0.02
-    ship[wild] = rng.uniform(1, 2500, int(wild.sum()))
-    linenumber = np.concatenate([np.arange(1, k + 1) for k in lines_per]) if n_li else np.array([], dtype=np.int64)
-    _write(out, "lineitem", pa.table({
-        "l_orderkey": pa.array(l_orderkey, pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
-        "l_linenumber": pa.array(linenumber, pa.int32()),
-        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
-        "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
-        "l_discount": rng.integers(0, 11, n_li) / 100.0,
-        "l_tax": rng.integers(0, 9, n_li) / 100.0,
-        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
-        "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, n_li)]),
-        "l_shipdate": _ts_ms(np.floor(ship)),
-    }))
+    if want("lineitem"):
+        if skew is not None:
+            # zipf rank-counts scattered over the orderkey domain: same
+            # expected 4 lines/order, but the hottest key holds ~1/ζ(s) of
+            # ALL lineitem rows
+            ranks = _bounded_zipf(rng, skew, n_ord, int(4.0 * n_ord))
+            keys = _scatter_ranks(ranks, n_ord)
+            lines_per = np.bincount(keys, minlength=n_ord)
+        else:
+            lines_per = rng.poisson(4.0, n_ord)
+        l_orderkey = np.repeat(np.arange(n_ord), lines_per)
+        n_li = len(l_orderkey)
+        l_orderdays = np.repeat(np.floor(order_days), lines_per)
+        # mostly ship 1..95 days after the order; a small tail is fully random
+        ship = l_orderdays + rng.integers(1, 96, n_li)
+        wild = rng.random(n_li) < 0.02
+        ship[wild] = rng.uniform(1, 2500, int(wild.sum()))
+        linenumber = np.concatenate([np.arange(1, k + 1) for k in lines_per]) if n_li else np.array([], dtype=np.int64)
+        _write(out, "lineitem", pa.table({
+            "l_orderkey": pa.array(l_orderkey, pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+            "l_linenumber": pa.array(linenumber, pa.int32()),
+            "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
+            "l_discount": rng.integers(0, 11, n_li) / 100.0,
+            "l_tax": rng.integers(0, 9, n_li) / 100.0,
+            "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
+            "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, n_li)]),
+            "l_shipdate": _ts_ms(np.floor(ship)),
+        }))
+    if want("events"):
 
-    ev_base = np.datetime64("2024-01-01", "us")
-    ev_us = np.sort(rng.integers(0, 30 * 86_400_000_000, n_ev))
-    if skew is not None:
-        # hottest user owns ~1/ζ(s) of the whole stream: one pathological
-        # PARTITION BY user_id window partition
-        ev_users = _scatter_ranks(_bounded_zipf(rng, skew, n_users, n_ev), n_users)
-    else:
-        ev_users = rng.integers(0, n_users, n_ev)
-    _write(out, "events", pa.table({
-        "event_id": pa.array(np.arange(n_ev), pa.int64()),
-        "ts": pa.array(ev_base + ev_us.astype("timedelta64[us]"), US),
-        "user_id": pa.array(ev_users, pa.int64()),
-        "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_ev)]),
-        "value": np.round(rng.exponential(50.0, n_ev), 2),
-        "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
-    }))
+        ev_base = np.datetime64("2024-01-01", "us")
+        ev_us = np.sort(rng.integers(0, 30 * 86_400_000_000, n_ev))
+        if skew is not None:
+            # hottest user owns ~1/ζ(s) of the whole stream: one pathological
+            # PARTITION BY user_id window partition
+            ev_users = _scatter_ranks(_bounded_zipf(rng, skew, n_users, n_ev), n_users)
+        else:
+            ev_users = rng.integers(0, n_users, n_ev)
+        _write(out, "events", pa.table({
+            "event_id": pa.array(np.arange(n_ev), pa.int64()),
+            "ts": pa.array(ev_base + ev_us.astype("timedelta64[us]"), US),
+            "user_id": pa.array(ev_users, pa.int64()),
+            "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_ev)]),
+            "value": np.round(rng.exponential(50.0, n_ev), 2),
+            "props": pa.array([json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]),
+        }))
 
-    vocab = np.array(VOCAB)
-    lens = rng.integers(8, 81, n_docs)
-    texts = [" ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens]
-    # plant ~0.2% exact duplicates (the originals have 8 in 5000) at
-    # indices the skew-mode boilerplate overwrite below can never hit:
-    # that loop rewrites every i%10==0 doc, and 500-stride bases are all
-    # %10==0, so the r9 (i, i+1) pairs were silently destroyed in the
-    # skewed fixture (r9 advisor) — i+1/i+2 are ≡1/2 (mod 10), safe in
-    # both modes, keeping the scattered small-group dup pairs alongside
-    # the big boilerplate groups.
-    for i in range(0, n_docs, 500):
-        if i + 2 < n_docs:
-            texts[i + 2] = texts[i + 1]
-    if skew is not None:
-        # 10% boilerplate from 8 templates with 1/rank weights: the top
-        # template alone is ~3.7% of the corpus — exact-dup groups and
-        # LSH buckets far past any per-bucket cap
-        templates = [" ".join(vocab[rng.integers(0, len(vocab), 40)]) for _ in range(8)]
-        tw = 1.0 / np.arange(1, 9)
-        picks = rng.choice(8, size=(n_docs + 9) // 10, p=tw / tw.sum())
-        for j, i in enumerate(range(0, n_docs, 10)):
-            texts[i] = templates[picks[j]]
-    _write(out, "documents", pa.table({
-        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
-        "text": texts,
-        "lang": pa.array(np.array(["de", "en", "es", "fr", "zh"])[rng.integers(0, 5, n_docs)]),
-        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)]),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    }))
+    if want("documents"):
+        vocab = np.array(VOCAB)
+        lens = rng.integers(8, 81, n_docs)
+        texts = [" ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens]
+        # plant ~0.2% exact duplicates (the originals have 8 in 5000) at
+        # indices the skew-mode boilerplate overwrite below can never hit:
+        # that loop rewrites every i%10==0 doc, and 500-stride bases are all
+        # %10==0, so the r9 (i, i+1) pairs were silently destroyed in the
+        # skewed fixture (r9 advisor) — i+1/i+2 are ≡1/2 (mod 10), safe in
+        # both modes, keeping the scattered small-group dup pairs alongside
+        # the big boilerplate groups.
+        for i in range(0, n_docs, 500):
+            if i + 2 < n_docs:
+                texts[i + 2] = texts[i + 1]
+        if skew is not None:
+            # 10% boilerplate from 8 templates with 1/rank weights: the top
+            # template alone is ~3.7% of the corpus — exact-dup groups and
+            # LSH buckets far past any per-bucket cap
+            templates = [" ".join(vocab[rng.integers(0, len(vocab), 40)]) for _ in range(8)]
+            tw = 1.0 / np.arange(1, 9)
+            picks = rng.choice(8, size=(n_docs + 9) // 10, p=tw / tw.sum())
+            for j, i in enumerate(range(0, n_docs, 10)):
+                texts[i] = templates[picks[j]]
+        _write(out, "documents", pa.table({
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": texts,
+            "lang": pa.array(np.array(["de", "en", "es", "fr", "zh"])[rng.integers(0, 5, n_docs)]),
+            "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }))
 
-    labels = rng.integers(0, 10, n_vec)
-    centers = rng.normal(0, 0.1, (10, 64))
-    vecs = (centers[labels] + rng.normal(0, 0.1, (n_vec, 64))).astype(np.float32)
-    _write(out, "embeddings", pa.table({
-        "vec_id": pa.array(np.arange(n_vec), pa.int64()),
-        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
-        "label": pa.array(labels, pa.int32()),
-    }))
+    if want("embeddings"):
+        labels = rng.integers(0, 10, n_vec)
+        centers = rng.normal(0, 0.1, (10, 64))
+        vecs = (centers[labels] + rng.normal(0, 0.1, (n_vec, 64))).astype(np.float32)
+        _write(out, "embeddings", pa.table({
+            "vec_id": pa.array(np.arange(n_vec), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }))
 
 
 if __name__ == "__main__":
@@ -274,6 +302,10 @@ if __name__ == "__main__":
     ap.add_argument(
         "--skew", default=None, metavar="zipf:S",
         help="skew the verdict-named key columns with a bounded Zipf(S)",
+    )
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of tables to generate (default: all)",
     )
     a = ap.parse_args()
     skew = None
@@ -289,5 +321,6 @@ if __name__ == "__main__":
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".localdata", suffix,
     )
-    print(f"generating sf={a.sf} skew={a.skew} -> {out}")
-    generate(a.sf, out, a.seed, skew=skew)
+    tables = set(a.tables.split(",")) if a.tables else None
+    print(f"generating sf={a.sf} skew={a.skew} tables={sorted(tables) if tables else 'all'} -> {out}")
+    generate(a.sf, out, a.seed, skew=skew, tables=tables)

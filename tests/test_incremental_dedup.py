@@ -251,3 +251,36 @@ def test_null_text_is_non_content(spark, tmp_path):
     # _mk_text collides mod 3 (i*7 mod 21), so 12 duplicates 3's text —
     # the non-null machinery still works in the same corpus
     assert (3, 12, 1.0, "exact") in got
+
+
+def test_null_and_empty_text_do_not_cross_pair(spark, tmp_path):
+    """r12 advisor: _exact_collapse's groupBy kept one NULL-text doc as a
+    REP, and the minhash kernel maps NULL to the empty-shingle signature —
+    identical to a genuinely-EMPTY text's — so a corpus containing both a
+    NULL-text doc (shard) and an empty-text doc (history) emitted a
+    from-scratch LSH pair the store path (explicit NULL filter at build
+    and probe) never can, flipping the matches_recompute gate FALSE.
+    Since the r13 fix the collapse filters text.isNotNull() explicitly:
+    both sides agree, NULL never pairs, and empty texts still dedup
+    against each other as ordinary (zero-shingle) content."""
+    rows = [(0, ""), (2, _mk_text(2)), (3, _mk_text(4))] + [
+        (10, ""), (11, None), (12, _mk_text(5))
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "store")
+    dedup.build_minhash_store(
+        docs.filter(F.col("doc_id") < 10), "text", "doc_id", store
+    )
+    got = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, docs.filter(F.col("doc_id") >= 10), "text", "doc_id",
+            threshold=0.5,
+        )
+    )
+    want = _pairs(_from_scratch_restricted(docs, 10))
+    assert got == want
+    assert not any(a == 11 or b == 11 for a, b, _, _ in got), (
+        "NULL-text doc must never appear in an edge"
+    )
+    # the empty-text pair IS content: exact star edge across the boundary
+    assert (0, 10, 1.0, "exact") in got

@@ -2087,8 +2087,30 @@ def test_sketch_audit_toggle_topk(spark, sf_dir, monkeypatch):
     assert "exact_n" not in prod.columns, "audit column survived AUDIT=off"
     assert "est_n" in prod.columns
     prows = prod.collect()
-    assert {r.cell for r in arows} == {r.cell for r in prows}, (
-        "production estimated top-10 diverges from the exact top-10"
+    assert len(prows) == 10
+    # Tie-safe compare (r12 advisor): the production arm estimates k=10
+    # precisely, so a count TIE at the #10/#11 boundary lets the sketch
+    # legitimately return a different tied cell — unlike the audited arm,
+    # which queries k=100 to absorb boundary ties. Only cells STRICTLY
+    # above the #11 exact count are guaranteed members of any correct
+    # top-10; compare those, not the raw set.
+    from fineventstream_spark.catalog import Tables
+
+    exact = (
+        Tables(spark, sf_dir)
+        .events.groupBy(
+            F.concat_ws(":", "event_type", F.hour("ts").cast("string")).alias("cell")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "cell")
+        .limit(11)
+        .collect()
+    )
+    boundary = exact[10].n if len(exact) > 10 else -1
+    must_have = {r.cell for r in exact[:10] if r.n > boundary}
+    got = {r.cell for r in prows}
+    assert must_have <= got, (
+        f"production top-10 missing tie-free exact-top cells: {must_have - got}"
     )
 
 
