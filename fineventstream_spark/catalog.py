@@ -47,8 +47,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (applicationId, sf_dir, table) → loaded DataFrame. Building the reader
+# re-reads the parquet footer and re-runs the normalization analysis on
+# EVERY query invocation (~25 ms/table, 3-4 tables/query — a pure
+# planning tax a long-lived service never re-pays, and ~0.1 s of every
+# single-query bench rep). DataFrames are immutable logical plans, so
+# reuse is safe; keyed by applicationId so a new session never serves a
+# stale plan. Same single-writer assumption as every .cache derivative:
+# a fixture regenerated MID-PROCESS is not picked up.
+_LOADED: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing event-time to TimestampType UTC."""
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _LOADED.get(memo_key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _LOADED[memo_key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     dtypes = dict(df.dtypes)
     if name == "events" and dtypes.get("ts") == "bigint":

@@ -77,6 +77,7 @@ def _bucket_spec(
     columns: tuple[str, ...] | None,
     derived: dict[str, str] | None = None,
     prejoin: tuple[str, str, str, tuple[str, ...]] | None = None,
+    partition_by: str | None = None,
 ) -> str:
     """Canonical spec string for one layout: bucket count × key × (for
     covering projections) the projected column set × (for materialized
@@ -94,6 +95,8 @@ def _bucket_spec(
         if prejoin:
             dt, fk, dk, dcols = prejoin
             ident += f"|J:{dt}:{fk}={dk}:{','.join(dcols)}"
+        if partition_by:
+            ident += f"|P:{partition_by}"
         spec += "-p" + hashlib.md5(ident.encode()).hexdigest()[:8]
     return spec
 
@@ -162,26 +165,35 @@ def _assert_one_file_per_bucket(path: str, table: str) -> None:
     files per bucket would be concatenated UNSORTED while the scan still
     claims per-bucket order, and SMJ would silently merge unsorted input
     (the pre-3.0 bug the default config fixed). Verify the invariant from
-    the actual file layout at register time, both branches (r6 advisor)."""
-    seen: dict[str, str] = {}
-    for f in os.listdir(path):
-        if not f.endswith(".parquet") or f.startswith(("_", ".")):
-            continue
-        m = _BUCKET_ID_RE.search(f)
-        if m is None:
-            raise AssertionError(
-                f"bucketed derivative {table} at {path}: file {f!r} has no "
-                "bucket-id suffix — layout is not a Spark bucketed write"
-            )
-        if m.group(1) in seen:
-            raise AssertionError(
-                f"bucketed derivative {table} at {path}: bucket {m.group(1)} "
-                f"has multiple files ({seen[m.group(1)]!r}, {f!r}) — the "
-                "trusted per-bucket sort order would be wrong; delete the "
-                "directory to regenerate"
-            )
-        seen[m.group(1)] = f
-    if not seen:
+    the actual file layout at register time, both branches (r6 advisor).
+
+    Partitioned layouts (r13): the invariant holds PER HIVE PARTITION —
+    one file per bucket inside each partition directory. Spark evaluates
+    its own files-per-bucket==1 check on the files a scan SELECTS, so a
+    partition-pruned scan of such a layout still earns the trusted sort;
+    an unpruned scan sees multiple files per bucket and correctly sorts."""
+    any_files = False
+    for root_dir, _dirs, files in os.walk(path):
+        seen: dict[str, str] = {}
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            any_files = True
+            m = _BUCKET_ID_RE.search(f)
+            if m is None:
+                raise AssertionError(
+                    f"bucketed derivative {table} at {root_dir}: file {f!r} has no "
+                    "bucket-id suffix — layout is not a Spark bucketed write"
+                )
+            if m.group(1) in seen:
+                raise AssertionError(
+                    f"bucketed derivative {table} at {root_dir}: bucket {m.group(1)} "
+                    f"has multiple files ({seen[m.group(1)]!r}, {f!r}) — the "
+                    "trusted per-bucket sort order would be wrong; delete the "
+                    "directory to regenerate"
+                )
+            seen[m.group(1)] = f
+    if not any_files:
         raise AssertionError(f"bucketed derivative {table} at {path}: no data files")
 
 
@@ -232,11 +244,22 @@ def bucket_skew_ratio(path: str) -> float:
 
     import pyarrow.parquet as pq
 
-    rows = sorted(
-        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    by_bucket: dict[str, int] = {}
+    # recursive walk (r13): a hive-partitioned bucketed layout holds one
+    # file per bucket per partition dir — skew is per BUCKET, so rows
+    # aggregate across partitions by bucket id
+    for root_dir, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            m = _BUCKET_ID_RE.search(f)
+            if m is None:
+                continue
+            by_bucket[m.group(1)] = (
+                by_bucket.get(m.group(1), 0)
+                + pq.ParquetFile(os.path.join(root_dir, f)).metadata.num_rows
+            )
+    rows = sorted(by_bucket.values())
     if not rows:
         return 1.0
     return rows[-1] / max(statistics.median(rows), 1.0)
@@ -391,6 +414,7 @@ def ensure_bucketed(
     columns: tuple[str, ...] | None = None,
     derived: dict[str, str] | None = None,
     prejoin: tuple[str, str, str, tuple[str, ...]] | None = None,
+    partition_by: str | None = None,
 ) -> str:
     """Materialize (once per source fingerprint × layout spec) and register
     (once per session) a bucketed+sorted copy of ``table``. Returns the
@@ -428,8 +452,39 @@ def ensure_bucketed(
     inner-join semantics: fact rows without a dim match are absent from
     the projection — callers must want that (Q5 does: its own join is
     inner on the same key).
+
+    With ``partition_by`` (r13) the layout is ADDITIONALLY hive-
+    partitioned by that column (which must be one of ``columns`` or
+    ``derived``, and lands LAST in the schema — Spark moves partition
+    columns to the end): the canonical time-partitioned fact layout.
+    A time-filtered query then PRUNES whole partition directories
+    before any task launches AND keeps the zero-exchange bucket
+    distribution on ``key`` inside the surviving partitions — the two
+    wins compose (q_report_dominant_supplier: year-pruned scan reads
+    1/7 of the fact, the per-part aggregation reuses the bucketing; sf10
+    solo 1.84 s → 0.45 s). One file per bucket per partition, so a
+    partition-pruned scan still earns the trusted per-bucket sort.
     """
     key = key or BUCKET_KEYS[table]
+    if partition_by and partition_by not in (
+        tuple(columns or ()) + tuple(derived or ())
+    ):
+        raise ValueError(
+            f"partition_by {partition_by!r} must be one of the projected "
+            "columns or derived expressions"
+        )
+    # Per-process resolution memo (r13): after a layout is ensured once,
+    # repeat calls skip the projection analysis + fingerprint stat walk
+    # (~0.25 s/call at sf10 — charged to EVERY invocation of a bucketed
+    # query, a pure planning tax on a long-lived service). Sound under
+    # the repo-wide single-writer discipline: source data regenerating
+    # MID-PROCESS would be missed, but every writer of ``.cache/<sf>``
+    # already assumes exclusive ownership for the process lifetime.
+    spec = _bucket_spec(key, columns, derived, prejoin, partition_by)
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), table, spec)
+    cached = _ENSURED.get(memo_key)
+    if cached is not None:
+        return cached
     df = _projected(spark, sf_dir, table, key, columns, derived, prejoin)
     fp = source_fingerprint(df, sf_dir, table)
     if prejoin:
@@ -442,7 +497,6 @@ def ensure_bucketed(
         fp = hashlib.sha256(
             (fp + data_fingerprint(sf_dir, prejoin[0])).encode()
         ).hexdigest()[:12]
-    spec = _bucket_spec(key, columns, derived, prejoin)
     path, name = _bucketed_paths(sf_dir, table, spec, fp)
     if spark.catalog.tableExists(name):
         if path not in _SKEW_RECORDED:
@@ -450,13 +504,16 @@ def ensure_bucketed(
             # a registry entry for the router (sidecar read, no footer work)
             _measure_and_record_skew(path, sf_dir, table, key)
             _SKEW_RECORDED.add(path)
+        _ENSURED[memo_key] = name
         return name
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # one write task per bucket → one file per bucket → sorted scan
+        # one write task per bucket → one file per bucket (per partition
+        # when hive-partitioned) → sorted scan
+        writer = df.repartition(N_BUCKETS, key).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
         (
-            df.repartition(N_BUCKETS, key)
-            .write.mode("overwrite")
-            .bucketBy(N_BUCKETS, key)
+            writer.bucketBy(N_BUCKETS, key)
             .sortBy(key)
             .option("path", path)
             .saveAsTable(name)
@@ -465,6 +522,7 @@ def ensure_bucketed(
         _measure_and_record_skew(path, sf_dir, table, key)
         _SKEW_RECORDED.add(path)
         _prune_stale(path, table, spec)
+        _ENSURED[memo_key] = name
         return name
     # files already on disk from an earlier session: re-register metadata —
     # but only after proving the layout still satisfies the invariant the
@@ -473,18 +531,29 @@ def ensure_bucketed(
     _assert_one_file_per_bucket(path, table)
     _measure_and_record_skew(path, sf_dir, table, key)
     _SKEW_RECORDED.add(path)
-    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    # partition column last (Spark reorders it there in the written table)
+    fields = sorted(df.schema.fields, key=lambda f: f.name == partition_by)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    part_clause = f"PARTITIONED BY ({partition_by}) " if partition_by else ""
     spark.sql(
-        f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+        f"CREATE TABLE {name} ({ddl}) USING PARQUET {part_clause}"
         f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
         f"LOCATION '{path}'"
     )
+    if partition_by:
+        # external-location partitions need explicit discovery
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+    _ENSURED[memo_key] = name
     return name
 
 
 # paths whose skew ratio is already persisted + registered this process —
 # skips the per-call sidecar/registry round-trip on the hot ensure path
 _SKEW_RECORDED: set[str] = set()
+
+# (applicationId, sf_dir, table, spec) → registered table name: the
+# per-process ensure memo (see ensure_bucketed)
+_ENSURED: dict[tuple[str, str, str, str], str] = {}
 
 
 def bucketed_table(
@@ -496,6 +565,7 @@ def bucketed_table(
     derived: dict[str, str] | None = None,
     prejoin: tuple[str, str, str, tuple[str, ...]] | None = None,
     route_skew: bool | None = None,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """The bucketed derivative of ``table`` as a DataFrame (schema identical
     to :func:`load_table`, or to the projected columns plus any ``derived``
@@ -534,7 +604,8 @@ def bucketed_table(
     an explicit True/False always wins."""
     key = key or BUCKET_KEYS[table]
     name = ensure_bucketed(
-        spark, sf_dir, table, key=key, columns=columns, derived=derived, prejoin=prejoin
+        spark, sf_dir, table, key=key, columns=columns, derived=derived,
+        prejoin=prejoin, partition_by=partition_by,
     )
     if route_skew is None:
         route_skew = (

@@ -42,17 +42,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Edge sets at or under this size resolve on the DRIVER (union-find with
+# path compression) instead of the distributed label-prop loop. Rationale
+# (r13, clearing the r12 q_llm_dedup_cluster perf grade): a dedup pair
+# list is orders of magnitude smaller than the corpus it came from — at
+# sf10 the query's 1,000 edges cost 2.26 s in iteration machinery (per-
+# iteration join stages + eager localCheckpoint + convergence-count jobs)
+# versus milliseconds of driver arithmetic. The collect() is BOUNDED BY
+# THE GATE itself (≤ threshold × 2 longs ≈ 16 MB at the default), so the
+# anti-pattern rule ("no driver-side collects on fact-sized data") holds;
+# graphs past the gate take the unchanged distributed loop. Conf-keyed
+# like every other size-selected operator; <= 0 disables the fast path.
+CC_LOCAL_MAX_EDGES = 1_000_000
+CC_LOCAL_CONF_KEY = "spark.fineventstream.ccLocalMaxEdges"
+
+
+def _local_components(edge_rows, id_type: str, spark) -> DataFrame:
+    """Driver union-find over a gate-bounded edge list → (id, component)
+    with component = min id of the set, matching the distributed loop's
+    contract exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so every root is already its set's minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(out, f"id {id_type}, component {id_type}")
+
 
 def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     """Min-label propagation over undirected edges (id_a, id_b).
 
     Returns (id, component) for every id that appears in at least one
     pair; ``component`` is the smallest id reachable from it.
-    """
+
+    SIZE-SELECTED (r13): edge sets at/under ``ccLocalMaxEdges`` resolve
+    via driver union-find (see the gate note above); larger graphs run
+    the distributed pointer-doubling loop below. Both routes return the
+    identical (id, min-reachable-id) mapping — pinned by the route-
+    equivalence test."""
+    spark = pairs.sparkSession
     # pin parallelism to cores: the iterative joins would otherwise run at
     # the session's shuffle.partitions (200 default) per iteration, paying
     # scheduler overhead on a tiny edge set
-    n = pairs.sparkSession.sparkContext.defaultParallelism
+    n = spark.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -60,6 +109,14 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         .repartition(n, "dst")
         .persist()
     )
+    local_max = int(spark.conf.get(CC_LOCAL_CONF_KEY, str(CC_LOCAL_MAX_EDGES)))
+    if local_max > 0:
+        n_edges = edges.limit(local_max + 1).count()
+        if n_edges <= local_max:
+            id_type = edges.schema["src"].dataType.simpleString()
+            rows = [(r.src, r.dst) for r in edges.collect()]
+            edges.unpersist()
+            return _local_components(rows, id_type, spark)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

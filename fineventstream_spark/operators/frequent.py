@@ -87,3 +87,71 @@ def mg_frequent_candidates(
         yield pd.DataFrame({"__mg_key": list(counts.keys())})
 
     return keyed.mapInPandas(mg, schema=f"__mg_key {out_type}").distinct()
+
+
+# Below this scan size the plain exact GROUP BY is the right physical
+# strategy even for a worst-case (row-cardinality) key domain: map-side
+# partial aggregation bounds the exchange at distinct-per-partition ×
+# partitions, which at these sizes is cheaper than the Arrow round-trip
+# of the Misra-Gries candidate pass (sf10 measured: exact 0.33 s vs MG
+# pass 1.0 s on a 2k-value domain). Above it, the MG pass's bounded
+# exchange (≤ partitions × capacity rows regardless of domain) is the
+# 100 TB-safe route. Same size-selection discipline as the rolling
+# window family (operators/rolling.py) — conf-keyed, <= 0 forces MG.
+PHI_EXACT_MAX_INPUT_BYTES = 1 << 30
+PHI_EXACT_CONF_KEY = "spark.fineventstream.phiExactMaxInputBytes"
+
+
+def phi_heavy_hitters(
+    df: DataFrame,
+    key: str,
+    phi: float,
+    capacity: int = 200,
+    exact_below_bytes: int | None = None,
+) -> DataFrame:
+    """Exact φ-heavy-hitters of ``key``: every value whose count is
+    ≥ φ·N, as (key, n_events, n_total) — SIZE-SELECTED (r12 verdict #1):
+
+    - input knowably under the threshold → plain exact groupBy + HAVING
+      (one partial-aggregated exchange; at small scans the MG pass is a
+      pure Python-worker tax);
+    - large or unknowable input → per-partition Misra-Gries candidates
+      (bounded exchange at any key cardinality) + broadcast-candidate
+      exact verify.
+
+    Both routes return EXACTLY the true heavy-hitter set (the MG route's
+    no-false-negative guarantee needs capacity ≥ ceil(2/φ); the exact
+    verify kills false positives), so the dispatch can never change
+    results — pinned by the route-equivalence test."""
+    if capacity < int(2.0 / phi + 0.999999):
+        raise ValueError(
+            f"capacity {capacity} below ceil(2/phi)={int(2.0 / phi + 0.999999)}: "
+            "the Misra-Gries route would lose its no-false-negative guarantee"
+        )
+    spark = df.sparkSession
+    threshold = (
+        exact_below_bytes
+        if exact_below_bytes is not None
+        else int(spark.conf.get(PHI_EXACT_CONF_KEY, str(PHI_EXACT_MAX_INPUT_BYTES)))
+    )
+    keyed = df.select(F.col(key)).where(F.col(key).isNotNull())
+    nbytes = None
+    if threshold > 0:
+        from fineventstream_spark.operators.sizing import scan_input_bytes
+
+        nbytes = scan_input_bytes(keyed)
+    total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    if nbytes is not None and nbytes < threshold:
+        counted = keyed.groupBy(key).agg(F.count(F.lit(1)).alias("n_events"))
+    else:
+        cand = mg_frequent_candidates(keyed, key, capacity=capacity).withColumnRenamed(
+            "__mg_key", key
+        )
+        counted = (
+            keyed.join(F.broadcast(cand), key)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+    return counted.crossJoin(F.broadcast(total)).where(
+        F.col("n_events") >= F.col("n_total") * phi
+    )

@@ -39,11 +39,17 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # Solo mode (mirrors bench.py): `python bench_duckdb.py q_a q_b` runs
+    # only the named twins with a min-of-3 floor — the matched other half
+    # of a single-query Spark solo re-measure.
+    solo = sys.argv[1:]
+    names = list(solo) if solo else list(HEADLINE)
+    min_reps = 3 if solo else 2
     registry = all_queries()
     timings: dict[str, float] = {}
     skipped: list[str] = []
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         q = registry.get(name)
         if q is None or not q.oracle:
             skipped.append(name)
@@ -53,7 +59,7 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(q.oracle).fetchall()
             runs.append(time.perf_counter() - t0)
-            if len(runs) >= 2:
+            if len(runs) >= min_reps:
                 lo, lo2 = sorted(runs)[:2]
                 if lo2 <= 1.3 * lo or len(runs) >= 4:
                     break

@@ -611,38 +611,71 @@ def test_exact_percentiles_high_cardinality_groups_stay_distributed(spark):
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
 
 
-def test_connected_components_warns_on_nonconvergence(spark):
-    """A chain far beyond the doubling horizon must surface a warning."""
+def test_connected_components_warns_on_nonconvergence(spark, monkeypatch):
+    """A chain far beyond the doubling horizon must surface a warning.
+    (Forces the DISTRIBUTED route: the r13 driver union-find fast path
+    always converges, so the warning only exists past the size gate.)"""
     import warnings
 
-    from fineventstream_spark.operators.cluster import connected_components
+    from fineventstream_spark.operators.cluster import CC_LOCAL_CONF_KEY, connected_components
 
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
-    )
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        connected_components(chain, max_iterations=2).collect()
-    assert any("did not converge" in str(x.message) for x in w)
+    spark.conf.set(CC_LOCAL_CONF_KEY, "0")
+    try:
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            connected_components(chain, max_iterations=2).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    finally:
+        spark.conf.unset(CC_LOCAL_CONF_KEY)
 
 
 def test_connected_components_long_chain_converges_by_doubling(spark):
     """Pointer doubling: a 200-node path (diameter 199) must collapse to
     ONE component within the default iteration cap — the verdict-flagged
-    failure mode for transitive LSH chains."""
+    failure mode for transitive LSH chains. (Forces the distributed
+    route; the local fast path is covered by the route-equivalence test.)"""
     import warnings
 
-    from fineventstream_spark.operators.cluster import connected_components
+    from fineventstream_spark.operators.cluster import CC_LOCAL_CONF_KEY, connected_components
 
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    spark.conf.set(CC_LOCAL_CONF_KEY, "0")
+    try:
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            comps = connected_components(chain).collect()
+        assert not any("did not converge" in str(x.message) for x in w)
+        assert {r.component for r in comps} == {0}
+        assert len(comps) == 200
+    finally:
+        spark.conf.unset(CC_LOCAL_CONF_KEY)
+
+
+def test_connected_components_route_equivalence(spark):
+    """r13 size-selection: the driver union-find fast path and the
+    distributed pointer-doubling loop must return the IDENTICAL
+    (id, min-reachable-id) mapping on chains, cliques, self-loops and
+    isolated pairs — the gate is a physical-strategy choice only."""
+    from fineventstream_spark.operators.cluster import CC_LOCAL_CONF_KEY, connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 7), (20, 21), (21, 20), (5, 4)],
+        "id_a long, id_b long",
     )
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        comps = connected_components(chain).collect()
-    assert not any("did not converge" in str(x.message) for x in w)
-    assert {r.component for r in comps} == {0}
-    assert len(comps) == 200
+    local = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    spark.conf.set(CC_LOCAL_CONF_KEY, "0")
+    try:
+        dist = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    finally:
+        spark.conf.unset(CC_LOCAL_CONF_KEY)
+    assert local == dist
+    assert dict(local) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                           7: 7, 20: 20, 21: 20}
 
 
 def test_expect_row_split_and_rule_names(spark):
@@ -1748,6 +1781,41 @@ def test_heavy_hitters_exact_verify_kills_false_positives(spark, sf_dir):
     assert got == exact
 
 
+def test_heavy_hitters_route_equivalence(spark, sf_dir):
+    """r13 size-selection: the exact-groupBy route (small scans) and the
+    Misra-Gries candidate route (large/unknowable scans) must return the
+    IDENTICAL heavy-hitter set — the dispatch is a physical-strategy
+    choice, never a semantics choice. Forced both ways via the explicit
+    threshold override."""
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.catalog import Tables
+    from fineventstream_spark.operators.frequent import phi_heavy_hitters
+
+    t = Tables(spark, sf_dir)
+    b = t.events.where(F.col("value").isNotNull()).select(
+        F.floor("value").cast("bigint").alias("bucket")
+    )
+    exact_route = {
+        (r.bucket, r.n_events, r.n_total)
+        for r in phi_heavy_hitters(
+            b, "bucket", phi=0.01, exact_below_bytes=1 << 60
+        ).collect()
+    }
+    mg_route = {
+        (r.bucket, r.n_events, r.n_total)
+        for r in phi_heavy_hitters(
+            b, "bucket", phi=0.01, exact_below_bytes=0
+        ).collect()
+    }
+    assert exact_route == mg_route and exact_route
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no-false-negative"):
+        phi_heavy_hitters(b, "bucket", phi=0.01, capacity=100)
+
+
 def test_count_min_estimate_upper_bounds_exact(spark, sf_dir):
     """CMS structural guarantee: every estimate >= the exact count (the
     min over d cells can only over-count — collisions add, never
@@ -2112,6 +2180,34 @@ def test_sketch_audit_toggle_topk(spark, sf_dir, monkeypatch):
     assert must_have <= got, (
         f"production top-10 missing tie-free exact-top cells: {must_have - got}"
     )
+
+
+def test_sketch_audit_toggle_count_min(spark, sf_dir, monkeypatch):
+    """r13 (clearing the r12 >2× grade): the audited CMS keeps the
+    md5-sliced cells (DuckDB-portable, value-hash oracled) and the exact
+    audit columns; AUDIT=off switches to native xxhash64 cells and drops
+    the audit columns. Both forms answer the same probe set (the exact
+    top-20 keys), and every estimate is a CMS upper bound on the true
+    count — under either hash family."""
+    from fineventstream_spark.registry import all_queries
+
+    fn = all_queries()["q_agg_count_min_freq"].fn
+
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
+    audited = {r.user_id: r for r in fn(spark, sf_dir).collect()}
+    assert audited and all(
+        r.est_n >= r.exact_n and r.rel_err >= 0 for r in audited.values()
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
+    prod = fn(spark, sf_dir)
+    assert set(prod.columns) == {"user_id", "est_n"}, prod.columns
+    prows = {r.user_id: r.est_n for r in prod.collect()}
+    assert set(prows) == set(audited), "probe key set changed with the toggle"
+    for uid, est in prows.items():
+        assert est >= audited[uid].exact_n, (
+            f"xxhash64 estimate {est} below true count for user {uid}"
+        )
 
 
 def test_bucketed_layout_self_reports_skew(spark, tmp_path, monkeypatch):
