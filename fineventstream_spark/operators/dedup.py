@@ -611,6 +611,31 @@ def simhash_candidates(
 _STORE_SIDECAR = "store.json"
 _STORE_BUCKET_PARTS = 64
 
+# DELETES / RETRACTIONS — design decision (r12 verdict #8). A production
+# corpus also REMOVES documents (takedowns, licensing, user deletion).
+# What a delete of doc_id D means for this store:
+#
+# - D was a plain member (not a rep): nothing in the store references D —
+#   sigs/bands hold only representatives. No store mutation needed; the
+#   pair LOG (id_a, id_b) rows naming D are downstream artifacts the
+#   caller's retention policy owns, exactly like any emitted event.
+# - D was a REP: its signature and band entries still describe content
+#   that may live on under other member ids, so physical removal is
+#   wrong unless the whole content group is gone. The correct mechanism
+#   is a TOMBSTONE EPOCH: append an epoch of (rep_id, deleted=true)
+#   rows committed through the same sidecar manifest; readers
+#   anti-join committed tombstones during _read_store_sigs/_read_store
+#   _bands, and compaction folds them in physically (tombstoned reps
+#   simply don't survive the rewrite — GDPR-style physical erasure
+#   happens at the next compaction, the same contract Delta/Iceberg
+#   give). Re-probing after a rep tombstone re-elects the min surviving
+#   member on the next shard touch, keeping the min-id keeper rule.
+#
+# NOT implemented this round (no query needs it yet): recorded here so
+# the epoch/manifest design is demonstrably delete-compatible — a
+# tombstone is just an epoch whose rows subtract instead of add, and
+# the atomic-commit + compaction machinery above handles both.
+
 
 def _rep_signatures(
     docs: DataFrame,
@@ -802,6 +827,56 @@ def append_minhash_store(
     if tag is not None:
         meta.setdefault("tags", {})[tag] = epoch
     _commit_sidecar(path, meta)
+    return True
+
+
+def compact_minhash_store(spark: SparkSession, path: str) -> bool:
+    """Fold every committed epoch into ONE new base epoch (r12 verdict
+    #2). A daily-append store is at 365 epochs within a year, and every
+    probe unions all of them — per-epoch parquet files multiply under
+    each ``bp=`` partition until listing + tiny-file reads dominate the
+    probe (the exact small-files regression the engine measured and
+    fixed for the lake derivatives, BASELINE r11). Compaction is the
+    store's equivalent of that lake rewrite:
+
+    - the union of committed sigs/bands is REWRITTEN as epoch
+      ``max(epochs)+1`` (never a reused number, so a torn compaction's
+      partial directories can never alias a committed epoch);
+    - the sidecar then commits ``epochs=[new]`` in the same atomic
+      ``os.replace`` every build/append uses — readers switch from all
+      old epochs to the single new one in one step, and a crash before
+      the commit leaves the old manifest fully valid (torn compaction
+      is invisible; a re-run overwrites the same orphan);
+    - ``tags`` are PRESERVED: a replayed streaming batch whose tag
+      committed pre-compaction must stay a no-op after it;
+    - superseded epoch directories are removed only AFTER the commit
+      (best-effort — a crash mid-cleanup leaves ignorable orphans,
+      same class as a torn append).
+
+    No signature is recomputed: this is a pure storage fold, so probe
+    results are bit-identical pre/post (pinned by test). Returns False
+    (no-op) when the store already has a single epoch and no orphan
+    cleanup is needed. Single-writer, like every store mutation."""
+    import os
+    import shutil
+
+    meta = _load_store_spec(path)
+    old_epochs = list(meta["epochs"])
+    if len(old_epochs) <= 1:
+        return False
+    new_epoch = max(old_epochs) + 1
+    sigs = _read_store_sigs(spark, path, meta)
+    n_cores = spark.sparkContext.defaultParallelism
+    sigs.repartition(n_cores, "rep_id").write.mode("overwrite").parquet(
+        os.path.join(path, "sigs", f"e={new_epoch}")
+    )
+    bp_parts = meta["bucket_parts"]
+    _write_bands(_read_store_bands(spark, path, meta), path, new_epoch, bp_parts)
+    meta["epochs"] = [new_epoch]
+    _commit_sidecar(path, meta)
+    for e in old_epochs:
+        for sub in ("sigs", "bands"):
+            shutil.rmtree(os.path.join(path, sub, f"e={e}"), ignore_errors=True)
     return True
 
 

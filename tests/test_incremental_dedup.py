@@ -284,3 +284,101 @@ def test_null_and_empty_text_do_not_cross_pair(spark, tmp_path):
     )
     # the empty-text pair IS content: exact star edge across the boundary
     assert (0, 10, 1.0, "exact") in got
+
+
+def test_compaction_probe_equivalence_and_tags(spark, tmp_path):
+    """r12 verdict #2: compact_minhash_store folds all committed epochs
+    into one new base — probe results must be BIT-IDENTICAL pre/post
+    (pure storage fold, no recompute), tags must survive (a replayed
+    streaming batch stays a no-op after compaction), and the superseded
+    epoch directories disappear."""
+    docs = _corpus(spark)
+    thr1, thr2 = 180, 190
+    store = str(tmp_path / "store")
+    dedup.build_minhash_store(
+        docs.filter(F.col("doc_id") < thr1), "text", "doc_id", store
+    )
+    _, sigs1 = dedup.incremental_dedup_against_store(
+        spark, store, docs.filter((F.col("doc_id") >= thr1) & (F.col("doc_id") < thr2)),
+        "text", "doc_id", threshold=0.5, return_new_sigs=True,
+    )
+    assert dedup.append_minhash_store(sigs1, store, tag="day1")
+    meta = dedup._load_store_spec(store)
+    assert meta["epochs"] == [0, 1]
+
+    shard2 = docs.filter(F.col("doc_id") >= thr2)
+    before = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, shard2, "text", "doc_id", threshold=0.5
+        )
+    )
+    assert dedup.compact_minhash_store(spark, store)
+    meta2 = dedup._load_store_spec(store)
+    assert meta2["epochs"] == [2], meta2["epochs"]
+    assert meta2["tags"] == {"day1": 1}, "tags must survive compaction"
+    after = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, shard2, "text", "doc_id", threshold=0.5
+        )
+    )
+    assert before == after
+    # replayed tag still a no-op post-compaction
+    assert dedup.append_minhash_store(sigs1.limit(1), store, tag="day1") is False
+    # superseded epochs physically gone; single-epoch store is a no-op
+    for sub in ("sigs", "bands"):
+        eps = sorted(os.listdir(os.path.join(store, sub)))
+        assert eps == ["e=2"], (sub, eps)
+    assert dedup.compact_minhash_store(spark, store) is False
+
+
+def test_torn_compaction_is_invisible(spark, tmp_path, monkeypatch):
+    """A crash between the compacted-epoch write and the sidecar commit
+    must leave the store fully serving the OLD manifest; the re-run
+    overwrites the orphan and commits."""
+    docs = _corpus(spark)
+    store = str(tmp_path / "store")
+    dedup.build_minhash_store(
+        docs.filter(F.col("doc_id") < 180), "text", "doc_id", store
+    )
+    _, sigs1 = dedup.incremental_dedup_against_store(
+        spark, store, docs.filter(F.col("doc_id") >= 180), "text", "doc_id",
+        threshold=0.5, return_new_sigs=True,
+    )
+    assert dedup.append_minhash_store(sigs1, store)
+    shard = docs.filter(F.col("doc_id") >= 180)
+    before = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, shard, "text", "doc_id", threshold=0.5
+        )
+    )
+
+    boom = RuntimeError("simulated crash before sidecar commit")
+
+    def crashing_commit(path, meta):
+        raise boom
+
+    monkeypatch.setattr(dedup, "_commit_sidecar", crashing_commit)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        dedup.compact_minhash_store(spark, store)
+    monkeypatch.undo()
+
+    # orphan e=2 exists on disk but the manifest never saw it
+    assert os.path.isdir(os.path.join(store, "sigs", "e=2"))
+    meta = dedup._load_store_spec(store)
+    assert meta["epochs"] == [0, 1]
+    mid = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, shard, "text", "doc_id", threshold=0.5
+        )
+    )
+    assert mid == before
+    # the re-run overwrites the orphan and commits cleanly
+    assert dedup.compact_minhash_store(spark, store)
+    assert dedup._load_store_spec(store)["epochs"] == [2]
+    assert _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, shard, "text", "doc_id", threshold=0.5
+        )
+    ) == before

@@ -38,6 +38,8 @@ import sys
 import textwrap
 import time
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_FILES = 24
@@ -287,3 +289,170 @@ def test_sigkill_stateful_rocksdb_exactly_once(spark, tmp_path):
         f"lost/extra keys after kill+resume: got {len(ks)}, "
         f"want {n_distinct} (killed at batch {killed_at})"
     )
+
+
+# --------------------------------------------------------------------------
+# r13 (verdict #3): SIGKILL the STORE-APPEND path — between the epoch
+# write and the sidecar commit. The epoch-committed design claims a torn
+# append is invisible and a replayed batch commits exactly once
+# (operators/dedup.py); this lands a real SIGKILL in exactly that window:
+# the worker's _commit_sidecar is wrapped so the SECOND append (batch 1)
+# writes its epoch directory, touches a marker file, and stalls before
+# committing — the parent kills it there, then a drain run resumes the
+# same checkpoint. Asserted: the orphan epoch never entered the manifest,
+# the replayed batch re-commits exactly once (one epoch per batch, one
+# tag per batch), and the union of pair lists equals the single-shot
+# incremental run. Parametrized over both state-store providers (the
+# foreachBatch sink rides the same checkpoint machinery either way).
+# --------------------------------------------------------------------------
+
+DEDUP_KILL_WORKER = textwrap.dedent(
+    """
+    import os, sys, time
+    sys.path.insert(0, %(repo)r)
+    from pyspark.sql import SparkSession
+
+    mode, inp, store, out, ckpt, marker, provider = sys.argv[1:8]
+    b = SparkSession.builder.master("local[4]")
+    b = (
+        b.appName(f"dedup-kill-{mode}")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if provider == "rocksdb":
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fineventstream_spark.operators import dedup
+    from fineventstream_spark.streaming.sink import incremental_dedup_stream
+
+    if mode == "run":
+        # stall the SECOND append's sidecar commit (batch 0 commits
+        # cleanly; batch 1 dies torn: epoch dir on disk, manifest not)
+        orig = dedup._commit_sidecar
+        calls = {"n": 0}
+        def stalling_commit(path, meta):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                with open(marker, "w") as fh:
+                    fh.write("torn")
+                time.sleep(300)  # parent SIGKILLs us here
+            orig(path, meta)
+        dedup._commit_sidecar = stalling_commit
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(inp)
+    )
+    q = incremental_dedup_stream(src, store, "text", "doc_id", out, ckpt,
+                                 threshold=0.5)
+    q.awaitTermination(600)
+    spark.stop()
+    """
+)
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_sigkill_mid_store_append_exactly_once(spark, tmp_path, provider):
+    from pyspark.sql import functions as F
+
+    from fineventstream_spark.operators import dedup
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+
+    def mk_text(i: int) -> str:
+        return " ".join(words[(i * 3 + j) % len(words)] for j in range(15))
+
+    history = [(i, mk_text(i)) for i in range(30)]
+    # shard: 12 docs in 3 files — includes exact dups of history (40, 41)
+    # and a shard-internal dup pair (46 == 47)
+    shard = (
+        [(40, mk_text(0)), (41, mk_text(1)), (42, mk_text(100)), (43, mk_text(101))]
+        + [(44, mk_text(102)), (45, mk_text(103)), (46, mk_text(990)), (47, mk_text(990))]
+        + [(48, mk_text(104)), (49, mk_text(105)), (50, mk_text(2)), (51, mk_text(106))]
+    )
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("din", "dout", "dckpt"))
+    store = str(tmp_path / "dstore")
+    marker = str(tmp_path / "torn.marker")
+    os.makedirs(inp)
+    for i, chunk in enumerate([shard[0:4], shard[4:8], shard[8:12]]):
+        p = os.path.join(inp, f"b{i}.jsonl")
+        with open(p, "w") as fh:
+            for did, text in chunk:
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(p, (1704100000 + i, 1704100000 + i))
+
+    hist_df = spark.createDataFrame(history, "doc_id long, text string")
+    dedup.build_minhash_store(hist_df, "text", "doc_id", store)
+
+    # single-shot expectation from a PRISTINE copy of the store
+    import shutil as _sh
+
+    ref_store = str(tmp_path / "refstore")
+    _sh.copytree(store, ref_store)
+    shard_df = spark.createDataFrame(shard, "doc_id long, text string")
+    expected = sorted(
+        (r.id_a, r.id_b, r.est_jaccard, r.kind)
+        for r in dedup.incremental_dedup_against_store(
+            spark, ref_store, shard_df, "text", "doc_id", threshold=0.5
+        ).collect()
+    )
+
+    code = DEDUP_KILL_WORKER % {"repo": REPO}
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code, "run", inp, store, out, ckpt, marker, provider],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd=REPO,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError("dedup worker exited before the kill")
+            if os.path.exists(marker):
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError("stall marker never appeared — nothing to kill")
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # torn state: batch 0's epoch committed, batch 1's epoch dir is an
+    # orphan the manifest never saw
+    meta = dedup._load_store_spec(store)
+    assert meta["epochs"] == [0, 1], meta["epochs"]
+    assert len(meta["tags"]) == 1
+    assert os.path.isdir(os.path.join(store, "sigs", "e=2")), (
+        "kill landed before the torn window — epoch dir missing"
+    )
+
+    drain = subprocess.run(
+        [sys.executable, "-c", code, "drain", inp, store, out, ckpt, marker, provider],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert drain.returncode == 0, drain.stderr[-3000:]
+
+    # exactly once: one epoch and one tag per batch, no double-append
+    meta = dedup._load_store_spec(store)
+    assert meta["epochs"] == [0, 1, 2, 3], meta["epochs"]
+    assert len(meta["tags"]) == 3, meta["tags"]
+    got = sorted(
+        (r.id_a, r.id_b, r.est_jaccard, r.kind)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == expected
