@@ -143,18 +143,27 @@ def _expensive(node) -> str | None:
         if p in nm:
             return f"python-eval node {nm}"
     if nm == "ProjectExec":
-        s = node.toString()
-        m = _EXPENSIVE_EXPRS.search(s)
-        if m:
-            return f"expensive per-row expression `{m.group(1)}` in {nm}"
-        # A HOF token only counts when the `lambdafunction` sits INSIDE
-        # that call's own parenthesized argument span — checking the whole
-        # node string let a benign rewritten-EXISTS `exists(` go red
-        # whenever any unrelated lambda appeared elsewhere in a mixed
-        # projection (r12 advisor, refining the r11 fix).
-        for m in _EXPENSIVE_HOF.finditer(s):
-            if "lambdafunction" in s[m.end() : _close_paren(s, m.end() - 1)]:
-                return f"expensive per-row expression `{m.group(1)}` in {nm}"
+        why = expensive_expr_reason(node.toString())
+        if why:
+            return f"expensive per-row expression `{why}` in {nm}"
+    return None
+
+
+def expensive_expr_reason(s: str) -> str | None:
+    """The per-row-expensive kernel named in a ProjectExec expression
+    string, or None. A HOF token only counts when a `lambdafunction`
+    sits INSIDE that call's own parenthesized argument span — checking
+    the whole node string let a benign rewritten-EXISTS `exists(` go red
+    whenever any unrelated lambda appeared elsewhere in a mixed
+    projection (r12 advisor, refining the r11 fix). Pure string logic,
+    factored out so the regression test can exercise it without
+    synthesizing JVM plan nodes."""
+    m = _EXPENSIVE_EXPRS.search(s)
+    if m:
+        return m.group(1)
+    for m in _EXPENSIVE_HOF.finditer(s):
+        if "lambdafunction" in s[m.end() : _close_paren(s, m.end() - 1)]:
+            return m.group(1)
     return None
 
 

@@ -267,13 +267,23 @@ def test_order_priority_single_tiny_shuffle(spark, sf_dir):
 
 
 def test_heavy_hitters_candidate_broadcast_shape(spark, sf_dir):
-    """q_event_heavy_hitters: the MG candidate pass is a shuffle-free
-    MapInPandas (its distinct is candidate-sized), the candidate set
-    BROADCASTS into the exact verify, and the fact-side count is
-    partial-aggregated — every shuffle exchange in the plan is
+    """q_event_heavy_hitters is SIZE-SELECTED since r13: at lint scale
+    the scan routes to the plain exact groupBy (no Python pass). Forcing
+    the large-scan route (conf threshold 0) must produce the MG shape:
+    a shuffle-free MapInPandas candidate pass whose candidate set
+    BROADCASTS into the exact verify — every shuffle exchange
     candidate- or scalar-sized, never domain-sized."""
+    from fineventstream_spark.operators.frequent import PHI_EXACT_CONF_KEY
+
     plan = _plan(spark, sf_dir, "q_event_heavy_hitters")
-    assert "MapInPandas" in plan, "candidate pass missing"
+    assert "MapInPandas" not in plan, "small scan must take the exact route"
+
+    spark.conf.set(PHI_EXACT_CONF_KEY, "0")
+    try:
+        plan = _plan(spark, sf_dir, "q_event_heavy_hitters")
+    finally:
+        spark.conf.unset(PHI_EXACT_CONF_KEY)
+    assert "MapInPandas" in plan, "candidate pass missing on the MG route"
     assert "BroadcastHashJoin" in plan, "candidates must broadcast into the verify"
     # candidate distinct + candidate-bounded count + scalar total only
     n = _shuffle_exchanges(plan)
@@ -557,14 +567,26 @@ def test_q16_supplier_count_anti_join_before_distinct(spark, sf_dir):
 
 
 def test_q20_dominant_supplier_semi_gate_and_shared_shuffle(spark, sf_dir):
-    """TPC-H Q20: the part-family gate is a broadcast SEMI join pruning
-    the date-filtered fact scan; the per-(part,supplier) and per-part
-    aggregates share the partkey shuffle (co-partitioned join, no extra
-    fact scan)."""
+    """TPC-H Q20 (r13 layout): the fact source is the ship_year-
+    partitioned, partkey-bucketed covering projection with the part-
+    family flag materialized — the plan must PARTITION-PRUNE on
+    ship_year, push the p_small flag to the scan, and run the
+    per-(part,supplier) aggregate + per-part window WITHOUT any shuffle
+    exchange before the majority filter (the bucket distribution serves
+    both)."""
     plan = _plan(spark, sf_dir, "q_report_dominant_supplier")
-    assert "LeftSemi" in plan, "part family gate should be a semi join"
-    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan, "year bound not pushed"
-    assert plan.count("lineitem.parquet") <= 2, "fact scanned more than the reused pair"
+    assert "PartitionFilters" in plan and "ship_year" in plan.split(
+        "PartitionFilters"
+    )[1][:200], "year bound must prune partitions"
+    assert "EqualTo(p_small,true)" in plan, "family flag not pushed to the scan"
+    assert "SelectedBucketsCount" in plan, "fact must read the bucketed layout"
+    # the only exchanges: the single-task presentation sort + broadcasts
+    pre_window = plan.split("Window")[0] if "Window" in plan else plan
+    assert "ShuffleExchange" not in pre_window.replace(
+        "Exchange SinglePartition", ""
+    ).replace("BroadcastExchange", ""), (
+        "agg/window must reuse the bucket distribution"
+    )
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
@@ -1156,3 +1178,29 @@ def test_report_skew_variants_equivalent_and_shaped(spark, tmp_path):
     assert "lineitem_bucketed" not in plan9_skew, (
         "Q9 skew branch must scan plain lineitem so dim probes parallelize"
     )
+
+
+def test_hof_lint_anchors_lambda_to_call_span():
+    """r12 advisor: a benign rewritten-EXISTS `exists(` must not be
+    flagged just because an UNRELATED lambda appears elsewhere in the
+    same Project node string; a real HOF with its lambda inside its own
+    argument span must be."""
+    from fineventstream_spark.operators.plan_audit import expensive_expr_reason
+
+    # false-positive class: exists() is plain, the lambda belongs to a
+    # function outside the expensive-HOF set (array_sort)
+    mixed = (
+        "Project [exists(arr#1) AS has#2, "
+        "array_sort(arr#3, lambdafunction((x#4 < y#5), x#4, y#5)) AS s#6]"
+    )
+    assert expensive_expr_reason(mixed) is None
+
+    # true positive: the lambda sits inside transform's own span
+    real = (
+        "Project [exists(arr#1) AS has#2, "
+        "transform(arr#3, lambdafunction((x#4 + 1), x#4)) AS t#6]"
+    )
+    assert expensive_expr_reason(real) == "transform"
+
+    # md5-class kernels flag regardless of lambdas
+    assert expensive_expr_reason("Project [md5(cast(k#1 as binary)) AS h#2]") == "md5"
