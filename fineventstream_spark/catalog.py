@@ -47,25 +47,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (applicationId, sf_dir, table) → loaded DataFrame. Building the reader
-# re-reads the parquet footer and re-runs the normalization analysis on
-# EVERY query invocation (~25 ms/table, 3-4 tables/query — a pure
-# planning tax a long-lived service never re-pays, and ~0.1 s of every
-# single-query bench rep). DataFrames are immutable logical plans, so
-# reuse is safe; keyed by applicationId so a new session never serves a
-# stale plan. Same single-writer assumption as every .cache derivative:
-# a fixture regenerated MID-PROCESS is not picked up.
-_LOADED: dict[tuple[str, str, str], DataFrame] = {}
+# (applicationId, sf_dir, table) → (data_fingerprint, DataFrame).
+# Building the reader re-reads the parquet footer and re-runs the
+# normalization analysis on EVERY query invocation (~25 ms/table, 3-4
+# tables/query — a pure planning tax a long-lived service never
+# re-pays, and ~0.1 s of every single-query bench rep). DataFrames are
+# immutable logical plans, so reuse is safe; keyed by applicationId so
+# a new session never serves a stale plan, and VALIDATED against the
+# table's data fingerprint (file names/sizes/mtimes — a ~1 ms stat
+# walk) so a source regenerated mid-process is picked up — a cached
+# DataFrame holds its file-index snapshot, and serving it across a
+# regeneration would read deleted files (caught by
+# test_prejoin_layout_regenerates_on_dim_change when the memo was
+# unconditional).
+_LOADED: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing event-time to TimestampType UTC."""
     memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    fp = data_fingerprint(sf_dir, name)
     cached = _LOADED.get(memo_key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == fp:
+        return cached[1]
     df = _load_table_uncached(spark, sf_dir, name)
-    _LOADED[memo_key] = df
+    _LOADED[memo_key] = (fp, df)
     return df
 
 

@@ -474,17 +474,26 @@ def ensure_bucketed(
             "columns or derived expressions"
         )
     # Per-process resolution memo (r13): after a layout is ensured once,
-    # repeat calls skip the projection analysis + fingerprint stat walk
-    # (~0.25 s/call at sf10 — charged to EVERY invocation of a bucketed
-    # query, a pure planning tax on a long-lived service). Sound under
-    # the repo-wide single-writer discipline: source data regenerating
-    # MID-PROCESS would be missed, but every writer of ``.cache/<sf>``
-    # already assumes exclusive ownership for the process lifetime.
+    # repeat calls skip the projection ANALYSIS (~0.25 s/call at sf10 —
+    # charged to EVERY invocation of a bucketed query, a pure planning
+    # tax on a long-lived service). The memo is VALIDATED against the
+    # cheap data fingerprints of the source table (and the prejoin dim),
+    # not trusted blindly: a source regenerated mid-process changes the
+    # stat-walk fingerprint and takes the full path, preserving the r9
+    # dim-change regeneration contract
+    # (test_prejoin_layout_regenerates_on_dim_change). What the memo
+    # skips is only the DataFrame construction + schema hash, which is
+    # deterministic given unchanged source data.
+    from fineventstream_spark.catalog import data_fingerprint
+
     spec = _bucket_spec(key, columns, derived, prejoin, partition_by)
+    data_fps = data_fingerprint(sf_dir, table) + (
+        data_fingerprint(sf_dir, prejoin[0]) if prejoin else ""
+    )
     memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), table, spec)
     cached = _ENSURED.get(memo_key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == data_fps:
+        return cached[1]
     df = _projected(spark, sf_dir, table, key, columns, derived, prejoin)
     fp = source_fingerprint(df, sf_dir, table)
     if prejoin:
@@ -504,7 +513,7 @@ def ensure_bucketed(
             # a registry entry for the router (sidecar read, no footer work)
             _measure_and_record_skew(path, sf_dir, table, key)
             _SKEW_RECORDED.add(path)
-        _ENSURED[memo_key] = name
+        _ENSURED[memo_key] = (data_fps, name)
         return name
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # one write task per bucket → one file per bucket (per partition
@@ -522,7 +531,7 @@ def ensure_bucketed(
         _measure_and_record_skew(path, sf_dir, table, key)
         _SKEW_RECORDED.add(path)
         _prune_stale(path, table, spec)
-        _ENSURED[memo_key] = name
+        _ENSURED[memo_key] = (data_fps, name)
         return name
     # files already on disk from an earlier session: re-register metadata —
     # but only after proving the layout still satisfies the invariant the
@@ -543,7 +552,7 @@ def ensure_bucketed(
     if partition_by:
         # external-location partitions need explicit discovery
         spark.sql(f"MSCK REPAIR TABLE {name}")
-    _ENSURED[memo_key] = name
+    _ENSURED[memo_key] = (data_fps, name)
     return name
 
 
@@ -551,9 +560,10 @@ def ensure_bucketed(
 # skips the per-call sidecar/registry round-trip on the hot ensure path
 _SKEW_RECORDED: set[str] = set()
 
-# (applicationId, sf_dir, table, spec) → registered table name: the
-# per-process ensure memo (see ensure_bucketed)
-_ENSURED: dict[tuple[str, str, str, str], str] = {}
+# (applicationId, sf_dir, table, spec) → (source data fingerprints,
+# registered table name): the validated per-process ensure memo (see
+# ensure_bucketed)
+_ENSURED: dict[tuple[str, str, str, str], tuple[str, str]] = {}
 
 
 def bucketed_table(
