@@ -299,7 +299,10 @@ def main() -> None:
         import re as _re
 
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if not rnd:
+        # a malformed env value must never crash AFTER the sweep ran and
+        # BEFORE the result JSON prints (r13 review) — fall back to the
+        # artifact scan instead
+        if not rnd or not rnd.isdigit():
             seen = [
                 int(m.group(1))
                 for f in _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))

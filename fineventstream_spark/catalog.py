@@ -65,7 +65,16 @@ _LOADED: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing event-time to TimestampType UTC."""
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app = spark.sparkContext.applicationId
+    # evict dead-session entries: a process that cycles sessions
+    # (stop + getOrCreate) gets a fresh applicationId each time, and
+    # entries keyed by old ids are unservable by construction — without
+    # eviction they pin DataFrames + file indexes for the process
+    # lifetime (r13 review)
+    if any(k[0] != app for k in _LOADED):
+        for k in [k for k in _LOADED if k[0] != app]:
+            del _LOADED[k]
+    memo_key = (app, os.path.abspath(sf_dir), name)
     fp = data_fingerprint(sf_dir, name)
     cached = _LOADED.get(memo_key)
     if cached is not None and cached[0] == fp:

@@ -490,7 +490,12 @@ def ensure_bucketed(
     data_fps = data_fingerprint(sf_dir, table) + (
         data_fingerprint(sf_dir, prejoin[0]) if prejoin else ""
     )
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), table, spec)
+    app = spark.sparkContext.applicationId
+    # evict dead-session entries (r13 review; see catalog._LOADED)
+    if any(k[0] != app for k in _ENSURED):
+        for k in [k for k in _ENSURED if k[0] != app]:
+            del _ENSURED[k]
+    memo_key = (app, os.path.abspath(sf_dir), table, spec)
     cached = _ENSURED.get(memo_key)
     if cached is not None and cached[0] == data_fps:
         return cached[1]

@@ -42,47 +42,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Edge sets at or under this size resolve on the DRIVER (union-find with
-# path compression) instead of the distributed label-prop loop. Rationale
+# Edge sets at or under this size resolve on the DRIVER (array-based
+# union-find) instead of the distributed label-prop loop. Rationale
 # (r13, clearing the r12 q_llm_dedup_cluster perf grade): a dedup pair
 # list is orders of magnitude smaller than the corpus it came from — at
 # sf10 the query's 1,000 edges cost 2.26 s in iteration machinery (per-
 # iteration join stages + eager localCheckpoint + convergence-count jobs)
-# versus milliseconds of driver arithmetic. The collect() is BOUNDED BY
-# THE GATE itself (≤ threshold × 2 longs ≈ 16 MB at the default), so the
-# anti-pattern rule ("no driver-side collects on fact-sized data") holds;
-# graphs past the gate take the unchanged distributed loop. Conf-keyed
-# like every other size-selected operator; <= 0 disables the fast path.
+# versus milliseconds of driver arithmetic. The transfer is Arrow
+# (toPandas → numpy int64 arrays) and the solver is array-indexed, so
+# driver footprint at the gate is ~100 MB (ids/parent/edge-index arrays
+# + the result frame), NOT per-edge Python Row/dict objects (the r13
+# review costed the first dict-based cut at 30-60× that). The collect
+# is BOUNDED BY THE GATE, keeping the anti-pattern rule ("no driver-
+# side collects on fact-sized data"); graphs past the gate take the
+# unchanged distributed loop. Conf-keyed like every other size-selected
+# operator; <= 0 disables the fast path.
 CC_LOCAL_MAX_EDGES = 1_000_000
 CC_LOCAL_CONF_KEY = "spark.fineventstream.ccLocalMaxEdges"
 
 
-def _local_components(edge_rows, id_type: str, spark) -> DataFrame:
-    """Driver union-find over a gate-bounded edge list → (id, component)
-    with component = min id of the set, matching the distributed loop's
-    contract exactly."""
-    parent: dict = {}
+def _local_components(edges_pdf, id_type: str, spark) -> DataFrame:
+    """Driver union-find over a gate-bounded (src, dst) pandas frame →
+    (id, component) with component = min id of the set, matching the
+    distributed loop's contract exactly. Array-based throughout: ids are
+    compressed to indices via a sorted-unique + searchsorted (no per-id
+    dict), parent is one int64 array, and union is by MIN INDEX — ids
+    are sorted ascending, so min index ≡ min id and every root is its
+    set's minimum by construction."""
+    import numpy as np
+    import pandas as pd
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+    a = edges_pdf["src"].to_numpy()
+    b = edges_pdf["dst"].to_numpy()
+    ids = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    parent = np.arange(len(ids), dtype=np.int64)
 
-    for a, b in edge_rows:
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by MIN so every root is already its set's minimum
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    out = [(v, find(v)) for v in parent]
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(ai.tolist(), bi.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    out = pd.DataFrame({"id": ids, "component": ids[roots]})
     return spark.createDataFrame(out, f"id {id_type}, component {id_type}")
 
 
@@ -114,9 +124,9 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         n_edges = edges.limit(local_max + 1).count()
         if n_edges <= local_max:
             id_type = edges.schema["src"].dataType.simpleString()
-            rows = [(r.src, r.dst) for r in edges.collect()]
+            pdf = edges.toPandas()  # Arrow: two int64 columns, gate-bounded
             edges.unpersist()
-            return _local_components(rows, id_type, spark)
+            return _local_components(pdf, id_type, spark)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

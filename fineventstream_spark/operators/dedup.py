@@ -858,11 +858,16 @@ def compact_minhash_store(spark: SparkSession, path: str) -> bool:
     (no-op) when the store already has a single epoch and no orphan
     cleanup is needed. Single-writer, like every store mutation."""
     import os
-    import shutil
 
     meta = _load_store_spec(path)
     old_epochs = list(meta["epochs"])
     if len(old_epochs) <= 1:
+        # still sweep orphans: a crash during a PREVIOUS compaction's
+        # post-commit cleanup strands superseded epoch dirs that no later
+        # compaction would ever target (r13 review — its old_epochs only
+        # names the manifest's epochs); single-writer, so any on-disk
+        # epoch not in the manifest is garbage by definition
+        _sweep_orphan_epochs(path, set(old_epochs))
         return False
     new_epoch = max(old_epochs) + 1
     sigs = _read_store_sigs(spark, path, meta)
@@ -874,10 +879,25 @@ def compact_minhash_store(spark: SparkSession, path: str) -> bool:
     _write_bands(_read_store_bands(spark, path, meta), path, new_epoch, bp_parts)
     meta["epochs"] = [new_epoch]
     _commit_sidecar(path, meta)
-    for e in old_epochs:
-        for sub in ("sigs", "bands"):
-            shutil.rmtree(os.path.join(path, sub, f"e={e}"), ignore_errors=True)
+    _sweep_orphan_epochs(path, {new_epoch})
     return True
+
+
+def _sweep_orphan_epochs(path: str, keep: set[int]) -> None:
+    """Remove every on-disk ``e=N`` not in the committed manifest —
+    superseded epochs after a compaction commit, plus any strays from
+    torn appends/compactions. Safe under the single-writer discipline:
+    readers only load manifest epochs."""
+    import os
+    import shutil
+
+    for sub in ("sigs", "bands"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            if entry.startswith("e=") and entry[2:].isdigit() and int(entry[2:]) not in keep:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
 
 def incremental_dedup_against_store(

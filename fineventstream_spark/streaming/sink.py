@@ -203,7 +203,14 @@ def incremental_dedup_stream(
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         tag = f"{tag_prefix}:{batch_id}"
-        if tag in _load_store_spec(store_path).get("tags", {}):
+        # also honor the PRE-normalization tag spelling: a batch committed
+        # by an older run under the raw checkpoint string must stay a
+        # no-op after an upgrade-spanning restart (r13 review — without
+        # this, the normalization itself could cause the double-append it
+        # exists to prevent, exactly once, across the upgrade)
+        legacy_tag = f"{checkpoint_dir}:{batch_id}"
+        committed = _load_store_spec(store_path).get("tags", {})
+        if tag in committed or legacy_tag in committed:
             return  # replayed, fully-committed batch
         pairs, new_sigs = incremental_dedup_against_store(
             spark,

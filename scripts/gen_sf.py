@@ -322,5 +322,9 @@ if __name__ == "__main__":
         ".localdata", suffix,
     )
     tables = set(a.tables.split(",")) if a.tables else None
+    _KNOWN = {"region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"}
+    if tables and not tables <= _KNOWN:
+        raise SystemExit(f"unknown tables: {sorted(tables - _KNOWN)} (known: {sorted(_KNOWN)})")
     print(f"generating sf={a.sf} skew={a.skew} tables={sorted(tables) if tables else 'all'} -> {out}")
     generate(a.sf, out, a.seed, skew=skew, tables=tables)

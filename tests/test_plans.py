@@ -580,13 +580,13 @@ def test_q20_dominant_supplier_semi_gate_and_shared_shuffle(spark, sf_dir):
     )[1][:200], "year bound must prune partitions"
     assert "EqualTo(p_small,true)" in plan, "family flag not pushed to the scan"
     assert "SelectedBucketsCount" in plan, "fact must read the bucketed layout"
-    # the only exchanges: the single-task presentation sort + broadcasts
-    pre_window = plan.split("Window")[0] if "Window" in plan else plan
-    assert "ShuffleExchange" not in pre_window.replace(
-        "Exchange SinglePartition", ""
-    ).replace("BroadcastExchange", ""), (
-        "agg/window must reuse the bucket distribution"
-    )
+    # ONE shuffle exchange total — the single-partition presentation
+    # sort; the per-(part,supplier) aggregate and the per-part window
+    # both reuse the bucket distribution (r13 review: the first cut
+    # grepped for 'ShuffleExchange', a token the formatted explain never
+    # prints — vacuously green)
+    n = _shuffle_exchanges(plan)
+    assert n == 1, f"agg/window must reuse the bucket distribution ({n}):\n{plan}"
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
