@@ -631,10 +631,16 @@ _STORE_BUCKET_PARTS = 64
 #   give). Re-probing after a rep tombstone re-elects the min surviving
 #   member on the next shard touch, keeping the min-id keeper rule.
 #
-# NOT implemented this round (no query needs it yet): recorded here so
-# the epoch/manifest design is demonstrably delete-compatible — a
-# tombstone is just an epoch whose rows subtract instead of add, and
-# the atomic-commit + compaction machinery above handles both.
+# IMPLEMENTED (r13, upgrading the design note): tombstone_minhash_store
+# appends a tombstone epoch through the same manifest; the committed
+# readers anti-join it; compact_minhash_store performs the physical
+# erasure and resets the tombstone list. CONTRACT: tombstoning a rep
+# declares the CONTENT RETRACTED from the store — probes treat that
+# text as unseen (a shard copy becomes a new rep), which equals the
+# from-scratch recompute on the corpus minus the whole content group
+# (the takedown semantics a retraction means). It does NOT mean
+# "remove one member doc" — member deletes need no store mutation at
+# all (first bullet above).
 
 
 def _rep_signatures(
@@ -709,12 +715,36 @@ def _write_bands(
 # build and probe, so the two sides share one stated semantics.
 
 
+def _read_tombstones(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
+    """Committed tombstoned rep ids, or None when the store has none."""
+    import os
+
+    epochs = meta.get("tombstone_epochs") or []
+    if not epochs:
+        return None
+    root = os.path.join(path, "tombstones")
+    paths = [os.path.join(root, f"e={e}") for e in epochs]
+    return spark.read.option("basePath", root).parquet(*paths).select("rep_id")
+
+
+def _minus_tombstones(df: DataFrame, spark, path: str, meta: dict) -> DataFrame:
+    tomb = _read_tombstones(spark, path, meta)
+    if tomb is None:
+        return df
+    from fineventstream_spark.operators.sizing import maybe_broadcast
+
+    # retraction lists are tiny vs the store; size-guarded broadcast
+    # keeps the anti-join map-side (falls back un-hinted if ever large)
+    return df.join(maybe_broadcast(tomb), "rep_id", "left_anti")
+
+
 def _read_store_sigs(spark: SparkSession, path: str, meta: dict) -> DataFrame:
     import os
 
     root = os.path.join(path, "sigs")
     paths = [os.path.join(root, f"e={e}") for e in meta["epochs"]]
-    return spark.read.option("basePath", root).parquet(*paths).drop("e")
+    df = spark.read.option("basePath", root).parquet(*paths).drop("e")
+    return _minus_tombstones(df, spark, path, meta)
 
 
 def _read_store_bands(spark: SparkSession, path: str, meta: dict) -> DataFrame:
@@ -722,7 +752,8 @@ def _read_store_bands(spark: SparkSession, path: str, meta: dict) -> DataFrame:
 
     root = os.path.join(path, "bands")
     paths = [os.path.join(root, f"e={e}") for e in meta["epochs"]]
-    return spark.read.option("basePath", root).parquet(*paths).drop("e")
+    df = spark.read.option("basePath", root).parquet(*paths).drop("e")
+    return _minus_tombstones(df, spark, path, meta)
 
 
 def build_minhash_store(
@@ -817,13 +848,53 @@ def append_minhash_store(
     if tag is not None and tag in meta.get("tags", {}):
         return False
     new_sigs = persist_tracked(new_sigs)
-    epoch = max(meta["epochs"]) + 1
+    epoch = _next_epoch(meta)
     new_sigs.write.mode("overwrite").parquet(
         os.path.join(path, "sigs", f"e={epoch}")
     )
     bp_parts = meta["bucket_parts"]
     _write_bands(_exploded_bands(new_sigs, bp_parts), path, epoch, bp_parts)
     meta["epochs"] = meta["epochs"] + [epoch]
+    if tag is not None:
+        meta.setdefault("tags", {})[tag] = epoch
+    _commit_sidecar(path, meta)
+    return True
+
+
+def _next_epoch(meta: dict) -> int:
+    """One shared epoch counter across sigs/bands and tombstone epochs —
+    a new epoch number can never alias ANY committed directory."""
+    return max(meta["epochs"] + (meta.get("tombstone_epochs") or [])) + 1
+
+
+def tombstone_minhash_store(
+    rep_ids: DataFrame, path: str, id_col: str = "rep_id", tag: str | None = None
+) -> bool:
+    """Retract content from the store (r12 verdict #8, implemented r13):
+    append a TOMBSTONE EPOCH naming representative ids whose content is
+    withdrawn (takedown, licensing, user deletion). Committed through
+    the same atomic sidecar manifest as every append — a torn tombstone
+    is invisible, a tagged replay is a no-op. From the commit on, the
+    store's readers treat the content as unseen: probes of identical
+    text get no sha hit and no band match, so the next shard touch
+    re-elects a new representative — exactly the from-scratch behavior
+    on a corpus with the content group removed. Physical erasure
+    (GDPR-style) happens at the next :func:`compact_minhash_store`,
+    which rewrites sigs/bands WITHOUT tombstoned reps and clears the
+    tombstone list — the Delta/Iceberg delete contract."""
+    import os
+
+    meta = _load_store_spec(path)
+    if tag is not None and tag in meta.get("tags", {}):
+        return False
+    epoch = _next_epoch(meta)
+    (
+        rep_ids.select(F.col(id_col).cast("long").alias("rep_id"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "tombstones", f"e={epoch}"))
+    )
+    meta["tombstone_epochs"] = (meta.get("tombstone_epochs") or []) + [epoch]
     if tag is not None:
         meta.setdefault("tags", {})[tag] = epoch
     _commit_sidecar(path, meta)
@@ -861,7 +932,7 @@ def compact_minhash_store(spark: SparkSession, path: str) -> bool:
 
     meta = _load_store_spec(path)
     old_epochs = list(meta["epochs"])
-    if len(old_epochs) <= 1:
+    if len(old_epochs) <= 1 and not meta.get("tombstone_epochs"):
         # still sweep orphans: a crash during a PREVIOUS compaction's
         # post-commit cleanup strands superseded epoch dirs that no later
         # compaction would ever target (r13 review — its old_epochs only
@@ -869,7 +940,7 @@ def compact_minhash_store(spark: SparkSession, path: str) -> bool:
         # epoch not in the manifest is garbage by definition
         _sweep_orphan_epochs(path, set(old_epochs))
         return False
-    new_epoch = max(old_epochs) + 1
+    new_epoch = _next_epoch(meta)
     sigs = _read_store_sigs(spark, path, meta)
     n_cores = spark.sparkContext.defaultParallelism
     sigs.repartition(n_cores, "rep_id").write.mode("overwrite").parquet(
@@ -878,6 +949,10 @@ def compact_minhash_store(spark: SparkSession, path: str) -> bool:
     bp_parts = meta["bucket_parts"]
     _write_bands(_read_store_bands(spark, path, meta), path, new_epoch, bp_parts)
     meta["epochs"] = [new_epoch]
+    # physical erasure point: the rewrite above read through the
+    # tombstone anti-join, so withdrawn reps are simply absent from the
+    # new base and the tombstone list resets
+    meta["tombstone_epochs"] = []
     _commit_sidecar(path, meta)
     _sweep_orphan_epochs(path, {new_epoch})
     return True
@@ -891,7 +966,7 @@ def _sweep_orphan_epochs(path: str, keep: set[int]) -> None:
     import os
     import shutil
 
-    for sub in ("sigs", "bands"):
+    for sub in ("sigs", "bands", "tombstones"):
         root = os.path.join(path, sub)
         if not os.path.isdir(root):
             continue

@@ -382,3 +382,67 @@ def test_torn_compaction_is_invisible(spark, tmp_path, monkeypatch):
             spark, store, shard, "text", "doc_id", threshold=0.5
         )
     ) == before
+
+
+def test_tombstone_retracts_content_and_compaction_erases(spark, tmp_path):
+    """r13 (implementing the r12 verdict #8 design): tombstoning a rep
+    retracts its CONTENT from the store — the probe treats the text as
+    unseen, so a shard copy re-elects a new representative, exactly the
+    from-scratch recompute on the corpus minus the content group. The
+    next compaction physically erases the rep from sigs/bands and
+    resets the tombstone list; probe results are unchanged by the
+    erasure. Tagged tombstones replay as no-ops."""
+    docs = _corpus(spark)
+    thr = 180
+    store = str(tmp_path / "store")
+    history = docs.filter(F.col("doc_id") < thr)
+    dedup.build_minhash_store(history, "text", "doc_id", store)
+    shard = docs.filter(F.col("doc_id") >= thr)
+
+    # retract the boilerplate content group (rep 0 covers ids 0..59)
+    assert dedup.tombstone_minhash_store(
+        spark.createDataFrame([(0,)], "rep_id long"), store, tag="takedown-1"
+    )
+    # replayed tag → no-op
+    assert dedup.tombstone_minhash_store(
+        spark.createDataFrame([(0,)], "rep_id long"), store, tag="takedown-1"
+    ) is False
+    meta = dedup._load_store_spec(store)
+    assert meta["tombstone_epochs"], meta
+    assert dedup._read_store_sigs(spark, store, meta).filter(
+        F.col("rep_id") == 0
+    ).count() == 0
+
+    got = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, shard, "text", "doc_id", threshold=0.5
+        )
+    )
+    # from-scratch on (history minus the retracted content group) ∪ shard
+    want = _pairs(
+        _from_scratch_restricted(
+            docs.filter((F.col("doc_id") >= 60) | (F.col("doc_id") >= thr)), thr
+        )
+    )
+    assert got == want
+    # the shard's boilerplate copies now pair with EACH OTHER (180 is the
+    # re-elected rep of the retracted content), never with stored id 0
+    assert (180, 181, 1.0, "exact") in got
+    assert not any(a == 0 or b == 0 for a, b, _, _ in got)
+
+    # physical erasure at compaction
+    assert dedup.compact_minhash_store(spark, store)
+    meta2 = dedup._load_store_spec(store)
+    assert meta2["tombstone_epochs"] == []
+    assert not os.path.isdir(os.path.join(store, "tombstones")) or not os.listdir(
+        os.path.join(store, "tombstones")
+    )
+    assert dedup._read_store_sigs(spark, store, meta2).filter(
+        F.col("rep_id") == 0
+    ).count() == 0
+    after = _pairs(
+        dedup.incremental_dedup_against_store(
+            spark, store, shard, "text", "doc_id", threshold=0.5
+        )
+    )
+    assert after == got
