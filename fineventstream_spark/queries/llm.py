@@ -468,7 +468,29 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_store_path(spark: SparkSession, sf_dir: str, thr: int) -> str:
+def _multiset_diff_count(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One-row frame ``__d`` = number of (id_a, id_b, est_jaccard, kind)
+    rows whose multiset multiplicities differ between ``a`` and ``b`` —
+    0 iff the pair multisets are equal. Spelled as groupBy-count + full
+    join (semantically exceptAll-both-ways == empty) because Spark 4.1's
+    exceptAll rewrite loses an attribute on persisted-union lineage:
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (r12)."""
+    cols = ["id_a", "id_b", "est_jaccard", "kind"]
+    ac = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__ni"))
+    bc = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nf"))
+    return (
+        ac.join(bc, cols, "full")
+        .filter(
+            F.coalesce(F.col("__ni"), F.lit(0))
+            != F.coalesce(F.col("__nf"), F.lit(0))
+        )
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+
+
+def _minhash_store_path(
+    spark: SparkSession, sf_dir: str, thr: int, suffix: str = ""
+) -> str:
     """Fingerprint-keyed cache path for the persisted MinHash store over
     the history split (doc_id < thr) — same derivative discipline as the
     bucketed layouts: source fingerprint in the dirname (a regenerated
@@ -485,18 +507,19 @@ def _minhash_store_path(spark: SparkSession, sf_dir: str, thr: int) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir))
     # v2 = the r12 epoch-committed layout (sigs/e=N, bands/e=N/bp=K);
     # pre-epoch stores under the unversioned spec are never reused
-    spec = f"mh64b16s3_bp{dedup._STORE_BUCKET_PARTS}_thr{thr}_v2"
+    spec = f"mh64b16s3_bp{dedup._STORE_BUCKET_PARTS}_thr{thr}_v2{suffix}"
     return os.path.join(_CACHE_ROOT, sf, f"minhash_store-{spec}-{fp}")
 
 
 def _ensure_minhash_store(
-    spark: SparkSession, sf_dir: str, history: DataFrame, thr: int
+    spark: SparkSession, sf_dir: str, history: DataFrame, thr: int,
+    suffix: str = "",
 ) -> str:
     import glob
     import os
     import shutil
 
-    path = _minhash_store_path(spark, sf_dir, thr)
+    path = _minhash_store_path(spark, sf_dir, thr, suffix)
     if not os.path.exists(os.path.join(path, dedup._STORE_SIDECAR)):
         dedup.build_minhash_store(history, "text", "doc_id", path)
         spec_prefix = os.path.basename(path).rsplit("-", 1)[0]
@@ -590,21 +613,7 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs_cands.unionByName(fs_star)
         .filter((F.col("id_a") >= thr) | (F.col("id_b") >= thr))
     )
-    # multiset equality via per-row count compare (semantically
-    # exceptAll-both-ways == empty; spelled as a groupBy + full join
-    # because Spark 4.1's exceptAll rewrite loses an attribute on this
-    # persisted-union lineage: INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
-    cols = ["id_a", "id_b", "est_jaccard", "kind"]
-    ic = inc.groupBy(*cols).agg(F.count(F.lit(1)).alias("__ni"))
-    fc = fs.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nf"))
-    sym_diff = (
-        ic.join(fc, cols, "full")
-        .filter(
-            F.coalesce(F.col("__ni"), F.lit(0))
-            != F.coalesce(F.col("__nf"), F.lit(0))
-        )
-        .agg(F.count(F.lit(1)).alias("__d"))
-    )
+    sym_diff = _multiset_diff_count(inc, fs)
     n_history = history.agg(F.count(F.lit(1)).alias("n_history"))
     n_shard = shard.agg(F.count(F.lit(1)).alias("n_shard"))
     n_dups = inc.filter(F.col("kind") == "exact").agg(
@@ -619,6 +628,126 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shard",
             "n_shard_exact_dups",
             (F.col("__d") == 0).alias("matches_recompute"),
+        )
+    )
+
+
+_RETRACTION_ORACLE = """
+    WITH thr AS (
+      SELECT CAST(FLOOR(0.9 * (MAX(doc_id) + 1)) AS BIGINT) AS t FROM documents
+    ),
+    top AS (
+      SELECT d.text, MIN(d.doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents d, thr
+      WHERE d.doc_id < thr.t AND d.text IS NOT NULL
+      GROUP BY d.text ORDER BY c DESC, rep ASC LIMIT 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d, thr
+            WHERE d.doc_id < thr.t) AS n_history,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d, thr
+            WHERE d.doc_id >= thr.t) AS n_shard,
+           top.rep AS retracted_rep,
+           top.c AS n_retracted,
+           TRUE AS matches_retracted_recompute
+    FROM top
+    """
+
+
+@register("q_llm_dedup_retraction", oracle=_RETRACTION_ORACLE, tags=("U5",))
+def q_llm_dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content RETRACTION against the persisted fingerprint store (r13,
+    implementing the r12 verdict #8 lifecycle ask end-to-end): the most
+    frequent history text — deterministically chosen (count desc, rep id
+    asc), the boilerplate template on the zipf fixture, a planted dup
+    pair on the uniform one — is withdrawn via
+    ``tombstone_minhash_store`` (takedown/licensing semantics), and
+    today's shard then dedups against the retracted store. The store is
+    a SEPARATE cached derivative from q_llm_dedup_incremental's (spec
+    suffix ``_retr``) so the tombstone never leaks into that query; the
+    tombstone append is TAGGED, so re-runs are idempotent no-ops against
+    the cached store.
+
+    Value-oracled (boolean-gate pattern): the audited form returns the
+    split sizes, the retracted rep id and its history group size (all
+    DuckDB-reproducible), plus ``matches_retracted_recompute`` — a
+    hash-checked boolean TRUE iff the post-retraction incremental pair
+    set EQUALS the from-scratch recompute on the corpus WITHOUT the
+    retracted content group (history copies removed; shard copies kept —
+    they legitimately re-dedup among themselves under a re-elected
+    representative), restricted to shard-touching pairs. Any leak of the
+    tombstoned fingerprint (sha probe or band entry) manifests as an
+    edge to the retracted rep and flips the gate. Non-vacuity is pinned
+    by the synthetic retraction test
+    (tests/test_incremental_dedup.py::test_tombstone_retracts_content_
+    and_compaction_erases). The post-retraction pair list is the
+    production form (SPARK_GRAFT_AUDIT=off)."""
+    import math
+
+    from fineventstream_spark.queries._audit import audits_enabled
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]  # bounded scalar
+    thr = int(math.floor(0.9 * (max_id + 1)))
+    history = docs.filter(F.col("doc_id") < thr)
+    shard = docs.filter(F.col("doc_id") >= thr)
+
+    top = (
+        history.filter(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("rep"))
+        .limit(1)
+        .first()  # bounded scalar: one (text, rep, count) row
+    )
+    retracted_text, retracted_rep, n_retracted = top["text"], top["rep"], top["c"]
+
+    path = _ensure_minhash_store(spark, sf_dir, history, thr, suffix="_retr")
+    dedup.tombstone_minhash_store(
+        spark.createDataFrame([(retracted_rep,)], "rep_id long"),
+        path,
+        tag="retraction-v1",  # idempotent across re-runs of the cached store
+    )
+    inc = dedup.incremental_dedup_against_store(
+        spark, path, shard, "text", "doc_id", threshold=0.5
+    )
+    if not audits_enabled():
+        return inc
+    inc = dedup.persist_tracked(inc.select("id_a", "id_b", "est_jaccard", "kind"))
+
+    # from-scratch twin on the corpus WITHOUT the retracted content
+    # group's HISTORY copies (NULL-text rows kept: non-content, dropped
+    # by the collapse itself)
+    reduced = docs.filter(
+        (F.col("doc_id") >= thr)
+        | F.col("text").isNull()
+        | (F.col("text") != F.lit(retracted_text))
+    )
+    rep_corpus, members = _exact_collapse(reduced)
+    fs_cands = (
+        dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id")
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b", "est_jaccard", F.lit("lsh").alias("kind"))
+    )
+    fs_star = _star_edges(members, "est_jaccard", 1.0).select(
+        "id_a", "id_b", "est_jaccard", F.lit("exact").alias("kind")
+    )
+    fs = (
+        fs_cands.unionByName(fs_star)
+        .filter((F.col("id_a") >= thr) | (F.col("id_b") >= thr))
+    )
+    sym_diff = _multiset_diff_count(inc, fs)
+    n_history = history.agg(F.count(F.lit(1)).alias("n_history"))
+    n_shard = shard.agg(F.count(F.lit(1)).alias("n_shard"))
+    return (
+        n_history.crossJoin(F.broadcast(n_shard))
+        .crossJoin(F.broadcast(sym_diff))
+        .select(
+            "n_history",
+            "n_shard",
+            F.lit(retracted_rep).cast("long").alias("retracted_rep"),
+            F.lit(n_retracted).cast("long").alias("n_retracted"),
+            (F.col("__d") == 0).alias("matches_retracted_recompute"),
         )
     )
 

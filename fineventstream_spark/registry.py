@@ -43,18 +43,20 @@ REGISTRY: dict[str, Query] = {}
 # suite at the identical compare strictness. Names not present in
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round-13 rotation (r12 verdict #5): PLAN-CHANGED first — the four
-    # r12 perf-weak singles whose physical plans change this round
-    # (dominant_supplier exchange reuse, count_min_freq xxhash64
-    # production cells, heavy_hitters size-selected dispatch, dedup
-    # cluster batched label-prop) and the incremental-dedup query whose
-    # store read path gains epoch compaction — then the ENTIRE r8-stale
-    # set (11 names, promised by the r12 rotation comment), then the
+    # Round-13 rotation (r12 verdict #5): NEW + PLAN-CHANGED first — the
+    # new retraction query (r13 tombstone lifecycle, first driver row),
+    # the four r12 perf-weak singles whose physical plans changed this
+    # round (dominant_supplier partitioned+bucketed layout,
+    # count_min_freq xxhash64 production cells, heavy_hitters
+    # size-selected dispatch, dedup-cluster union-find fast path), and
+    # the incremental-dedup query whose store read path gained epoch
+    # compaction + tombstone anti-joins — then the ENTIRE r8-stale set
+    # (11 names, promised by the r12 rotation comment), then the
     # r9-stale set alphabetical (30 names, computed from the
     # CORRECTNESS_r01..r12 union, dedup_cluster fronted out of it).
-    # 44 distinct entries: the ~50 window
-    # covers all of them, so after this round no query's last hard check
-    # predates r10.
+    # 45 distinct entries: the ~50 window covers all of them, so after
+    # this round no query's last hard check predates r10.
+    "q_llm_dedup_retraction",
     "q_llm_dedup_incremental",
     "q_llm_dedup_cluster",
     "q_agg_count_min_freq",

@@ -29,6 +29,7 @@ GATED = {
     "q_llm_dedup_embedding": ("recall_ok",),
     "q_llm_near_dedup_pipeline": ("recall_ok", "near_recall_ok", "no_planted_leak"),
     "q_llm_dedup_incremental": ("matches_recompute",),
+    "q_llm_dedup_retraction": ("matches_retracted_recompute",),
 }
 
 

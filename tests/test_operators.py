@@ -2547,3 +2547,25 @@ def test_ivf_append_recall_prune_and_drift(spark, sf_dir, tmp_path):
     assert needs_recluster(appended), (
         f"drift signal did not flip; counts={meta['list_counts']}"
     )
+
+
+def test_retraction_audit_toggle(spark, sf_dir, monkeypatch):
+    """q_llm_dedup_retraction: audited form = oracled summary with the
+    hash-checked equivalence gate TRUE; AUDIT=off = the post-retraction
+    pair list, and no edge ever names the retracted rep."""
+    from fineventstream_spark.registry import all_queries
+
+    fn = all_queries()["q_llm_dedup_retraction"].fn
+
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT", raising=False)
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].matches_retracted_recompute is True
+    retracted_rep = rows[0].retracted_rep
+
+    monkeypatch.setenv("SPARK_GRAFT_AUDIT", "off")
+    prod = fn(spark, sf_dir)
+    assert set(prod.columns) == {"id_a", "id_b", "est_jaccard", "kind"}
+    assert prod.filter(
+        (F.col("id_a") == retracted_rep) | (F.col("id_b") == retracted_rep)
+    ).count() == 0, "an edge leaked to the retracted representative"
