@@ -47,45 +47,58 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (applicationId, sf_dir, table) → (data_fingerprint, DataFrame).
-# Building the reader re-reads the parquet footer and re-runs the
-# normalization analysis on EVERY query invocation (~25 ms/table, 3-4
-# tables/query — a pure planning tax a long-lived service never
-# re-pays, and ~0.1 s of every single-query bench rep). DataFrames are
-# immutable logical plans, so reuse is safe; keyed by applicationId so
-# a new session never serves a stale plan, and VALIDATED against the
-# table's data fingerprint (file names/sizes/mtimes — a ~1 ms stat
-# walk) so a source regenerated mid-process is picked up — a cached
-# DataFrame holds its file-index snapshot, and serving it across a
-# regeneration would read deleted files (caught by
+# (applicationId, sf_dir, table) → (data_fingerprint, raw parquet schema).
+# Building the reader with schema INFERENCE re-reads parquet footers on
+# EVERY query invocation (~11 ms/table at sf10, 3-4 tables/query — a
+# pure planning tax a long-lived service never re-pays, and ~0.1 s of
+# every single-query bench rep); an explicit schema cuts that ~6×. The
+# memo stores the inferred RAW schema, not the DataFrame: handing back
+# the identical DataFrame object (same expression IDs) made self-joins
+# built from two load_table calls hit AMBIGUOUS_SELF_JOIN (r13 advisor
+# — and alias() wrappers do NOT fix df[col] disambiguation in Spark 4,
+# verified), so every call rebuilds a FRESH plan from the memoized
+# schema. Keyed by applicationId so a new session never serves a stale
+# schema, and VALIDATED against the table's data fingerprint (file
+# names/sizes/mtimes — a ~1 ms stat walk) so a source regenerated
+# mid-process is re-inferred (caught by
 # test_prejoin_layout_regenerates_on_dim_change when the memo was
 # unconditional).
-_LOADED: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
+_LOADED: dict[tuple[str, str, str], tuple[str, "object"]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing event-time to TimestampType UTC."""
+    """Load one fixture table, normalizing event-time to TimestampType UTC.
+
+    Every call returns a fresh logical plan (fresh attribute IDs) — two
+    load_table calls for the same table compose into a self-join without
+    AMBIGUOUS_SELF_JOIN errors."""
     app = spark.sparkContext.applicationId
     # evict dead-session entries: a process that cycles sessions
     # (stop + getOrCreate) gets a fresh applicationId each time, and
     # entries keyed by old ids are unservable by construction — without
-    # eviction they pin DataFrames + file indexes for the process
-    # lifetime (r13 review)
+    # eviction they pin schemas for the process lifetime (r13 review)
     if any(k[0] != app for k in _LOADED):
         for k in [k for k in _LOADED if k[0] != app]:
             del _LOADED[k]
     memo_key = (app, os.path.abspath(sf_dir), name)
     fp = data_fingerprint(sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
     cached = _LOADED.get(memo_key)
     if cached is not None and cached[0] == fp:
-        return cached[1]
-    df = _load_table_uncached(spark, sf_dir, name)
-    _LOADED[memo_key] = (fp, df)
-    return df
+        raw = spark.read.schema(cached[1]).parquet(path)
+    else:
+        raw = spark.read.parquet(path)
+        _LOADED[memo_key] = (fp, raw.schema)
+    return _normalize_table(raw, name)
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_table(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name
+    )
+
+
+def _normalize_table(df: DataFrame, name: str) -> DataFrame:
     dtypes = dict(df.dtypes)
     if name == "events" and dtypes.get("ts") == "bigint":
         # exact integer division: ns → µs without double-precision loss

@@ -106,7 +106,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     via driver union-find (see the gate note above); larger graphs run
     the distributed pointer-doubling loop below. Both routes return the
     identical (id, min-reachable-id) mapping — pinned by the route-
-    equivalence test."""
+    equivalence test. The union-find route is unconditionally exact; the
+    distributed loop is exact only when it CONVERGES within
+    ``max_iterations`` doubling rounds (diameter ≲ 2^max_iterations) —
+    past that horizon it RAISES rather than return non-minimal labels,
+    so a result from either route always honors the contract (r13
+    advisor: a warning let a sub-gate long-chain graph silently differ
+    between routes when the gate is lowered/disabled)."""
     spark = pairs.sparkSession
     # pin parallelism to cores: the iterative joins would otherwise run at
     # the session's shuffle.partitions (200 default) per iteration, paying
@@ -183,17 +189,16 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
             break
     edges.unpersist()
     if not converged:
-        # With doubling, non-convergence means diameter beyond ~2^max_iterations
-        # — some components may have split (multiple keepers for one true
-        # cluster). Surface it instead of returning quietly.
-        import warnings
-
-        warnings.warn(
+        # With doubling, non-convergence means diameter beyond
+        # ~2^max_iterations — some components would be split (multiple
+        # keepers for one true cluster), breaking the documented
+        # route-equivalence contract. Fail hard rather than return
+        # non-minimal labels.
+        raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
-            "iterations; some components may be split. Raise max_iterations "
-            "for extremely long duplicate chains.",
-            RuntimeWarning,
-            stacklevel=2,
+            "iterations (graph diameter exceeds the doubling horizon); "
+            "labels would be non-minimal. Raise max_iterations for "
+            "extremely long duplicate chains."
         )
     return labels
 

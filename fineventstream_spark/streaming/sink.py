@@ -20,6 +20,25 @@ from fineventstream_spark.streaming.pipelines import with_arrival_partitions
 PARTITION_COLS = ("year", "month", "day", "hour")
 
 
+def _normalize_checkpoint_tag(checkpoint_dir: str) -> str:
+    """CWD-independent spelling of a checkpoint location for idempotence
+    tags.
+
+    Plain local paths get ``os.path.abspath`` (so ``ckpt`` and
+    ``./ckpt/`` from the same directory share a tag namespace); anything
+    carrying a URI scheme (``file:/x``, ``hdfs://host/x``, ``s3a://b/k``)
+    is already absolute by construction and is passed through untouched —
+    abspath would prepend the process CWD and strip double slashes,
+    minting a different namespace per working directory (r13 advisor).
+    """
+    import os
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", checkpoint_dir):
+        return checkpoint_dir.rstrip("/")
+    return os.path.abspath(checkpoint_dir).rstrip("/")
+
+
 def write_partitioned_batch(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Batch append under arrival-time hive partitions."""
     (
@@ -197,8 +216,13 @@ def incremental_dedup_stream(
     # must match it string-for-string across restarts — a restart that
     # spells the same checkpoint differently (relative vs absolute,
     # trailing slash) would otherwise mint a fresh tag namespace and
-    # double-append every replayed epoch (r12 advisor).
-    tag_prefix = os.path.abspath(checkpoint_dir).rstrip("/")
+    # double-append every replayed epoch (r12 advisor). abspath() only
+    # applies to PLAIN LOCAL paths: a URI-form location ("file:/x",
+    # "hdfs://host/x") is already CWD-independent, and abspath would
+    # mangle it into "<cwd>/hdfs:/host/x" — a restart from a different
+    # working directory would then mint a new namespace, the exact bug
+    # normalization exists to prevent (r13 advisor).
+    tag_prefix = _normalize_checkpoint_tag(checkpoint_dir)
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -94,3 +94,19 @@ def test_tz_aware_flavor_passes_through(spark, tmp_lake):
         pa.timestamp("us", tz="UTC"),
     )
     _assert_normalized(spark, _write_events(tmp_lake, ts))
+
+
+def test_memoized_load_table_supports_df_col_self_join(spark):
+    """r13 advisor: the _LOADED memo must NOT hand back the identical
+    DataFrame object (same expression IDs) on repeated calls — a caller
+    building a self-join from two load_table calls and disambiguating
+    via df[col] would hit AMBIGUOUS_SELF_JOIN. load_table wraps every
+    return in a fresh alias, restoring per-call attribute resolution."""
+    sf_dir = "/root/testdata/sf0.001"
+    a = load_table(spark, sf_dir, "nation")
+    b = load_table(spark, sf_dir, "nation")  # memo hit
+    joined = a.join(b, a["n_regionkey"] == b["n_regionkey"]).select(
+        a["n_nationkey"], b["n_name"]
+    )
+    # 25 nations over 5 regions, 5 each -> 125 pairs
+    assert joined.count() == 125

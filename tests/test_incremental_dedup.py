@@ -446,3 +446,24 @@ def test_tombstone_retracts_content_and_compaction_erases(spark, tmp_path):
         )
     )
     assert after == got
+
+
+def test_checkpoint_tag_normalization_is_scheme_aware():
+    """r13 advisor: abspath() on a URI-form checkpoint location mangles
+    it into '<cwd>/hdfs:/h/x' — a restart from a different CWD would
+    mint a new tag namespace and double-append replayed batches. URI
+    schemes pass through untouched; plain local paths still get the
+    relative/trailing-slash normalization."""
+    import os
+
+    from fineventstream_spark.streaming.sink import _normalize_checkpoint_tag
+
+    # URI forms are CWD-independent already — untouched (minus trailing /)
+    assert _normalize_checkpoint_tag("hdfs://nn:8020/ckpt/") == "hdfs://nn:8020/ckpt"
+    assert _normalize_checkpoint_tag("file:/tmp/ckpt") == "file:/tmp/ckpt"
+    assert _normalize_checkpoint_tag("s3a://bucket/key") == "s3a://bucket/key"
+    # plain paths: relative and dot spellings collapse to one absolute tag
+    cwd = os.getcwd()
+    assert _normalize_checkpoint_tag("ckpt") == os.path.join(cwd, "ckpt")
+    assert _normalize_checkpoint_tag("./ckpt/") == os.path.join(cwd, "ckpt")
+    assert _normalize_checkpoint_tag("/tmp/ckpt/") == "/tmp/ckpt"

@@ -611,11 +611,14 @@ def test_exact_percentiles_high_cardinality_groups_stay_distributed(spark):
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
 
 
-def test_connected_components_warns_on_nonconvergence(spark, monkeypatch):
-    """A chain far beyond the doubling horizon must surface a warning.
-    (Forces the DISTRIBUTED route: the r13 driver union-find fast path
-    always converges, so the warning only exists past the size gate.)"""
-    import warnings
+def test_connected_components_raises_on_nonconvergence(spark, monkeypatch):
+    """A chain far beyond the doubling horizon must RAISE, not return
+    non-minimal labels — otherwise a sub-gate long-chain graph could
+    silently differ between the driver union-find and distributed routes
+    (r13 advisor). (Forces the DISTRIBUTED route: the union-find fast
+    path is unconditionally exact, so the horizon only exists past the
+    size gate.)"""
+    import pytest
 
     from fineventstream_spark.operators.cluster import CC_LOCAL_CONF_KEY, connected_components
 
@@ -624,10 +627,8 @@ def test_connected_components_warns_on_nonconvergence(spark, monkeypatch):
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(60)], "id_a long, id_b long"
         )
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
+        with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(chain, max_iterations=2).collect()
-        assert any("did not converge" in str(x.message) for x in w)
     finally:
         spark.conf.unset(CC_LOCAL_CONF_KEY)
 
