@@ -118,21 +118,30 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     # the session's shuffle.partitions (200 default) per iteration, paying
     # scheduler overhead on a tiny edge set
     n = spark.sparkContext.defaultParallelism
+    raw = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    local_max = int(spark.conf.get(CC_LOCAL_CONF_KEY, str(CC_LOCAL_MAX_EDGES)))
+    if local_max > 0:
+        # ONE limit-bounded job: pull up to gate+1 RAW pairs straight to
+        # the driver — union-find needs neither direction-doubling nor
+        # dedup (union() is symmetric and idempotent), so the gate probe
+        # IS the transfer. The r13 form ran the doubled-distinct-
+        # repartition subtree (two exchanges + persist) plus a separate
+        # count job before toPandas — ~0.5 s of pure preamble on a 51k-
+        # edge zipf graph. Gate bound unchanged in spirit: ≤ local_max
+        # pairs ≈ 16 MB of int64s on the driver.
+        pdf = raw.limit(local_max + 1).toPandas()
+        if len(pdf) <= local_max:
+            id_type = raw.schema["src"].dataType.simpleString()
+            return _local_components(pdf, id_type, spark)
+        del pdf
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        raw.unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
         .distinct()
         .repartition(n, "dst")
         .persist()
     )
-    local_max = int(spark.conf.get(CC_LOCAL_CONF_KEY, str(CC_LOCAL_MAX_EDGES)))
-    if local_max > 0:
-        n_edges = edges.limit(local_max + 1).count()
-        if n_edges <= local_max:
-            id_type = edges.schema["src"].dataType.simpleString()
-            pdf = edges.toPandas()  # Arrow: two int64 columns, gate-bounded
-            edges.unpersist()
-            return _local_components(pdf, id_type, spark)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
