@@ -78,16 +78,48 @@ def _load_sidecar(path: str) -> dict:
     return meta
 
 
+def _next_epoch(meta: dict) -> int:
+    """One shared epoch counter across vector and tombstone epochs — a
+    new epoch number can never alias ANY committed directory (mirrors
+    the minhash store, operators/dedup.py)."""
+    return max(meta["epochs"] + (meta.get("tombstone_epochs") or [])) + 1
+
+
+def _read_tombstones(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
+    """Committed tombstoned vector ids, or None when the index has none."""
+    epochs = meta.get("tombstone_epochs") or []
+    if not epochs:
+        return None
+    root = os.path.join(path, "tombstones")
+    paths = [os.path.join(root, f"e={e}") for e in epochs]
+    return spark.read.option("basePath", root).parquet(*paths).select(meta["id_col"])
+
+
+def _minus_tombstones(df: DataFrame, spark, path: str, meta: dict) -> DataFrame:
+    tomb = _read_tombstones(spark, path, meta)
+    if tomb is None:
+        return df
+    from fineventstream_spark.operators.sizing import maybe_broadcast
+
+    # retraction lists are tiny vs the index; size-guarded broadcast
+    # keeps the anti-join map-side (falls back un-hinted if ever large)
+    return df.join(maybe_broadcast(tomb), meta["id_col"], "left_anti")
+
+
 def _read_vectors(spark: SparkSession, path: str, meta: dict) -> DataFrame:
-    """Committed epochs only; ``e`` dropped so callers see the stable
-    (id, vec, ivf_bucket) schema. Legacy pre-r13 indexes (no ``epochs``
-    manifest) read the flat layout as before."""
+    """Committed epochs only, minus committed tombstones; ``e`` dropped
+    so callers see the stable (id, vec, ivf_bucket) schema. Legacy
+    pre-r13 indexes (no ``epochs`` manifest) read the flat layout as
+    before. The tombstone anti-join sits ABOVE the epoch scan, so a
+    bucket partition filter applied by the caller still pushes down to
+    ``PartitionFilters`` (plan-asserted)."""
     root = os.path.join(path, "vectors")
     epochs = meta.get("epochs")
     if epochs is None:
         return spark.read.parquet(root)
     paths = [os.path.join(root, f"e={e}") for e in epochs]
-    return spark.read.option("basePath", root).parquet(*paths).drop("e")
+    df = spark.read.option("basePath", root).parquet(*paths).drop("e")
+    return _minus_tombstones(df, spark, path, meta)
 
 
 def _skew(counts: dict[str, int]) -> float:
@@ -124,6 +156,10 @@ def build_ivf_index(
             "built_counts": counts,
             "epochs": [0],
             "tags": {},
+            # recorded so tombstone/compaction readers know the stored id
+            # column without the caller re-stating it (r14 lifecycle)
+            "id_col": id_col,
+            "tombstone_epochs": [],
         },
     )
     return centroids
@@ -152,7 +188,8 @@ def append_ivf_index(
         raise ValueError(
             f"legacy non-epoch IVF layout at {path}: rebuild via build_ivf_index"
         )
-    epoch = max(epochs) + 1
+    meta.setdefault("id_col", id_col)  # backfill pre-r14 sidecars
+    epoch = _next_epoch(meta)
     # persisted: the assignment kernel feeds both the counts job and the
     # write — unpersisted it would run twice (r12 review), doubling the
     # dominant cost of the operation this function exists to make cheap
@@ -173,6 +210,129 @@ def append_ivf_index(
         meta.setdefault("tags", {})[tag] = epoch
     _write_sidecar(path, meta)
     return meta
+
+
+def tombstone_ivf_index(
+    ids: DataFrame, path: str, id_col: str | None = None, tag: str | None = None
+) -> bool:
+    """Retract vectors from the index (r13 verdict ask #2 — the text
+    store's delete contract extended to the ANN ring): append a
+    TOMBSTONE EPOCH naming vector ids whose embeddings are withdrawn
+    (document takedown, user deletion — a retracted document's embedding
+    must not keep surfacing as a neighbor). Committed through the same
+    atomic sidecar manifest as every append: a torn tombstone is
+    invisible, a tagged replay is a no-op. From the commit on,
+    :func:`query_ivf_index` anti-joins the ids out of every probe;
+    physical erasure happens at the next :func:`compact_ivf_index`,
+    which rewrites the lists WITHOUT tombstoned vectors and clears the
+    list — the Delta/Iceberg delete contract, mirroring
+    ``tombstone_minhash_store`` (operators/dedup.py). ``list_counts``
+    keep counting PHYSICAL rows until compaction (tombstoned vectors
+    still occupy their lists on disk, so probe cost — what the drift
+    signal guards — is unchanged until the rewrite). Returns True when
+    the epoch committed; single-writer per index."""
+    meta = _load_sidecar(path)
+    if tag is not None and tag in meta.get("tags", {}):
+        return False
+    if meta.get("epochs") is None:
+        raise ValueError(
+            f"legacy non-epoch IVF layout at {path}: rebuild via build_ivf_index"
+        )
+    store_id = meta.get("id_col") or id_col
+    if store_id is None:
+        raise ValueError(
+            "sidecar records no id_col (pre-r14 index): pass id_col= explicitly"
+        )
+    meta["id_col"] = store_id
+    src_col = id_col or store_id
+    epoch = _next_epoch(meta)
+    (
+        ids.select(F.col(src_col).alias(store_id))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "tombstones", f"e={epoch}"))
+    )
+    meta["tombstone_epochs"] = (meta.get("tombstone_epochs") or []) + [epoch]
+    if tag is not None:
+        meta.setdefault("tags", {})[tag] = epoch
+    _write_sidecar(path, meta)
+    return True
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> bool:
+    """Fold every committed vector epoch into ONE new base epoch (r13
+    verdict ask #2). A daily-append index is at 365 ``vectors/e=N``
+    directories within a year, each multiplying per-list files until
+    listing + tiny-file reads dominate every probe — the same
+    small-files decay ``compact_minhash_store`` fixed for the text
+    store. The fold:
+
+    - reads the union of committed epochs THROUGH the tombstone
+      anti-join and rewrites it as epoch ``_next_epoch`` (never a reused
+      number, so a torn compaction's partial directory can never alias
+      a committed epoch), partitioned by ``ivf_bucket`` as always;
+    - recomputes ``list_counts`` from the rewritten base (erased
+      vectors leave their lists — the physical erasure point);
+    - commits ``epochs=[new]``, ``tombstone_epochs=[]`` in the same
+      atomic sidecar ``os.replace`` every mutation uses — readers
+      switch in one step, a crash before the commit leaves the old
+      manifest fully valid (torn compaction invisible), and ``tags``
+      are preserved so replayed committed appends stay no-ops;
+    - sweeps superseded directories only AFTER the commit (best-effort;
+      strays are ignorable orphans readers never load).
+
+    No centroid is recomputed — assignment is centroid-determined, so
+    probe results are identical pre/post minus tombstoned ids (pinned
+    by test). ``built_counts`` (the recluster-drift baseline) survive
+    unchanged: compaction is storage maintenance, not reclustering.
+    Returns False (no-op, after an orphan sweep) when the index already
+    has a single epoch and no tombstones. Single-writer per index."""
+    meta = _load_sidecar(path)
+    if meta.get("epochs") is None:
+        raise ValueError(
+            f"legacy non-epoch IVF layout at {path}: rebuild via build_ivf_index"
+        )
+    old_epochs = list(meta["epochs"])
+    if len(old_epochs) <= 1 and not meta.get("tombstone_epochs"):
+        # still sweep orphans: a crash during a PREVIOUS compaction's
+        # post-commit cleanup strands superseded dirs no later compaction
+        # would target; single-writer, so any on-disk epoch not in the
+        # manifest is garbage by definition
+        _sweep_orphan_epochs(path, set(old_epochs))
+        return False
+    new_epoch = _next_epoch(meta)
+    vectors = _read_vectors(spark, path, meta)  # committed ∖ tombstoned
+    vectors.write.mode("overwrite").partitionBy("ivf_bucket").parquet(
+        os.path.join(path, "vectors", f"e={new_epoch}")
+    )
+    meta["list_counts"] = _list_counts(
+        spark.read.parquet(os.path.join(path, "vectors", f"e={new_epoch}"))
+    )
+    meta["epochs"] = [new_epoch]
+    meta["tombstone_epochs"] = []
+    _write_sidecar(path, meta)
+    _sweep_orphan_epochs(path, {new_epoch})
+    return True
+
+
+def _sweep_orphan_epochs(path: str, keep: set[int]) -> None:
+    """Remove every on-disk ``e=N`` not in the committed manifest —
+    superseded epochs after a compaction commit, plus strays from torn
+    appends/compactions. Safe under the single-writer discipline:
+    readers only load manifest epochs."""
+    import shutil
+
+    for sub in ("vectors", "tombstones"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            if (
+                entry.startswith("e=")
+                and entry[2:].isdigit()
+                and int(entry[2:]) not in keep
+            ):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
 
 def needs_recluster(path: str, drift_ratio: float = 1.5) -> bool:

@@ -115,38 +115,83 @@ def exact_percentiles(
     aliases: list[str] | None = None,
     decimals: int = 4,
     n_buckets: int = 32,
+    extra_aggs: dict[str, F.Column] | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-group exact percentiles (linear interpolation, nulls ignored —
     DuckDB ``quantile_cont`` semantics), one output row per group with one
-    column per requested percentile."""
-    aliases = aliases or [f"p{int(p * 100)}" for p in ps]
-    spark = df.sparkSession
-    src = df.select(group_col, value_col).filter(F.col(value_col).isNotNull())
+    column per requested percentile.
 
-    # pass 1: per-group extent + count. The cardinality probe collects at
-    # most LITERAL_MAX_GROUPS+1 rows (CollectLimit — the driver never sees
-    # more): if that is every group, the literal path already has all it
-    # needs; otherwise the joined path runs with ZERO per-group driver
-    # state (r5 verdict: collecting the full dict here was an OOM waiting
-    # at 10^5+ group keys).
-    stats_agg = src.groupBy(group_col).agg(
+    ``extra_aggs`` (r14): additional per-group aggregates (alias →
+    aggregate Column, e.g. moment statistics) computed inside the SAME
+    pass-1 extent scan and attached to the output — a caller that needs
+    stddev/corr alongside exact percentiles previously paid a whole
+    second scan of the fact plus a join (q_agg_stats sat exactly at the
+    2.0× solo line on that second pass). Columns the extras reference
+    beyond (group, value) must be named in ``extra_cols``. Extras are
+    computed over ALL rows of the group (aggregates apply their own null
+    handling), matching what a separate ``groupBy().agg()`` would return;
+    only the percentile machinery filters to non-null values.
+    """
+    aliases = aliases or [f"p{int(p * 100)}" for p in ps]
+    extra_aggs = extra_aggs or {}
+    spark = df.sparkSession
+    src_all = df.select(group_col, value_col, *extra_cols)
+    src = src_all.select(group_col, value_col).filter(F.col(value_col).isNotNull())
+
+    # pass 1: per-group extent + count (+ fused extras). The cardinality
+    # probe collects at most LITERAL_MAX_GROUPS+1 rows (CollectLimit — the
+    # driver never sees more): if that is every group, the literal path
+    # already has all it needs; otherwise the joined path runs with ZERO
+    # per-group driver state (r5 verdict: collecting the full dict here
+    # was an OOM waiting at 10^5+ group keys). count(value_col) counts
+    # non-null values — identical to the old filtered count("*") — and
+    # the __n > 0 filter keeps all-null groups out of the output, exactly
+    # as the pre-fusion null-filtered source did.
+    stats_agg = src_all.groupBy(group_col).agg(
         F.min(value_col).alias("__mn"),
         F.max(value_col).alias("__mx"),
-        F.count("*").alias("__n"),
-    )
+        F.count(value_col).alias("__n"),
+        *[v.alias(k) for k, v in extra_aggs.items()],
+    ).filter(F.col("__n") > 0)
     sample = stats_agg.limit(LITERAL_MAX_GROUPS + 1).collect()
     if not sample:
-        return src.groupBy(group_col).agg(
-            *[F.lit(None).cast("double").alias(a) for a in aliases]
-        )
+        return src_all.groupBy(group_col).agg(
+            *[F.lit(None).cast("double").alias(a) for a in aliases],
+            *[v.alias(k) for k, v in extra_aggs.items()],
+        ).filter(F.lit(False))
     if len(sample) <= LITERAL_MAX_GROUPS:
-        stats = {r[0]: (r[1], r[2], r[3]) for r in sample}
-        return _refine_literal(
+        stats = {r[group_col]: (r["__mn"], r["__mx"], r["__n"]) for r in sample}
+        out = _refine_literal(
             spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats
         )
-    return _refine_joined(
-        spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats_agg
+        if extra_aggs:
+            from pyspark.sql.types import StructType
+
+            schema = StructType(
+                [stats_agg.schema[group_col]]
+                + [stats_agg.schema[k] for k in extra_aggs]
+            )
+            extras_df = spark.createDataFrame(
+                [tuple([r[group_col]] + [r[k] for k in extra_aggs]) for r in sample],
+                schema,
+            )
+            out = out.join(F.broadcast(extras_df), group_col)
+        return out
+    out = _refine_joined(
+        spark, src, group_col, value_col, ps, aliases, decimals, n_buckets,
+        stats_agg.select(group_col, "__mn", "__mx", "__n"),
     )
+    if extra_aggs:
+        # k-bounded side table; left un-hinted so AQE broadcasts it only
+        # when it actually fits (same policy as the refinement joins).
+        # NOTE: on this high-cardinality path the extras join re-runs the
+        # pass-1 aggregate (no cross-subtree CSE in Catalyst) — same scan
+        # count as the unfused form, so fusion is a no-op here rather
+        # than a win; the literal path (the operator's target case) is
+        # where the second scan disappears.
+        out = out.join(stats_agg.select(group_col, *extra_aggs), group_col)
+    return out
 
 
 def _refine_literal(
