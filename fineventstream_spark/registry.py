@@ -43,66 +43,64 @@ REGISTRY: dict[str, Query] = {}
 # suite at the identical compare strictness. Names not present in
 # REGISTRY are skipped.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round-13 rotation (r12 verdict #5): NEW + PLAN-CHANGED first — the
-    # new retraction query (r13 tombstone lifecycle, first driver row),
-    # the four r12 perf-weak singles whose physical plans changed this
-    # round (dominant_supplier partitioned+bucketed layout,
-    # count_min_freq xxhash64 production cells, heavy_hitters
-    # size-selected dispatch, dedup-cluster union-find fast path), and
-    # the incremental-dedup query whose store read path gained epoch
-    # compaction + tombstone anti-joins — then the ENTIRE r8-stale set
-    # (11 names, promised by the r12 rotation comment), then the
-    # r9-stale set alphabetical (30 names, computed from the
-    # CORRECTNESS_r01..r12 union, dedup_cluster fronted out of it).
-    # 45 distinct entries: the ~50 window covers all of them, so after
-    # this round no query's last hard check predates r10.
-    "q_llm_dedup_retraction",
-    "q_llm_dedup_incremental",
+    # Round-14 rotation (r13 verdict #5): PLAN-CHANGED first — the three
+    # queries whose physical plan or oracle changed this round
+    # (dedup_cluster: honest recursive-CTE CC oracle + single-job
+    # union-find transfer; agg_stats: moments fused into the percentile
+    # pass-1 scan; knn_ivf: read path gained tombstone anti-joins) —
+    # then the ENTIRE r10-stale cohort (46 names, computed from the
+    # CORRECTNESS_r01..r13 union of green hard checks), alphabetical.
+    # 49 distinct entries: the ~50 window covers all of them, so after
+    # this round no query's last hard check predates r11.
     "q_llm_dedup_cluster",
-    "q_agg_count_min_freq",
-    "q_event_heavy_hitters",
-    # r8-stale (last driver hard row: r08)
-    "q_llm_unigram_logprob",
-    "q_report_dominant_supplier",
-    "q_report_important_stock",
-    "q_report_supplier_part_count",
-    "q_rollup_incremental",
-    "q_scan_nested",
-    "q_scan_orc",
-    "q_scan_partition_prune",
-    "q_scd2_user_segment",
-    "q_snapshot_diff",
-    "q_source_datasource_quotes",
-    # r9-stale, alphabetical
     "q_agg_stats",
-    "q_array_explode",
-    "q_array_hof",
-    "q_base64_roundtrip",
-    "q_case_when",
-    "q_date_arith",
-    "q_date_extract",
-    "q_date_trunc_format",
-    "q_event_vwap",
-    "q_hash_stable",
-    "q_join_cross",
-    "q_json_extract",
-    "q_llm_dedup_exact",
-    "q_llm_knn_cosine",
-    "q_llm_lang_id",
-    "q_llm_quality_score",
-    "q_llm_substring_dedup",
-    "q_llm_train_split",
-    "q_map_ops",
-    "q_math_basic",
-    "q_report_forecast_revenue",
-    "q_report_returned_items",
-    "q_string_basic",
-    "q_string_regexp",
-    "q_try_cast",
-    "q_udaf_grouped",
-    "q_udf_scalar",
-    "q_win_pct_rank",
-    "q_win_share_of_total",
+    "q_llm_knn_ivf",
+    "q_coalesce_default",
+    "q_cte",
+    "q_dedup_highwater",
+    "q_derive_epoch_ts",
+    "q_distinct",
+    "q_event_funnel",
+    "q_event_histogram",
+    "q_event_outliers",
+    "q_event_retention",
+    "q_event_rolling_active",
+    "q_event_sessionize",
+    "q_filter_boolean",
+    "q_filter_compare",
+    "q_filter_malformed",
+    "q_filter_notnull",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_join_asof_tolerance",
+    "q_join_enrich_priority",
+    "q_limit_topk",
+    "q_llm_decontaminate",
+    "q_news_lookback",
+    "q_null_safe_eq",
+    "q_project_rename",
+    "q_repartition_sorted",
+    "q_report_waiting_suppliers",
+    "q_scan_parquet",
+    "q_session_window",
+    "q_sink_partitioned_write",
+    "q_sort_desc_nulls",
+    "q_sort_multikey",
+    "q_source_decode_json",
+    "q_sql_api",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_udtf_chunk",
+    "q_union_all",
+    "q_unpivot",
+    "q_upsert_latest",
+    "q_win_frame_rows",
+    "q_win_lag_lead",
 )
 # Explicit raise, not `assert` (r8 advisor): asserts are stripped under
 # `python -O`, which would silently re-allow the dead-rotation-slot bug.
