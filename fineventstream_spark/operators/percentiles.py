@@ -42,6 +42,15 @@ bucket is still too big to sort in its tasks, raise ``n_buckets`` (the
 histogram pass cost is flat) or recurse — or use ``percentile_approx``
 (mergeable sketch, see q_agg_approx_percentile). This is the fast *exact*
 option.
+
+``n_buckets`` defaults to 256 (r14, was 32): the refinement pass is
+window-sort-bound — WindowExec streams rows un-codegen'd at ~1 M
+rows/s/task, so the fraction of rows surviving the bracketing filter
+(~|ps| × 2 / n_buckets of the fact) dominates. At sf10 the 32→256 bump
+cut the fused q_agg_stats 4.3 s → 2.2 s with bit-identical results;
+the histogram stays a k × n_buckets hash-agg whose cost is flat in
+n_buckets. Driver collects remain ≤ LITERAL_MAX_GROUPS × n_buckets
+rows (16 k) on the literal path.
 """
 
 from __future__ import annotations
@@ -114,7 +123,7 @@ def exact_percentiles(
     ps: list[float],
     aliases: list[str] | None = None,
     decimals: int = 4,
-    n_buckets: int = 32,
+    n_buckets: int = 256,
     extra_aggs: dict[str, F.Column] | None = None,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
@@ -194,20 +203,30 @@ def exact_percentiles(
     return out
 
 
+def _scalar_chain(g, d: dict, pick) -> F.Column:
+    """CASE WHEN g = k THEN <scalar literal> chain over a per-group dict.
+    Replaces the pre-r14 ``element_at(create_map(...), g)`` form: a
+    literal map nested under a non-foldable lookup is CONSTRUCTED PER
+    ROW in codegen (the r14 profile measured the map/array allocations
+    at ~1.6 s of a 2.9-s refinement pass at sf10) — a when-chain of
+    scalar literals stays allocation-free."""
+    e = F.lit(None)
+    for k, v in d.items():
+        e = F.when(g == F.lit(k), F.lit(pick(v))).otherwise(e)
+    return e
+
+
 def _refine_literal(
     spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats
 ):
-    """Few-groups path: per-group lookups inlined as literal map/CASE
-    expressions — no broadcast exchange anywhere, pure codegen."""
+    """Few-groups path: per-group lookups inlined as literal CASE
+    chains — no broadcast exchange anywhere, pure allocation-free
+    codegen."""
     g = F.col(group_col)
-    mn_map = F.create_map(
-        *chain.from_iterable((F.lit(k), F.lit(v[0])) for k, v in stats.items())
-    )
-    mx_map = F.create_map(
-        *chain.from_iterable((F.lit(k), F.lit(v[1])) for k, v in stats.items())
-    )
     bucket = _bucket_expr(
-        value_col, n_buckets, F.element_at(mn_map, g), F.element_at(mx_map, g)
+        value_col, n_buckets,
+        _scalar_chain(g, stats, lambda v: v[0]),
+        _scalar_chain(g, stats, lambda v: v[1]),
     )
 
     # pass 2: bucket histogram (≤ k × n_buckets rows — driver-safe collect)
@@ -225,17 +244,16 @@ def _refine_literal(
     for grp, b, _, _, _ in need:
         if b not in keep.setdefault(grp, []):
             keep[grp].append(b)
-    keep_map = F.create_map(
-        *chain.from_iterable(
-            (F.lit(k), F.array(*[F.lit(b) for b in sorted(v)]))
-            for k, v in keep.items()
-        )
-    )
+    keep_pred = F.lit(False)
+    for grp, bs in keep.items():
+        keep_pred = F.when(
+            g == F.lit(grp), F.col("__b").isin(*sorted(bs))
+        ).otherwise(keep_pred)
 
     # pass 3: bracketing buckets only; weights applied via literal CASE
     picked = (
         src.withColumn("__b", bucket)
-        .filter(F.array_contains(F.element_at(keep_map, g), F.col("__b")))
+        .filter(keep_pred)
         .withColumn(
             "__lr",
             F.row_number().over(
