@@ -302,9 +302,16 @@ def compact_ivf_index(spark: SparkSession, path: str) -> bool:
         return False
     new_epoch = _next_epoch(meta)
     vectors = _read_vectors(spark, path, meta)  # committed ∖ tombstoned
-    vectors.write.mode("overwrite").partitionBy("ivf_bucket").parquet(
-        os.path.join(path, "vectors", f"e={new_epoch}")
-    )
+    # cluster by list before the write: without it every input task
+    # writes a sliver into every hive partition (n_tasks × n_lists
+    # files — the first evidence run measured 3.6k files after folding
+    # 61 epochs); hash-repartitioned on ivf_bucket each list lands
+    # wholly in one task → ONE file per list. n_cores keys keeps the
+    # fold parallel up to min(n_lists, cores).
+    n_cores = spark.sparkContext.defaultParallelism
+    vectors.repartition(n_cores, "ivf_bucket").write.mode("overwrite").partitionBy(
+        "ivf_bucket"
+    ).parquet(os.path.join(path, "vectors", f"e={new_epoch}"))
     meta["list_counts"] = _list_counts(
         spark.read.parquet(os.path.join(path, "vectors", f"e={new_epoch}"))
     )
