@@ -57,6 +57,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # bucketed queries exist for is not
             spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
             spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+            # driver-side listing for the engine's own layouts (≤ ~100
+            # local dirs: minhash-store bp= partitions, day-partitioned
+            # events) instead of a 64-task distributed listing job per
+            # reader build (r14; see session.py)
+            spark.conf.set(
+                "spark.sql.sources.parallelPartitionDiscovery.threshold", "256"
+            )
             return fn(spark, sf_dir)
 
         return run

@@ -715,6 +715,96 @@ def _write_bands(
 # build and probe, so the two sides share one stated semantics.
 
 
+# --- explicit reader schemas (r14 optimization) ------------------------------
+# Building a store reader with schema INFERENCE launches a footer-reading
+# job (plus the partition-discovery listing) on EVERY probe — measured at
+# sf0.1: +1 job/~0.3 s for sigs and +2 jobs/~1.2-2.4 s for the
+# bp-partitioned band table, paid per query invocation, and growing with
+# epoch/file count at scale (guide §6: small-files listing decay; §1.2:
+# don't compute things you throw away — the schema is knowable). The
+# sidecar therefore records the full READER schema (data + partition
+# columns) at build/append time; readers pass it explicitly and never
+# touch a footer. Stores created before this key exist are upgraded IN
+# PLACE by _ensure_reader_schemas (one inference, then the sidecar
+# carries it — same atomic os.replace commit as every store mutation).
+
+
+def _e_field() -> dict:
+    return {"name": "e", "type": "integer", "nullable": True, "metadata": {}}
+
+
+def _bp_field() -> dict:
+    return {"name": "bp", "type": "integer", "nullable": True, "metadata": {}}
+
+
+def _sigs_reader_schema_dict(sigs_df: DataFrame) -> dict:
+    import json
+
+    sch = json.loads(sigs_df.schema.json())
+    sch["fields"] = list(sch["fields"]) + [_e_field()]
+    return sch
+
+
+def _bands_reader_schema_dict(sigs_df: DataFrame) -> dict:
+    """Band-table reader schema derived from the sigs frame's rep_id type:
+    (rep_id, band, bucket) data columns + bp/e partition columns — exactly
+    what _write_bands(_exploded_bands(sigs)) lays down."""
+    import json
+
+    rep_field = next(
+        f for f in json.loads(sigs_df.schema.json())["fields"]
+        if f["name"] == "rep_id"
+    )
+    return {
+        "type": "struct",
+        "fields": [
+            rep_field,
+            {"name": "band", "type": "integer", "nullable": False, "metadata": {}},
+            {"name": "bucket", "type": "long", "nullable": True, "metadata": {}},
+            _bp_field(),
+            _e_field(),
+        ],
+    }
+
+
+def _schema_from_dict(sch: dict | None):
+    if sch is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(sch)
+
+
+def _ensure_reader_schemas(spark: SparkSession, path: str, meta: dict) -> dict:
+    """Upgrade a pre-r14 sidecar in place: infer the sigs schema ONCE,
+    derive the band schema from it, and commit both so no later probe
+    ever pays an inference job. No-op when already recorded. Runs under
+    the store's single-writer discipline (the callers are the same
+    process that owns every other store mutation)."""
+    import os
+
+    if "sigs_schema" in meta and "bands_schema" in meta:
+        return meta
+    root = os.path.join(path, "sigs")
+    first = os.path.join(root, f"e={meta['epochs'][0]}")
+    sigs_df = spark.read.parquet(first)
+    meta["sigs_schema"] = _sigs_reader_schema_dict(sigs_df)
+    meta["bands_schema"] = _bands_reader_schema_dict(sigs_df)
+    _commit_sidecar(path, meta)
+    return meta
+
+
+# Tombstone epochs are written with rep_id cast to long (see
+# tombstone_minhash_store), so their reader schema is a constant.
+_TOMBSTONE_READER_SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"name": "rep_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "e", "type": "integer", "nullable": True, "metadata": {}},
+    ],
+}
+
+
 def _read_tombstones(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
     """Committed tombstoned rep ids, or None when the store has none."""
     import os
@@ -724,7 +814,12 @@ def _read_tombstones(spark: SparkSession, path: str, meta: dict) -> DataFrame | 
         return None
     root = os.path.join(path, "tombstones")
     paths = [os.path.join(root, f"e={e}") for e in epochs]
-    return spark.read.option("basePath", root).parquet(*paths).select("rep_id")
+    return (
+        spark.read.schema(_schema_from_dict(_TOMBSTONE_READER_SCHEMA))
+        .option("basePath", root)
+        .parquet(*paths)
+        .select("rep_id")
+    )
 
 
 def _minus_tombstones(df: DataFrame, spark, path: str, meta: dict) -> DataFrame:
@@ -743,7 +838,11 @@ def _read_store_sigs(spark: SparkSession, path: str, meta: dict) -> DataFrame:
 
     root = os.path.join(path, "sigs")
     paths = [os.path.join(root, f"e={e}") for e in meta["epochs"]]
-    df = spark.read.option("basePath", root).parquet(*paths).drop("e")
+    reader = spark.read.option("basePath", root)
+    sch = _schema_from_dict(meta.get("sigs_schema"))
+    if sch is not None:
+        reader = reader.schema(sch)
+    df = reader.parquet(*paths).drop("e")
     return _minus_tombstones(df, spark, path, meta)
 
 
@@ -752,7 +851,11 @@ def _read_store_bands(spark: SparkSession, path: str, meta: dict) -> DataFrame:
 
     root = os.path.join(path, "bands")
     paths = [os.path.join(root, f"e={e}") for e in meta["epochs"]]
-    df = spark.read.option("basePath", root).parquet(*paths).drop("e")
+    reader = spark.read.option("basePath", root)
+    sch = _schema_from_dict(meta.get("bands_schema"))
+    if sch is not None:
+        reader = reader.schema(sch)
+    df = reader.parquet(*paths).drop("e")
     return _minus_tombstones(df, spark, path, meta)
 
 
@@ -800,6 +903,10 @@ def build_minhash_store(
             "bucket_parts": _STORE_BUCKET_PARTS,
             "epochs": [0],
             "tags": {},
+            # reader schemas recorded at build time: probes never pay a
+            # footer-inference job (r14 — see _ensure_reader_schemas)
+            "sigs_schema": _sigs_reader_schema_dict(sigs_r),
+            "bands_schema": _bands_reader_schema_dict(sigs_r),
         },
     )
 
@@ -857,6 +964,11 @@ def append_minhash_store(
     meta["epochs"] = meta["epochs"] + [epoch]
     if tag is not None:
         meta.setdefault("tags", {})[tag] = epoch
+    if "sigs_schema" not in meta:
+        # pre-r14 store: record reader schemas with this commit so later
+        # probes skip footer inference (appends write the same shape)
+        meta["sigs_schema"] = _sigs_reader_schema_dict(new_sigs)
+        meta["bands_schema"] = _bands_reader_schema_dict(new_sigs)
     _commit_sidecar(path, meta)
     return True
 
@@ -930,7 +1042,7 @@ def compact_minhash_store(spark: SparkSession, path: str) -> bool:
     cleanup is needed. Single-writer, like every store mutation."""
     import os
 
-    meta = _load_store_spec(path)
+    meta = _ensure_reader_schemas(spark, path, _load_store_spec(path))
     old_epochs = list(meta["epochs"])
     if len(old_epochs) <= 1 and not meta.get("tombstone_epochs"):
         # still sweep orphans: a crash during a PREVIOUS compaction's
@@ -1010,7 +1122,7 @@ def incremental_dedup_against_store(
     bucket sort). No step scans corpus text."""
     from fineventstream_spark.operators.sizing import maybe_broadcast
 
-    spec = _load_store_spec(path)
+    spec = _ensure_reader_schemas(spark, path, _load_store_spec(path))
     num_hashes = spec["num_hashes"]
 
     sigs = _read_store_sigs(spark, path, spec)

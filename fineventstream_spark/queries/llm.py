@@ -228,13 +228,27 @@ def _exact_collapse(corpus: DataFrame):
     an empty text could emit a from-scratch pair the store path (which
     filters NULL at build and probe) never can (r12 advisor)."""
     corpus = corpus.filter(F.col("text").isNotNull())
-    rep = corpus.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
-    members = corpus.select("doc_id", "text").join(rep, "text").select(
+    # r14 (guide §2.3 — shuffle keys, not payloads; §2.4 — remove shuffles
+    # outright). The r13 shape ran three text-carrying exchanges:
+    # groupBy(text), the members join-back on text, and a corpus-side
+    # semi-join to rebuild rep_corpus. Now the group key is the sha2-256
+    # digest (text equality == sha equality is already the engine's
+    # contract — the fingerprint store probes by text_sha), and the rep's
+    # text rides the SAME aggregation as any_value: within a sha group
+    # every text is identical, so any_value is value-deterministic.
+    # Result: text crosses the wire once, partial-aggregated (one text
+    # per group per map task — boilerplate mega-groups still cost one row
+    # per task, the no-skew-hazard property the note above relies on);
+    # the members join shuffles (doc_id, 32-byte sha) pairs only; the
+    # semi-join is gone.
+    keyed = corpus.select("doc_id", "text", F.sha2(F.col("text"), 256).alias("__sha"))
+    rep = keyed.groupBy("__sha").agg(
+        F.min("doc_id").alias("rep_id"), F.any_value("text").alias("text")
+    )
+    members = keyed.select("doc_id", "__sha").join(rep.select("__sha", "rep_id"), "__sha").select(
         "doc_id", "rep_id"
     )
-    rep_corpus = corpus.join(
-        rep.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    )
+    rep_corpus = rep.select(F.col("rep_id").alias("doc_id"), "text")
     return rep_corpus, members
 
 
@@ -614,14 +628,18 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") >= thr) | (F.col("id_b") >= thr))
     )
     sym_diff = _multiset_diff_count(inc, fs)
-    n_history = history.agg(F.count(F.lit(1)).alias("n_history"))
-    n_shard = shard.agg(F.count(F.lit(1)).alias("n_shard"))
+    # one scan for both split sizes (r14, guide §1.2: don't run two jobs
+    # where one pass answers both) — count(when) counts the non-null
+    # branch, exactly the two filtered count(1)s it replaces
+    counts = docs.agg(
+        F.count(F.when(F.col("doc_id") < thr, F.lit(1))).alias("n_history"),
+        F.count(F.when(F.col("doc_id") >= thr, F.lit(1))).alias("n_shard"),
+    )
     n_dups = inc.filter(F.col("kind") == "exact").agg(
         F.count(F.lit(1)).alias("n_shard_exact_dups")
     )
     return (
-        n_history.crossJoin(F.broadcast(n_shard))
-        .crossJoin(F.broadcast(n_dups))
+        counts.crossJoin(F.broadcast(n_dups))
         .crossJoin(F.broadcast(sym_diff))
         .select(
             "n_history",
@@ -737,11 +755,14 @@ def q_llm_dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") >= thr) | (F.col("id_b") >= thr))
     )
     sym_diff = _multiset_diff_count(inc, fs)
-    n_history = history.agg(F.count(F.lit(1)).alias("n_history"))
-    n_shard = shard.agg(F.count(F.lit(1)).alias("n_shard"))
+    # one scan for both split sizes (r14; same fusion as the incremental
+    # query's assembly)
+    counts = docs.agg(
+        F.count(F.when(F.col("doc_id") < thr, F.lit(1))).alias("n_history"),
+        F.count(F.when(F.col("doc_id") >= thr, F.lit(1))).alias("n_shard"),
+    )
     return (
-        n_history.crossJoin(F.broadcast(n_shard))
-        .crossJoin(F.broadcast(sym_diff))
+        counts.crossJoin(F.broadcast(sym_diff))
         .select(
             "n_history",
             "n_shard",

@@ -62,6 +62,19 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Partition discovery of the engine's own layouts (the minhash
+        # store's 64 bp= dirs, the 31-day partitioned events) crosses the
+        # default 32-path threshold and launches a DISTRIBUTED listing job
+        # per reader build — a 64-task job to stat ~100 local directories
+        # the driver lists in microseconds (r14 measurement: the band-table
+        # reader alone cost +2 jobs/1.2-2.4 s per probe). 256 keeps every
+        # engine layout driver-listed; deployments against high-latency
+        # object stores with many more leaf dirs should lower it back (env
+        # SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "256"),
+        )
         # NOTE (r7): spark.sql.requireAllClusterKeysForCoPartition stays at
         # its DEFAULT (true). Round 6 set it false so a bucketed-on-orderkey
         # SMJ whose equi-keys widened to (orderkey, nationkey) could reuse
