@@ -126,7 +126,8 @@ def exact_percentiles(
     n_buckets: int = 256,
     extra_aggs: dict[str, F.Column] | None = None,
     extra_cols: tuple[str, ...] = (),
-) -> DataFrame:
+    global_spec: dict | None = None,
+):
     """Per-group exact percentiles (linear interpolation, nulls ignored —
     DuckDB ``quantile_cont`` semantics), one output row per group with one
     column per requested percentile.
@@ -141,6 +142,23 @@ def exact_percentiles(
     computed over ALL rows of the group (aggregates apply their own null
     handling), matching what a separate ``groupBy().agg()`` would return;
     only the percentile machinery filters to non-null values.
+
+    ``global_spec`` (r14): ``{"ps": [...], "aliases": [...],
+    "decimals": N}`` additionally computes WHOLE-TABLE exact percentiles
+    fused into the same three passes, and the return becomes a
+    ``(per_group_df, global_df)`` tuple. Before this, a caller needing
+    both (the KLL rollup audit) ran the operator twice — two extent
+    scans, two histogram scans, two refinement scans. Fused, the global
+    extent/count falls out of the per-group stats (min/max/sum — exact,
+    the literal path holds every group), the histogram pass groups by
+    (group, group-bucket, global-bucket) — a monotone staircase, ≤
+    2 × n_buckets rows per group — and the refinement pass keeps the
+    union of bracketing buckets and ranks both windows. Values are
+    bit-identical to two separate calls: each interpolated percentile
+    is a weighted sum of ≤ 2 rows, so addition order cannot differ.
+    On the high-cardinality joined path the global runs as the separate
+    recursion it always was (the literal path is the operator's target
+    case).
     """
     aliases = aliases or [f"p{int(p * 100)}" for p in ps]
     extra_aggs = extra_aggs or {}
@@ -165,15 +183,23 @@ def exact_percentiles(
     ).filter(F.col("__n") > 0)
     sample = stats_agg.limit(LITERAL_MAX_GROUPS + 1).collect()
     if not sample:
-        return src_all.groupBy(group_col).agg(
+        out = src_all.groupBy(group_col).agg(
             *[F.lit(None).cast("double").alias(a) for a in aliases],
             *[v.alias(k) for k, v in extra_aggs.items()],
         ).filter(F.lit(False))
+        if global_spec is None:
+            return out
+        gout = src.select(
+            *[F.lit(None).cast("double").alias(a) for a in global_spec["aliases"]]
+        ).limit(0)
+        return out, gout
     if len(sample) <= LITERAL_MAX_GROUPS:
         stats = {r[group_col]: (r["__mn"], r["__mx"], r["__n"]) for r in sample}
-        out = _refine_literal(
-            spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats
+        res = _refine_literal(
+            spark, src, group_col, value_col, ps, aliases, decimals, n_buckets,
+            stats, global_spec,
         )
+        out, gout = res if global_spec is not None else (res, None)
         if extra_aggs:
             from pyspark.sql.types import StructType
 
@@ -186,11 +212,27 @@ def exact_percentiles(
                 schema,
             )
             out = out.join(F.broadcast(extras_df), group_col)
-        return out
+        return out if global_spec is None else (out, gout)
     out = _refine_joined(
         spark, src, group_col, value_col, ps, aliases, decimals, n_buckets,
         stats_agg.select(group_col, "__mn", "__mx", "__n"),
     )
+    if global_spec is not None:
+        # high-cardinality path: the fusion's driver-side global extent is
+        # unavailable (stats are never collected) — run the global as the
+        # separate single-group refinement it always was
+        gout = exact_percentiles(
+            df.withColumn("__gall", F.lit(1)),
+            "__gall",
+            value_col,
+            list(global_spec["ps"]),
+            list(global_spec["aliases"]),
+            decimals=int(global_spec.get("decimals", decimals)),
+            n_buckets=n_buckets,
+        ).drop("__gall")
+        if extra_aggs:
+            out = out.join(stats_agg.select(group_col, *extra_aggs), group_col)
+        return out, gout
     if extra_aggs:
         # k-bounded side table; left un-hinted so AQE broadcasts it only
         # when it actually fits (same policy as the refinement joins).
@@ -217,28 +259,58 @@ def _scalar_chain(g, d: dict, pick) -> F.Column:
 
 
 def _refine_literal(
-    spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats
+    spark, src, group_col, value_col, ps, aliases, decimals, n_buckets, stats,
+    global_spec=None,
 ):
     """Few-groups path: per-group lookups inlined as literal CASE
     chains — no broadcast exchange anywhere, pure allocation-free
-    codegen."""
+    codegen. With ``global_spec``, whole-table percentiles ride the same
+    three passes (see exact_percentiles) and a (groups, global) tuple is
+    returned."""
     g = F.col(group_col)
     bucket = _bucket_expr(
         value_col, n_buckets,
         _scalar_chain(g, stats, lambda v: v[0]),
         _scalar_chain(g, stats, lambda v: v[1]),
     )
+    if global_spec is not None:
+        # exact global extent/count from the per-group stats the literal
+        # path already collected — no extra pass
+        g_mn = min(v[0] for v in stats.values())
+        g_mx = max(v[1] for v in stats.values())
+        g_n = sum(v[2] for v in stats.values())
+        g_stats = {"__G": (g_mn, g_mx, g_n)}
+        g_bucket = _bucket_expr(
+            value_col, n_buckets, F.lit(g_mn), F.lit(g_mx)
+        )
+        gps = list(global_spec["ps"])
+        gal = list(global_spec["aliases"])
+        gdec = int(global_spec.get("decimals", decimals))
 
-    # pass 2: bucket histogram (≤ k × n_buckets rows — driver-safe collect)
+    # pass 2: bucket histogram (≤ k × n_buckets rows — driver-safe
+    # collect; with a global spec the grouping adds the global bucket,
+    # a monotone staircase of ≤ 2 × n_buckets rows per group)
+    hist_cols = [group_col, "__b"] + (["__gb"] if global_spec is not None else [])
+    bucketed = src.withColumn("__b", bucket)
+    if global_spec is not None:
+        bucketed = bucketed.withColumn("__gb", g_bucket)
     hist_rows = (
-        src.withColumn("__b", bucket).groupBy(group_col, "__b")
-        .agg(F.count("*").alias("__bc"))
-        .collect()
+        bucketed.groupBy(*hist_cols).agg(F.count("*").alias("__bc")).collect()
     )
-    hist: dict[object, list[tuple[int, int]]] = {}
+    hist: dict[object, dict[int, int]] = {}
+    g_hist: dict[int, int] = {}
     for r in hist_rows:
-        hist.setdefault(r[0], []).append((r[1], r[2]))
-    need = _plan_targets(stats, hist, ps, aliases)
+        grp_h = hist.setdefault(r[0], {})
+        grp_h[r[1]] = grp_h.get(r[1], 0) + r["__bc"]
+        if global_spec is not None:
+            g_hist[r["__gb"]] = g_hist.get(r["__gb"], 0) + r["__bc"]
+    hist_l = {k: list(v.items()) for k, v in hist.items()}
+    need = _plan_targets(stats, hist_l, ps, aliases)
+    g_need = (
+        _plan_targets(g_stats, {"__G": list(g_hist.items())}, gps, gal)
+        if global_spec is not None
+        else []
+    )
 
     keep: dict[object, list[int]] = {}
     for grp, b, _, _, _ in need:
@@ -249,18 +321,24 @@ def _refine_literal(
         keep_pred = F.when(
             g == F.lit(grp), F.col("__b").isin(*sorted(bs))
         ).otherwise(keep_pred)
+    if global_spec is not None:
+        g_keep = sorted({b for _, b, _, _, _ in g_need})
+        keep_pred = keep_pred | F.col("__gb").isin(*g_keep)
 
     # pass 3: bracketing buckets only; weights applied via literal CASE
-    picked = (
-        src.withColumn("__b", bucket)
-        .filter(keep_pred)
-        .withColumn(
-            "__lr",
+    picked = bucketed.filter(keep_pred).withColumn(
+        "__lr",
+        F.row_number().over(
+            Window.partitionBy(group_col, "__b").orderBy(F.col(value_col))
+        ),
+    )
+    if global_spec is not None:
+        picked = picked.withColumn(
+            "__glr",
             F.row_number().over(
-                Window.partitionBy(group_col, "__b").orderBy(F.col(value_col))
+                Window.partitionBy("__gb").orderBy(F.col(value_col))
             ),
         )
-    )
     aggs = []
     for alias in aliases:
         expr = F.lit(None).cast("double")
@@ -270,7 +348,29 @@ def _refine_literal(
             hit = (g == F.lit(grp)) & (F.col("__b") == b) & (F.col("__lr") == lr)
             expr = F.when(hit, F.lit(w) * F.col(value_col)).otherwise(expr)
         aggs.append(F.round(F.sum(expr), decimals).alias(alias))
-    return picked.groupBy(group_col).agg(*aggs)
+    if global_spec is None:
+        return picked.groupBy(group_col).agg(*aggs)
+    # global partials ride the same per-group aggregation; the k-row
+    # grouped result is localCheckpoint'd so the groups output and the
+    # global roll-up both read the materialized rows instead of
+    # re-running the refinement scan
+    for alias in gal:
+        expr = F.lit(None).cast("double")
+        for _, b, lr, w, a in g_need:
+            if a != alias:
+                continue
+            hit = (F.col("__gb") == b) & (F.col("__glr") == lr)
+            expr = F.when(hit, F.lit(w) * F.col(value_col)).otherwise(expr)
+        aggs.append(F.sum(expr).alias(f"__part_{alias}"))
+    grouped = picked.groupBy(group_col).agg(*aggs).localCheckpoint(eager=False)
+    out = grouped.select(group_col, *aliases)
+    gout = grouped.agg(
+        *[
+            F.round(F.sum(f"__part_{a}"), gdec).alias(a)
+            for a in gal
+        ]
+    )
+    return out, gout
 
 
 def _refine_joined(

@@ -323,8 +323,14 @@ def q_agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_est_p50")
         )
         return groups.drop("sk").join(F.broadcast(merged))
-    exact_pg = exact_percentiles(
-        t.lineitem, "l_returnflag", "l_extendedprice", [0.5], ["exact_p50"]
+    # r14: one fused three-pass refinement computes the per-group exact
+    # medians AND the global exact median (global_spec) — previously two
+    # full exact_percentiles runs (two extent scans, two histogram scans,
+    # two refinement scans; 21 jobs → ~13 at sf0.1). Values bit-identical
+    # (pinned by test_exact_percentiles_global_spec_matches_separate).
+    exact_pg, exact_global = exact_percentiles(
+        t.lineitem, "l_returnflag", "l_extendedprice", [0.5], ["exact_p50"],
+        global_spec={"ps": [0.5], "aliases": ["gp50"], "decimals": 6},
     )
     groups = per_group.join(F.broadcast(exact_pg), "l_returnflag").select(
         "l_returnflag",
@@ -338,14 +344,6 @@ def q_agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sk",
     )
     merged = groups.agg(F.expr("kll_merge_agg_double(sk)").alias("gsk"))
-    exact_global = exact_percentiles(
-        t.lineitem.withColumn("__g", F.lit(1)),
-        "__g",
-        "l_extendedprice",
-        [0.5],
-        ["gp50"],
-        decimals=6,
-    ).drop("__g")
     gq = F.kll_sketch_get_quantile_double("gsk", F.lit(0.5))
     audit = (
         merged.join(F.broadcast(exact_global))

@@ -376,6 +376,11 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands, members = build(corpus)
     cands = dedup.persist_tracked(cands)
+    # members feeds the star edges and BOTH gate edge sets, each of which
+    # is itself consumed twice (count + semi-join hit count) — without the
+    # persist the collapse subtree re-runs ~5× per audited query (r14;
+    # narrow (doc_id, rep_id) rows, audit-only branch)
+    members = dedup.persist_tracked(members)
     pairs = cands.unionByName(_star_edges(members, "est_jaccard", 1.0))
     return _planted_recall_summary(
         pairs, _expected_planted_edges(src, members), t.documents
@@ -418,6 +423,7 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified, members = build(corpus)
     verified = dedup.persist_tracked(verified)
+    members = dedup.persist_tracked(members)  # see q_llm_dedup_near note
     pairs = verified.unionByName(_star_edges(members, "jaccard", 1.0))
     return _planted_recall_summary(
         pairs, _expected_planted_edges(src, members), t.documents
@@ -464,6 +470,7 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, near_src, corpus = _planted_corpora(docs, _permuted_words_mutation())
     cands, star, members = build(corpus)
     cands = dedup.persist_tracked(cands)
+    members = dedup.persist_tracked(members)  # see q_llm_dedup_near note
     pairs = cands.unionByName(star)
     # near-rep ids whose mutation was NOT a no-op (one-word docs reverse
     # to themselves and collapse — the star gate's territory)

@@ -545,6 +545,56 @@ def test_exact_percentiles_match_builtin(spark, sf_dir):
     assert got == ref
 
 
+def test_exact_percentiles_global_spec_matches_separate(spark, sf_dir):
+    """r14 fusion: global_spec's fused whole-table percentiles must be
+    bit-identical to a separate single-group call, and the per-group
+    results must be bit-identical to the unfused call (the kll-rollup
+    audit's equivalence contract)."""
+    from fineventstream_spark.operators.percentiles import exact_percentiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fused_pg, fused_g = exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5], ["p50"],
+        n_buckets=7,
+        global_spec={"ps": [0.5, 0.9], "aliases": ["gp50", "gp90"], "decimals": 6},
+    )
+    plain_pg = exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5], ["p50"], n_buckets=7
+    )
+    sep_g = exact_percentiles(
+        li.withColumn("__g", F.lit(1)), "__g", "l_extendedprice",
+        [0.5, 0.9], ["gp50", "gp90"], decimals=6, n_buckets=7,
+    ).drop("__g")
+    assert {tuple(r) for r in fused_pg.collect()} == {
+        tuple(r) for r in plain_pg.collect()
+    }
+    assert fused_g.collect() == sep_g.collect()
+    # degenerate: empty input returns an empty (groups, global) pair
+    e_pg, e_g = exact_percentiles(
+        li.filter(F.lit(False)), "l_returnflag", "l_extendedprice", [0.5],
+        ["p50"], global_spec={"ps": [0.5], "aliases": ["gp50"]},
+    )
+    assert e_pg.count() == 0 and e_g.count() == 0
+
+
+def test_exact_percentiles_global_spec_joined_path(spark):
+    """Above LITERAL_MAX_GROUPS the global runs as the separate
+    recursion; values must still match the fused literal semantics."""
+    from fineventstream_spark.operators import percentiles as P
+
+    rows = [(f"g{i:04d}", float(i % 97) + j) for i in range(200) for j in (0.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    pg, g = P.exact_percentiles(
+        df, "g", "v", [0.5], ["p50"], n_buckets=8,
+        global_spec={"ps": [0.5], "aliases": ["gp50"]},
+    )
+    ref = df.agg(
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("gp50")
+    ).collect()
+    assert g.collect() == ref
+    assert pg.count() == 200
+
+
 def test_exact_percentiles_single_value_group(spark):
     """Degenerate group (all values equal → zero-width bucket range)."""
     from fineventstream_spark.operators.percentiles import exact_percentiles
