@@ -50,17 +50,22 @@ def global_rank(
     """
     src = df.withColumn("__bk", bucket_key.cast("double"))
 
-    stats = src.select(
-        F.min("__bk").alias("__mn"), F.max("__bk").alias("__mx")
-    )
-    bucketed = src.crossJoin(F.broadcast(stats)).withColumn(
+    # r14: the global extent is ONE row — collect it eagerly and inline
+    # literals instead of crossJoin(broadcast(stats)). The bucketed
+    # subtree is consumed by both the offsets build and the final join;
+    # as a broadcast-bearing plan fragment the extent aggregation ran
+    # once per consumer (no cross-subtree reuse), each run a separate
+    # AQE broadcast job. Literal extents make bucketing pure codegen and
+    # cost one narrow partial-agg job total.
+    mn, mx = src.select(F.min("__bk"), F.max("__bk")).first()
+    bucketed = src.withColumn(
         "__b",
         F.when(F.col("__bk").isNull(), F.lit(0 if null_bucket == "first" else n_buckets + 1))
-        .when(F.col("__mx") == F.col("__mn"), F.lit(1))
+        .when(F.lit(mx) == F.lit(mn), F.lit(1))
         .otherwise(
             F.least(
                 F.lit(n_buckets),
-                F.width_bucket(F.col("__bk"), F.col("__mn"), F.col("__mx"), F.lit(n_buckets)),
+                F.width_bucket(F.col("__bk"), F.lit(mn), F.lit(mx), F.lit(n_buckets)),
             )
         ),
     )
@@ -101,13 +106,15 @@ def global_prefix_sum(
     """
     src = df.withColumn("__bk", bucket_key.cast("double"))
 
-    stats = src.select(F.min("__bk").alias("__mn"), F.max("__bk").alias("__mx"))
-    bucketed = src.crossJoin(F.broadcast(stats)).withColumn(
+    # literal extents — see global_rank (r14): one eager 1-row collect
+    # replaces a broadcast subtree that re-ran per consumer
+    mn, mx = src.select(F.min("__bk"), F.max("__bk")).first()
+    bucketed = src.withColumn(
         "__b",
-        F.when(F.col("__mx") == F.col("__mn"), F.lit(1)).otherwise(
+        F.when(F.lit(mx) == F.lit(mn), F.lit(1)).otherwise(
             F.least(
                 F.lit(n_buckets),
-                F.width_bucket(F.col("__bk"), F.col("__mn"), F.col("__mx"), F.lit(n_buckets)),
+                F.width_bucket(F.col("__bk"), F.lit(mn), F.lit(mx), F.lit(n_buckets)),
             )
         ),
     )

@@ -411,6 +411,10 @@ def q_event_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = t.events.groupBy(day.alias("day")).agg(
         F.expr("theta_sketch_agg(user_id)").alias("sk")
     )
+    # daily feeds both join sides — as two plan subtrees the full fact
+    # sketch-aggregation runs twice (r14; the kll production branch's
+    # localCheckpoint pattern): materialize the days × KB-sketch rows once
+    daily = daily.localCheckpoint(eager=False)
     nxt = daily.select(F.date_sub("day", 1).alias("day"), F.col("sk").alias("sk_next"))
     pairs = daily.join(nxt, "day").select(
         "day",
@@ -425,7 +429,12 @@ def q_event_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_returning").cast("long").alias("est_returning"),
             F.col("est_reach").cast("long").alias("est_reach"),
         )
-    du = t.events.select(day.alias("day"), "user_id").distinct()
+    # the distinct (day, user) set feeds four consumers (both sides of the
+    # returning join, both arms of the reach union) — without the
+    # materialization the fact scan + distinct exchange ran 4× (r14)
+    du = t.events.select(day.alias("day"), "user_id").distinct().localCheckpoint(
+        eager=False
+    )
     shifted = du.select(F.date_sub("day", 1).alias("day"), "user_id")
     exact_ret = (
         du.alias("a")

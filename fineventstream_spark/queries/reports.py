@@ -1015,19 +1015,21 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
     )
-    mins = eligible.groupBy(F.col("l_partkey").alias("mn_pk")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    # r14: per-part MIN as a window over the partkey partition instead of
+    # groupBy + equality self-join — the eligible subtree (cost aggregate
+    # + supplier/dims joins) now builds exactly once and the probe join
+    # disappears (guide §2.4: window partitioned like the preceding
+    # aggregation needs no second shuffle). Identical rows kept: the
+    # old mins frame was unique per partkey, so the equality join never
+    # duplicated.
     parts = F.broadcast(
         t.part.filter((F.col("p_size") < 20) & (F.col("p_type") == "LARGE"))
         .select("p_partkey", "p_name")
     )
+    w_min = Window.partitionBy("l_partkey")
     return (
-        eligible.join(
-            mins,
-            (F.col("l_partkey") == F.col("mn_pk"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        eligible.withColumn("__min_cost", F.min("unit_cost").over(w_min))
+        .filter(F.col("unit_cost") == F.col("__min_cost"))
         .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(
