@@ -85,6 +85,49 @@ def _next_epoch(meta: dict) -> int:
     return max(meta["epochs"] + (meta.get("tombstone_epochs") or [])) + 1
 
 
+def _vectors_reader_schema_dict(assigned: DataFrame) -> dict:
+    """Reader schema for the epoch layout — the written (id, vec,
+    ivf_bucket) frame plus the ``e`` partition column. Recorded in the
+    sidecar at build/append so probes never pay a footer-inference job
+    (r14 — same pattern as the minhash store, operators/dedup.py)."""
+    import json
+
+    sch = json.loads(assigned.schema.json())
+    sch["fields"] = list(sch["fields"]) + [
+        {"name": "e", "type": "integer", "nullable": True, "metadata": {}}
+    ]
+    return sch
+
+
+def _schema_from_dict(sch: dict | None):
+    if sch is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(sch)
+
+
+def _tombstone_reader_schema(meta: dict):
+    """(id, e) — the id field borrowed from the recorded vectors schema."""
+    sch = meta.get("vectors_schema")
+    if sch is None:
+        return None
+    id_field = next(
+        (f for f in sch["fields"] if f["name"] == meta.get("id_col")), None
+    )
+    if id_field is None:
+        return None
+    return _schema_from_dict(
+        {
+            "type": "struct",
+            "fields": [
+                id_field,
+                {"name": "e", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+
+
 def _read_tombstones(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
     """Committed tombstoned vector ids, or None when the index has none."""
     epochs = meta.get("tombstone_epochs") or []
@@ -92,7 +135,11 @@ def _read_tombstones(spark: SparkSession, path: str, meta: dict) -> DataFrame | 
         return None
     root = os.path.join(path, "tombstones")
     paths = [os.path.join(root, f"e={e}") for e in epochs]
-    return spark.read.option("basePath", root).parquet(*paths).select(meta["id_col"])
+    reader = spark.read.option("basePath", root)
+    sch = _tombstone_reader_schema(meta)
+    if sch is not None:
+        reader = reader.schema(sch)
+    return reader.parquet(*paths).select(meta["id_col"])
 
 
 def _minus_tombstones(df: DataFrame, spark, path: str, meta: dict) -> DataFrame:
@@ -118,7 +165,11 @@ def _read_vectors(spark: SparkSession, path: str, meta: dict) -> DataFrame:
     if epochs is None:
         return spark.read.parquet(root)
     paths = [os.path.join(root, f"e={e}") for e in epochs]
-    df = spark.read.option("basePath", root).parquet(*paths).drop("e")
+    reader = spark.read.option("basePath", root)
+    sch = _schema_from_dict(meta.get("vectors_schema"))
+    if sch is not None:
+        reader = reader.schema(sch)
+    df = reader.parquet(*paths).drop("e")
     return _minus_tombstones(df, spark, path, meta)
 
 
@@ -160,6 +211,8 @@ def build_ivf_index(
             # column without the caller re-stating it (r14 lifecycle)
             "id_col": id_col,
             "tombstone_epochs": [],
+            # reader schema recorded so probes skip footer inference (r14)
+            "vectors_schema": _vectors_reader_schema_dict(assigned),
         },
     )
     return centroids
@@ -208,6 +261,9 @@ def append_ivf_index(
     meta["epochs"] = epochs + [epoch]
     if tag is not None:
         meta.setdefault("tags", {})[tag] = epoch
+    if "vectors_schema" not in meta:
+        # pre-r14 sidecar: record the reader schema with this commit
+        meta["vectors_schema"] = _vectors_reader_schema_dict(assigned)
     _write_sidecar(path, meta)
     return meta
 

@@ -1210,7 +1210,11 @@ def incremental_dedup_against_store(
     # the n ≥ 2 half of the filter matches from-scratch's bsz > 1 and is
     # ALSO the cost bound: singleton buckets (the vast majority on a
     # mostly-unique corpus) never reach the sig-carrying pair machinery
-    keep = (
+    # keep feeds three semi-joins (store-side cross, shard-side cross, and
+    # the shard-pair bucket filter) — persist the tiny (band, bucket) list
+    # so its two-groupBy + join subtree builds once (r14; shard-bounded
+    # row count, same class as the other probe intermediates)
+    keep = persist_tracked(
         sh_cnt.join(st_cnt, ["band", "bucket"], "left")
         .filter((joint >= 2) & (joint <= max_bucket))
         .select("band", "bucket")

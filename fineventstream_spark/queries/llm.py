@@ -141,13 +141,24 @@ def _planted_recall_summary(
     when the fixture planted nothing. The pair list itself stays the
     production output (SPARK_GRAFT_AUDIT=off)."""
     n_docs = total.agg(F.count("*").alias("n_docs"))
-    n_planted = expected.agg(F.count("*").alias("planted_pairs"))
-    n_found = expected.join(
-        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
-    ).agg(F.count("*").alias("__found"))
+    # r14: expected-count and hit-count fused into ONE aggregation — the
+    # expected subtree (a members join) used to run once per count. The
+    # left join against the DEDUPED pair keys preserves expected's row
+    # multiplicity, so count(__hit) == the old semi-join count.
+    hits = (
+        expected.join(
+            pairs.select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("__hit", F.lit(1)),
+            ["id_a", "id_b"],
+            "left",
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("planted_pairs"),
+        F.count("__hit").alias("__found"),
+    )
     return (
-        n_docs.crossJoin(F.broadcast(n_planted))
-        .crossJoin(F.broadcast(n_found))
+        n_docs.crossJoin(F.broadcast(hits))
         .select(
             "n_docs",
             "planted_pairs",
@@ -170,12 +181,15 @@ def _near_gate_ids(zero_pairs: DataFrame, expected_ids: DataFrame) -> DataFrame:
     docs all collapse under the mutation must not hash-mismatch) —
     non-vacuity on the real fixtures is asserted by
     ``tests/test_operators.py::test_near_gates_not_vacuous`` instead."""
-    n_exp = expected_ids.agg(F.count("*").alias("__n"))
-    n_hit = expected_ids.join(
-        zero_pairs.select(F.col("id_b").alias("vid")), ["vid"], "left_semi"
-    ).agg(F.count("*").alias("__hit"))
-    return n_exp.crossJoin(F.broadcast(n_hit)).select(
-        (F.col("__hit") == F.col("__n")).alias("near_recall_ok")
+    # fused count + hit-count (r14; see _planted_recall_summary)
+    return expected_ids.join(
+        zero_pairs.select(F.col("id_b").alias("vid"))
+        .dropDuplicates(["vid"])
+        .withColumn("__h", F.lit(1)),
+        ["vid"],
+        "left",
+    ).agg(
+        (F.count("__h") == F.count(F.lit(1))).alias("near_recall_ok")
     )
 
 
@@ -195,12 +209,15 @@ def _near_gate(bucket_pairs: DataFrame, near_expected: DataFrame) -> DataFrame:
     hard-coded TRUE and ``recall_ok``'s documented vacuous behavior
     (r11 advisor). Non-vacuity on the real fixtures is pinned by
     ``tests/test_operators.py::test_near_gates_not_vacuous``."""
-    n_exp = near_expected.agg(F.count("*").alias("__n"))
-    n_hit = near_expected.join(
-        bucket_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
-    ).agg(F.count("*").alias("__hit"))
-    return n_exp.crossJoin(F.broadcast(n_hit)).select(
-        (F.col("__hit") == F.col("__n")).alias("near_recall_ok")
+    # fused count + hit-count (r14; see _planted_recall_summary)
+    return near_expected.join(
+        bucket_pairs.select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("__h", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    ).agg(
+        (F.count("__h") == F.count(F.lit(1))).alias("near_recall_ok")
     )
 
 
