@@ -1771,13 +1771,23 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH input shrinks by the dup mass. Keeper ids are unchanged where the
     # old path found the pair: a representative is its text-group minimum,
     # so min-over-reps == min-over-members.
-    rep = corpus.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
-    members = corpus.select("doc_id", "text").join(rep, "text").select(
-        "doc_id", "rep_id"
+    # r14 (guide §2.3/§2.4 — the _exact_collapse rewrite applied inline;
+    # this pipeline keeps NULL-text docs in its output, so it cannot call
+    # the null-filtering helper): exchanges keyed on sha2(text) instead of
+    # the text itself, the rep's text rides the aggregation as any_value
+    # (value-deterministic within a sha group; sha2(NULL) IS NULL, so the
+    # NULL-text docs form the same single group they did under
+    # groupBy(text)), and the rep_corpus semi-join is gone.
+    keyed = corpus.select(
+        "doc_id", "text", F.sha2(F.col("text"), 256).alias("__sha")
     )
-    rep_corpus = corpus.join(
-        rep.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    rep = keyed.groupBy("__sha").agg(
+        F.min("doc_id").alias("rep_id"), F.any_value("text").alias("text")
     )
+    members = keyed.select("doc_id", "__sha").join(
+        rep.select("__sha", "rep_id"), "__sha"
+    ).select("doc_id", "rep_id")
+    rep_corpus = rep.select(F.col("rep_id").alias("doc_id"), "text")
     cands = dedup.minhash_lsh_candidates(rep_corpus, "text", "doc_id")
     verified = dedup.ngram_jaccard_verify(cands, rep_corpus, "text", "doc_id").filter(
         F.col("jaccard") >= 0.8
@@ -1788,6 +1798,10 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = members.join(rep_keepers, "rep_id").select("doc_id", "keeper_id")
     if not audits_enabled():
         return keepers
+    # the audited gates derive four frames from keepers (orig, clone,
+    # near, leaks) — without the persist the whole kernel→LSH→verify→CC
+    # chain re-ran per consumer (r14; narrow (doc_id, keeper_id) rows)
+    keepers = dedup.persist_tracked(keepers)
     # AUDITED form (value-oracled since r11, boolean-gate pattern): one
     # summary row — n_docs and planted_pairs reproduced by the DuckDB
     # oracle from the documents table, recall_ok TRUE iff every planted
@@ -1805,9 +1819,12 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") - _NEAR_OFFSET).alias("pid"),
         F.col("keeper_id").alias("near_keeper"),
     )
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    n_planted = docs.filter(F.col("doc_id") % 97 == 0).agg(
-        F.count("*").alias("planted_pairs")
+    # one scan for both corpus counts (r14)
+    counts = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("doc_id") % 97 == 0, F.lit(1))).alias(
+            "planted_pairs"
+        ),
     )
     recalled = orig.join(clone, "pid").agg(
         F.coalesce(
@@ -1833,8 +1850,7 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") < offset) & (F.col("keeper_id") >= offset)
     ).agg(F.count("*").alias("__leaks"))
     return (
-        n_docs.crossJoin(F.broadcast(n_planted))
-        .crossJoin(F.broadcast(recalled))
+        counts.crossJoin(F.broadcast(recalled))
         .crossJoin(F.broadcast(n_near))
         .crossJoin(F.broadcast(near_recalled))
         .crossJoin(F.broadcast(leaks))
