@@ -450,11 +450,15 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineventstream_spark.operators.text import ws_segment_count
 
     t = Tables(spark, sf_dir)
-    # r14: dl feeds the corpus stats AND the score join, tf feeds the
-    # df counts AND the score join — as four plan subtrees the corpus was
-    # scanned (and tokenized/exploded) twice for each. Materializing the
-    # two narrow frames once cuts it to one dl scan + one tf explode
-    # (guide §2.4; both are (doc_id, number)-class rows).
+    # r14: dl feeds the corpus stats AND the score join — as two plan
+    # subtrees the corpus was scanned + segment-counted twice;
+    # materialized once (guide §2.4; (doc_id, double) rows). tf also
+    # feeds two consumers (df counts + score join) but stays INLINE: its
+    # fused explode→filter shape is plan-asserted
+    # (test_bm25_explode_filters_early_and_topk_no_sort) and a checkpoint
+    # would hide the Generate behind a LogicalRDD; the duplicated pass is
+    # the filtered (doc, term) stream, ≈ |terms| × docs rows, not corpus
+    # tokens.
     dl = t.documents.select(
         "doc_id", ws_segment_count(F.col("text")).cast("double").alias("dl")
     ).localCheckpoint(eager=False)
@@ -464,7 +468,7 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-    ).localCheckpoint(eager=False)
+    )
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
     norm = F.col("tf") + _BM25_K1 * (
