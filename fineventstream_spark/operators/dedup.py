@@ -345,8 +345,15 @@ def ngram_jaccard_verify(
         .distinct()
     )
     needed = df.join(ids, df[id_col] == ids.id, "left_semi")
-    sh = needed.select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles(words, shingle_n)).alias("sh")
+    # sh feeds BOTH pair sides below; unpersisted, the semi-join + shingle
+    # subtree (and the caller's whole rep_corpus lineage — the exact-collapse
+    # groupBy included) executes once per side (r14, guide §5: cache what is
+    # reused; candidate-bounded rows, tracked: see release_intermediates)
+    sh = persist_tracked(
+        needed.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(words, shingle_n)).alias("sh"),
+        )
     )
     out = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -1199,25 +1206,29 @@ def incremental_dedup_against_store(
     )
 
     # 5. joint-size cap: stored entries + shard additions, same rule the
-    # from-scratch run applies to the full bucket
-    st_cnt = matched.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__ns")
-    )
-    sh_cnt = shard_bands.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__nh")
-    )
-    joint = F.coalesce(F.col("__ns"), F.lit(0)) + F.col("__nh")
-    # the n ≥ 2 half of the filter matches from-scratch's bsz > 1 and is
+    # from-scratch run applies to the full bucket. One union + one
+    # partial-aggregated count replaces the earlier two-groupBy + left
+    # join (r14, guide §2.4): every matched bucket is by construction
+    # also a shard bucket (matched ⊆ touched), so counting rows of the
+    # union over (band, bucket) IS stored + shard occupancy — no group
+    # appears on one side only.
+    # The n ≥ 2 half of the filter matches from-scratch's bsz > 1 and is
     # ALSO the cost bound: singleton buckets (the vast majority on a
-    # mostly-unique corpus) never reach the sig-carrying pair machinery
+    # mostly-unique corpus) never reach the sig-carrying pair machinery.
     # keep feeds three semi-joins (store-side cross, shard-side cross, and
     # the shard-pair bucket filter) — persist the tiny (band, bucket) list
-    # so its two-groupBy + join subtree builds once (r14; shard-bounded
-    # row count, same class as the other probe intermediates)
+    # (shard-bounded row count, same class as the other probe
+    # intermediates)
+    joint_cnt = (
+        matched.select("band", "bucket")
+        .unionByName(shard_bands.select("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__joint"))
+    )
     keep = persist_tracked(
-        sh_cnt.join(st_cnt, ["band", "bucket"], "left")
-        .filter((joint >= 2) & (joint <= max_bucket))
-        .select("band", "bucket")
+        joint_cnt.filter(
+            (F.col("__joint") >= 2) & (F.col("__joint") <= max_bucket)
+        ).select("band", "bucket")
     )
 
     agree_frac = lambda a, b: F.aggregate(  # noqa: E731

@@ -335,14 +335,19 @@ def cosine_near_dup_pairs(
     from fineventstream_spark.operators.dedup import persist_tracked
 
     chain = _band_bucket_chain_udf(planes, n_bands, extra, split_levels, split_bits)
+    # §8 split (r14, guide §2.3/§8 — shuffle keys and metadata, not
+    # payloads): every bucketing/cap decision below depends only on
+    # (id, chain) — ~45 bytes/row — never on the vector, so the vec
+    # column (512 B at dim=64, arbitrarily wide in general) stays OUT of
+    # the level windows and the pair self-join entirely; it is attached
+    # exactly once, to the candidate pairs, at the end.
     # persisted: the chain kernel (126 plane dot products per vector)
-    # feeds split_levels+1 union branches AND both sides of the pair
-    # self-join — unpersisted, AQE re-executes it per branch (r12 review;
-    # same lesson as the r5 minhash history note above)
+    # feeds split_levels+1 union branches — unpersisted, AQE re-executes
+    # it per branch (r12 review; same lesson as the r5 minhash history
+    # note above)
     keyed = persist_tracked(
         df.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
             F.explode(chain(F.col(vec_col))).alias("chain"),
         )
     )
@@ -365,13 +370,11 @@ def cosine_near_dup_pairs(
         cur = cur.withColumn("bsz", F.count(F.lit(1)).over(bucket_w))
         finals.append(
             cur.filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)).select(
-                "bucket", "id", "vec"
+                "bucket", "id"
             )
         )
         if d < split_levels:
-            remaining = cur.filter(F.col("bsz") > max_bucket).select(
-                "id", "vec", "chain"
-            )
+            remaining = cur.filter(F.col("bsz") > max_bucket).select("id", "chain")
         # else: still-over-cap buckets at max depth are dropped (degenerate
         # piles of identical-direction vectors, e.g. all-zero embeddings)
 
@@ -381,13 +384,33 @@ def cosine_near_dup_pairs(
     # persisted: capped feeds both sides of the pair join below; without
     # it the whole level hierarchy (windows included) executes twice
     capped = persist_tracked(capped)
-    a = capped.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = capped.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    sim = _pair_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
-    return (
+    a = capped.select("bucket", F.col("id").alias("id_a"))
+    b = capped.select("bucket", F.col("id").alias("id_b"))
+    # candidate pairs deduped across buckets BEFORE the vectors attach:
+    # cosine is a pure function of the pair, so deduping first computes
+    # it once per pair (the pre-r14 shape deduped after) — and the
+    # bounded pair list is what the corpus-scale vec column joins against
+    cand = persist_tracked(
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # two more column-pruned (id, vec) scans in place of carrying vec
+    # through every level window and both join sides: the pair list is
+    # bucket-cap-bounded, so AQE broadcasts it (and then the pairs+vec_a
+    # intermediate) and the corpus streams map-side both times — the
+    # vectors never shuffle at all
+    sim = _pair_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
+    return (
+        cand.join(
+            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")),
+            "id_b",
+        )
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
