@@ -663,29 +663,37 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar columns: the driver's canonicalizer hashes cell values and
     # cannot handle array cells.
     iqr = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
-    approx = t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__p50a"),
-        F.element_at(iqr, 1).alias("__p25a"),
-        F.element_at(iqr, 2).alias("__p75a"),
-        F.count("l_extendedprice").alias("n"),
-    )
+    sketch_aggs = {
+        "__p50a": F.percentile_approx("l_extendedprice", 0.5, 10000),
+        "__p25a": F.element_at(iqr, 1),
+        "__p75a": F.element_at(iqr, 2),
+        "n": F.count("l_extendedprice"),
+    }
     if not audits_enabled():
-        return approx.select(
+        return t.lineitem.groupBy("l_returnflag").agg(
+            *[c.alias(a) for a, c in sketch_aggs.items()]
+        ).select(
             "l_returnflag",
             "n",
             F.col("__p25a").alias("p25_approx"),
             F.col("__p50a").alias("p50_approx"),
             F.col("__p75a").alias("p75_approx"),
         )
+    # r14 (guide §1.2 fewest passes): the sketch rides exact_percentiles'
+    # pass-1 extent scan as extra_aggs — previously a second full fact
+    # scan plus a join on the group key (the exact same shape the r13
+    # q_agg_stats fix removed). Sketch values identical: extra_aggs run
+    # per-group over all rows, as the separate groupBy did.
     exact = exact_percentiles(
         t.lineitem, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75],
         aliases=["p25", "p50", "p75"],
+        extra_aggs=sketch_aggs,
     )
 
     def _ok(a, e):  # relative deviation gate; exact quartiles are > 0 here
         return F.abs(F.col(a) / F.col(e) - 1.0) <= 0.005
 
-    return approx.join(exact, "l_returnflag").select(
+    return exact.select(
         "l_returnflag",
         "n",
         "p25",
@@ -776,9 +784,16 @@ def q_agg_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first look at any key's fan-out (skew diagnosis: a fat tail here is
     tomorrow's hot-key shuffle). Two aggregations, but the second runs
     on the order-sized intermediate, and the 7-row result aggregates
-    map-side."""
-    t = Tables(spark, sf_dir)
-    per_order = t.lineitem.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    map-side.
+
+    r14: the per-order count reads the bucketed orderkey layout — the
+    grouping key IS the bucket key, so the first (lineitem-sized)
+    exchange disappears; the only shuffle left is the ≤7-rows-per-task
+    partial-aggregated n_lines histogram."""
+    from fineventstream_spark.operators.bucketed import bucketed_table
+
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
     return (
         per_order.groupBy("n_lines")
         .agg(F.count("*").alias("n_orders"))

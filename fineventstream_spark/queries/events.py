@@ -302,6 +302,12 @@ def q_event_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_agg_sketch_rollup, Y22) replaces the exact count: one HLL per
     day, unions over the window — no expansion at all."""
     t = Tables(spark, sf_dir)
+    # r14: act feeds two consumers, but BOTH prune to the same (d,
+    # user_id) columns, so the two exchange subtrees are byte-identical
+    # and AQE's exchange reuse already runs the distinct once (measured:
+    # a localCheckpoint changed shuffle bytes 0%, only added 4 MB of
+    # block-manager traffic — reverted). Contrast tfidf/edit_distance,
+    # where differing column pruning below the exchange defeats reuse.
     act = t.events.select(F.to_date("ts").alias("d"), "user_id").distinct()
     days = act.select(F.col("d").alias("day")).distinct()
     expanded = act.select(
@@ -632,6 +638,12 @@ def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events never self-join, and the converter set is a DISTINCT on
     user_id, so the expansion is bounded by purchases per user."""
     t = Tables(spark, sf_dir)
+    # r14: a feeds the conversion join AND the final left join, but the
+    # click aggregate subtree is identical in both branches (pruning
+    # drops ta only ABOVE the aggregate), so exchange reuse already runs
+    # it once — a localCheckpoint changed jobs/stages/shuffle 0% and
+    # only added block-manager traffic (measured; same verdict as
+    # q_event_rolling_active). Left as-is.
     a = (
         t.events.filter(F.col("event_type") == "click")
         .groupBy("user_id")

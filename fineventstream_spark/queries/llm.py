@@ -1656,8 +1656,14 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's GROUP BY text) — identical texts are exact-dedup's
     # territory, and pairing them makes the OUTPUT quadratic on
     # boilerplate-heavy corpora
-    reps = t.documents.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars")
+    # r14 (guide §2.4/§5): reps feeds FOUR consumers (both pair sides +
+    # both text re-fetches) — as four plan subtrees the corpus was
+    # scanned and the full-text groupBy exchange executed four times per
+    # run; materialized once, the collapse shuffles each text once.
+    reps = (
+        t.documents.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars"))
+        .localCheckpoint(eager=False)
     )
 
     # repartition BOTH sides: whichever one the planner picks as the

@@ -79,11 +79,18 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
     )
     eval_sh = sh.filter(F.col("doc_id") % 20 == 0).select("sh").distinct()
-    train_sh = sh.filter(F.col("doc_id") % 20 != 0).distinct()
-    return (
-        train_sh.join(F.broadcast(eval_sh), "sh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared_shingles"))
+    # r14 (guide §2.3 — filter before the exchange): the broadcast join is
+    # map-side, so probing the eval set FIRST means only matching
+    # (doc_id, shingle) rows ever reach a shuffle; the pre-r14 shape
+    # distinct-ed every train shingle string (the whole corpus tokenized,
+    # shuffled as text) before the selective join. count_distinct fuses
+    # the old distinct + count(*) into one partial-aggregated exchange;
+    # per-doc shingles are counted once either way.
+    train_hits = sh.filter(F.col("doc_id") % 20 != 0).join(
+        F.broadcast(eval_sh), "sh"
+    )
+    return train_hits.groupBy("doc_id").agg(
+        F.count_distinct("sh").alias("n_shared_shingles")
     )
 
 
@@ -363,7 +370,13 @@ def q_llm_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight, integer-derived doubles → bit-identical ranking across
     engines; ties broken by term). Two aggregations share the exploded
     frame's (doc, term) partitioning; the per-term df table is small
-    (vocabulary-sized) and broadcasts back."""
+    (vocabulary-sized) and broadcasts back.
+
+    r14 (guide §2.4/§5): tf feeds BOTH the df vocabulary aggregate and
+    the score join — as two plan subtrees the corpus was tokenized and
+    the full (doc, term) stream shuffled TWICE per run; materialized
+    once (same localCheckpoint idiom as bm25's dl; rows bounded by
+    distinct (doc, term) pairs, far smaller than the token stream)."""
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
@@ -372,6 +385,7 @@ def q_llm_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     score = F.col("tf") * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))

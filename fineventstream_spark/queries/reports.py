@@ -468,24 +468,40 @@ def q_report_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING subquery becomes a LEFT SEMI join against a pre-aggregated
     keyset — the aggregate shrinks lineitem to one row per orderkey
     *before* any join, and the semi-join carries keys only (no row
-    explosion, no duplicate-elimination afterwards). At 100 TB both
-    shuffles are on l_orderkey, so AQE can reuse the exchange between
-    the keyset aggregate and the detail aggregate."""
+    explosion, no duplicate-elimination afterwards).
+
+    r14: rewritten onto the bucketed orderkey layout — the keyset
+    aggregate, the orders semi-join, the detail join AND the per-order
+    quantity aggregate (grouping contains the bucket key, Q3's trick)
+    are all bucket-co-located, ZERO exchanges. The customer join moved
+    AFTER the per-order aggregate: o_orderkey is unique and c_custkey
+    is a key, so joining the 1-row-per-order aggregate to its customer
+    is 1:1 — same rows, but the custkey shuffle now carries only the
+    HAVING-filtered order aggregates instead of every joined lineitem
+    detail row (AQE promotes it to broadcast when the filtered side is
+    small at runtime — scale-adaptive, not hinted, because the >150
+    keyset is a fraction of orders, not dim-sized)."""
     t = Tables(spark, sf_dir)
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    od = bucketed_table(spark, sf_dir, "orders")
     big = (
-        t.lineitem.groupBy("l_orderkey")
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__qty"))
         .filter(F.col("__qty") > 150)
         .select("l_orderkey")
     )
-    orders = t.orders.join(
-        big, t.orders.o_orderkey == big.l_orderkey, "left_semi"
+    orders = od.join(big, od.o_orderkey == big.l_orderkey, "left_semi")
+    per_order = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
     )
     return (
-        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        t.customer.join(per_order, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
@@ -674,8 +690,20 @@ def q_report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier→nation label) is either a broadcast or an early row-count
     reduction; the share itself is a conditional-sum ratio, one
     aggregate shuffle on year (~7 groups) — the numerator CASE rides
-    the same pass as the denominator, never a second scan."""
+    the same pass as the denominator, never a second scan.
+
+    r14: rewritten onto the bucketed orderkey layout like Q3/Q5/Q7/Q10 —
+    this was the one orderkey-joining report query still shuffling both
+    fact sides. lineitem reaches the orders SMJ through broadcast joins
+    only (parts gate, supplier label), so the bucketed distribution
+    survives and the orderkey join is bucket-co-located; the AMERICA
+    customer keyset (dim-scale, same 1:40 ratio Q3 broadcasts) becomes a
+    broadcast semi-join instead of a shuffled SMJ LeftSemi. The only
+    exchange left is the 7-group year aggregate. Aggregate-collapsing
+    consumer → plain layout, not route_skew (operators/bucketed.py A/B)."""
     t = Tables(spark, sf_dir)
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    od = bucketed_table(spark, sf_dir, "orders")
     parts = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     amer_nat = (
         t.nation.join(
@@ -693,10 +721,10 @@ def q_report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "supp_nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cus, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cus), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .withColumn("o_year", F.year("o_orderdate"))
         .withColumn("volume", vol)
         .groupBy("o_year")
@@ -847,10 +875,25 @@ def q_report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_late_supp = 1. That turns two correlated semi/anti joins (three
     scans of lineitem) into one orderkey aggregate + one co-partitioned
     join back — at 100 TB, two orderkey shuffles total, no row
-    explosion. Top-10 via TakeOrderedAndProject with s_name tiebreak."""
+    explosion. Top-10 via TakeOrderedAndProject with s_name tiebreak.
+
+    r14: on non-degenerate layouts every orderkey step (the orders join,
+    the per-order stats aggregate, the stats join-back) rides the
+    bucketed orderkey layout — ZERO fact exchanges (was: lineitem
+    shuffled for the join, again for the aggregate, and the joined
+    stream shuffled for the join-back). lo still feeds two consumers, so
+    the co-located merge runs twice — two local columnar scans, which is
+    the cheap side of the trade against three fact-wide exchanges. On
+    hot-order (zipf) layouts the r10 shuffle form is kept, same gate as
+    Q9: AQE's OptimizeSkewedJoin can split the hot join partition, which
+    a bucket-pinned plan cannot."""
     t = Tables(spark, sf_dir)
-    lo = t.lineitem.join(
-        t.orders.filter(F.col("o_orderstatus") == "F").select(
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    od = bucketed_table(spark, sf_dir, "orders")
+    if layout_skew_degenerate(spark, sf_dir, "lineitem"):
+        li, od = t.lineitem, t.orders
+    lo = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        od.filter(F.col("o_orderstatus") == "F").select(
             "o_orderkey", "o_orderdate"
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -858,11 +901,21 @@ def q_report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    stats = lo.groupBy(F.col("l_orderkey").alias("st_ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # r14: two countDistincts over one group plan as Expand (2× the rows)
+    # + an exchange on (key, distinct-col, gid) that no orderkey layout
+    # can satisfy. The same counts as two stacked orderkey-prefixed
+    # aggregates: dedup to (order, supplier, any-late) first — suppkey is
+    # never NULL, so count(*) over the deduped rows IS count(DISTINCT
+    # l_suppkey), and a supplier is late iff max(late) — then count per
+    # order. Both group keys start with l_orderkey, so the bucketed path
+    # runs them exchange-free and the skew path partial-aggregates
+    # map-side with no Expand.
+    supp = lo.groupBy(F.col("l_orderkey").alias("st_ok"), "l_suppkey").agg(
+        F.max("late").alias("__supp_late")
+    )
+    stats = supp.groupBy("st_ok").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("__supp_late"), True)).alias("n_late_supp"),
     )
     return (
         lo.filter(F.col("late"))

@@ -1204,3 +1204,74 @@ def test_hof_lint_anchors_lambda_to_call_span():
 
     # md5-class kernels flag regardless of lambdas
     assert expensive_expr_reason("Project [md5(cast(k#1 as binary)) AS h#2]") == "md5"
+
+
+def test_q8_market_share_single_tiny_shuffle(spark, sf_dir):
+    """TPC-H Q8 (r14 bucketed rewrite): lineitem reaches the orders join
+    through broadcast-only joins, the orderkey join is co-located on the
+    bucketed layout, and the AMERICA customer gate broadcasts — the ONLY
+    shuffle left is the ~7-group year aggregate."""
+    plan = _plan(spark, sf_dir, "q_report_market_share")
+    n = _shuffle_exchanges(plan)
+    assert n <= 1, f"q_report_market_share shuffles ({n}):\n{plan}"
+    assert "Bucketed: true" in plan
+    assert "SortMergeJoin LeftSemi" not in plan, "customer gate shuffles again"
+
+
+def test_q18_large_orders_zero_fact_shuffle(spark, sf_dir):
+    """TPC-H Q18 (r14 bucketed rewrite): keyset aggregate, orders
+    semi-join, detail join and per-order aggregate are all
+    bucket-co-located, and the customer join happens AFTER the per-order
+    aggregate — no fact-sized exchange anywhere (the custkey join side
+    carries only HAVING-filtered order aggregates)."""
+    plan = _plan(spark, sf_dir, "q_report_large_orders")
+    n = _shuffle_exchanges(plan)
+    assert n <= 2, f"q_report_large_orders fact shuffle came back ({n}):\n{plan}"
+    assert "Bucketed: true" in plan
+
+
+def test_q21_waiting_suppliers_no_expand_single_tiny_shuffle(spark, sf_dir):
+    """TPC-H Q21 (r14): the per-order supplier stats must plan as two
+    stacked orderkey-prefixed aggregates — NO Expand (the two-countDistinct
+    form doubled every joined row before an exchange no orderkey layout
+    could satisfy). On the uniform (non-degenerate) layout everything
+    orderkey rides the buckets; the only shuffle is the 10-row s_name
+    aggregate."""
+    plan = _plan(spark, sf_dir, "q_report_waiting_suppliers")
+    assert "Expand" not in plan, f"countDistinct Expand came back:\n{plan}"
+    n = _shuffle_exchanges(plan)
+    assert n <= 1, f"q_report_waiting_suppliers shuffles ({n}):\n{plan}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_count_of_counts_zero_fact_shuffle(spark, sf_dir):
+    """q_agg_count_of_counts (r14): the per-order count groups by the
+    bucket key on the bucketed layout — the only exchanges left carry
+    the ~17-row n_lines histogram and its output sort."""
+    plan = _plan(spark, sf_dir, "q_agg_count_of_counts")
+    n = _shuffle_exchanges(plan)
+    assert n <= 2, f"q_agg_count_of_counts fact shuffle came back ({n}):\n{plan}"
+    assert "Bucketed: true" in plan
+
+
+def test_decontaminate_probes_eval_set_before_any_exchange(spark, sf_dir):
+    """q_llm_decontaminate (r14): the broadcast eval-shingle probe must
+    sit BELOW every shuffle exchange (map-side filter first — only
+    matching (doc, shingle) rows may reach an exchange). The pre-r14
+    shape distinct-ed the whole tokenized corpus before the selective
+    join."""
+    plan = _plan(spark, sf_dir, "q_llm_decontaminate")
+    tree = plan.split("(1) Scan")[0]
+    join_at = tree.find("BroadcastHashJoin")
+    assert join_at != -1, f"eval probe is not a broadcast join:\n{plan}"
+    # the STREAMED (train) side prints between the join node and its
+    # BroadcastExchange build child; the eval set's own distinct
+    # exchange (benchmark-sized, inside the broadcast subtree) is fine
+    build_at = tree.find("BroadcastExchange", join_at)
+    assert build_at != -1, f"no broadcast build side:\n{plan}"
+    import re
+
+    streamed = tree[join_at:build_at]
+    assert not re.search(r"\bExchange \(\d+\)", streamed), (
+        f"shuffle exchange on the streamed side below the eval probe:\n{plan}"
+    )
