@@ -625,11 +625,20 @@ def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations per ship-year. The nation-pair predicate is applied to the
     *broadcast* nation dim BEFORE the fact joins, so supplier and
     customer shrink to 2/25 of their rows ahead of the big
-    lineitem ⋈ orders shuffle — the OR-of-pairs filter then only has to
-    reject the two same-nation combinations. At 100 TB the only large
-    shuffles are lineitem ⋈ orders (orderkey) and ⋈ customer (custkey);
-    everything nation-shaped is broadcast."""
+    lineitem ⋈ orders join — the OR-of-pairs filter then only has to
+    reject the two same-nation combinations.
+
+    r14: the orderkey join rides the bucketed layout (the shipdate
+    filter and the supplier broadcast both preserve the bucket
+    distribution, so the SMJ is co-located — at sf0.1 the planner
+    broadcasts orders outright, but past the autoBroadcast threshold
+    the un-hinted join flips to a full-fact SMJ, the exact sf30 cliff
+    Q9's r7 rewrite recorded); the 2/25-filtered supplier and customer
+    maps are explicitly broadcast dims. The only shuffle at any scale
+    is the ~(2 × 2 × years)-group aggregate."""
     t = Tables(spark, sf_dir)
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    od = bucketed_table(spark, sf_dir, "orders")
     nat = t.nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
     sup = t.supplier.join(
         F.broadcast(nat.select(F.col("n_nationkey").alias("s_nk"),
@@ -641,13 +650,13 @@ def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("n_name").alias("cust_nation"))),
         F.col("c_nationkey") == F.col("c_nk"),
     ).select("c_custkey", "cust_nation")
-    lines = t.lineitem.filter(
+    lines = li.filter(
         F.col("l_shipdate").between("1996-01-01", "1999-12-31")
     )
     return (
-        lines.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cus, F.col("c_custkey") == F.col("o_custkey"))
+        lines.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cus), F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")

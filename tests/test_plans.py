@@ -1275,3 +1275,18 @@ def test_decontaminate_probes_eval_set_before_any_exchange(spark, sf_dir):
     assert not re.search(r"\bExchange \(\d+\)", streamed), (
         f"shuffle exchange on the streamed side below the eval probe:\n{plan}"
     )
+
+
+def test_q7_volume_shipping_single_tiny_shuffle(spark, sf_dir):
+    """TPC-H Q7 (r14 bucketed rewrite): the shipdate filter and the
+    broadcast nation-filtered supplier map preserve the bucketed
+    distribution into the orderkey join, and the 2/25-filtered customer
+    map broadcasts — the only shuffle at any scale is the
+    ~(2 × 2 × years)-group aggregate."""
+    plan = _plan(spark, sf_dir, "q_report_volume_shipping")
+    n = _shuffle_exchanges(plan)
+    assert n <= 1, f"q_report_volume_shipping shuffles ({n}):\n{plan}"
+    assert "Bucketed: true" in plan
+    assert "SortMergeJoin Inner" not in plan or "Exchange" not in plan.split(
+        "SortMergeJoin Inner"
+    )[0][-400:], "orderkey SMJ re-shuffles a bucketed side"
