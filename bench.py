@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE JSON line (bounded — see compact_result):
   {"metric": "total_headline_sec", "value": N, "unit": "sec",
    "queries": {...}, "queries_cold": {...}, "persist_bearing": [...],
-   "order_seed": N, "order": {...}, "sf": "..."}
+   "order_seed": N, "sf": "...", "n_queries": N, "n_failed": N}
+The full result (order map, cold disagreements, failure detail) is
+written to BENCH_LOCAL_r<N>.json.
 
 "queries" holds min-of-reps; "queries_cold" the first rep. For queries
 whose plan persist()s an intermediate (detected mechanically, listed in
@@ -113,6 +115,59 @@ HEADLINE = [
 def materialize(df) -> None:
     """Execute the full query without collecting to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+# Keys the ONE-LINE stdout JSON keeps (r15, r14 verdict #2): the r13 driver
+# artifact lost its per-query map because the full line (5,022 bytes with
+# the 53-entry "order" map and "cold_disagreement") outgrew the driver's
+# ~4 KB tail capture and the head of the line was truncated away. The
+# printed line now carries the contract fields plus per-query min + cold
+# ONLY; the complete result (order map, cold disagreements, failures
+# detail) still lands in BENCH_LOCAL_r<N>.json. Additions-only: no key in
+# the driver contract is renamed or removed, and "queries" entries are
+# unchanged. A test pins the line under 4 KB for the current headline set.
+_COMPACT_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "queries",
+    "queries_cold",
+    "persist_bearing",
+    "order_seed",
+    "sf",
+    "n_queries",
+    "n_failed",
+    "total_is_partial",
+)
+
+
+# Hard byte budget for the printed line: the r13 driver capture held
+# ~4 KB; stay under it with margin. Contract fields (metric/value/unit/
+# queries/sf + the failure markers) are never shed — only the added
+# diagnostics, which remain complete in BENCH_LOCAL_r<N>.json.
+LINE_BUDGET_BYTES = 4000
+
+
+def compact_result(result: dict) -> dict:
+    """The bounded subset of ``result`` printed as the one-line JSON.
+
+    If the compact form still exceeds LINE_BUDGET_BYTES (e.g. a
+    pathological sweep where most queries turn persist-bearing, fattening
+    both the persist_bearing list and queries_cold), shed the added
+    diagnostics in order of redundancy: first restrict queries_cold to
+    the persist-bearing queries (elsewhere cold is a near-duplicate of
+    the min), then drop it entirely. "queries" entries are NEVER removed
+    or renamed (driver contract).
+    """
+    compact = {k: result[k] for k in _COMPACT_KEYS if k in result}
+    if len(json.dumps(compact)) > LINE_BUDGET_BYTES and "queries_cold" in compact:
+        bearing = set(compact.get("persist_bearing", ()))
+        compact["queries_cold"] = {
+            k: v for k, v in compact["queries_cold"].items() if k in bearing
+        }
+    if len(json.dumps(compact)) > LINE_BUDGET_BYTES:
+        compact.pop("queries_cold", None)
+    return compact
 
 
 def main() -> None:
@@ -318,7 +373,12 @@ def main() -> None:
                 fh.write("\n")
         except OSError as exc:
             print(f"# could not write {local_path}: {exc}", file=sys.stderr)
-    print(json.dumps(result))
+    # failure DETAIL (per-query messages, unbounded length) stays in the
+    # LOCAL artifact; the printed line keeps the n_failed count and the
+    # total_is_partial marker so a failing round still can't read as a
+    # speedup (query names of failures are recoverable from the missing
+    # "queries" entries).
+    print(json.dumps(compact_result(result)))
 
 
 if __name__ == "__main__":

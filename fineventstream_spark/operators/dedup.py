@@ -246,8 +246,16 @@ def minhash_lsh_candidates(
     # (tracked: see release_intermediates)
     sig = persist_tracked(sig_and_buckets)
 
+    # r15 (guide §2.3/§8 — shuffle keys and metadata, not payloads; the
+    # same split r14 applied to the embedding LSH): band entries carry
+    # ONLY (band, bucket, id). The 512-byte signature array used to ride
+    # the collect_list exchange 16× per doc (one per band) just so the
+    # in-bucket agreement could read it; now pairs form on ids alone and
+    # the signatures attach to the DEDUPED pair list at the end via two
+    # joins against the persisted (cached) sig table — at corpus scale
+    # the band shuffle shrinks from sig×bands to ~16 bytes×bands per rep.
     band_entries = sig.select(
-        "id", "sig", F.posexplode("buckets").alias("band", "bucket")
+        "id", F.posexplode("buckets").alias("band", "bucket")
     )
 
     # Pair formation within buckets; cap bucket size to bound the blow-up.
@@ -288,7 +296,7 @@ def minhash_lsh_candidates(
     )
     capped = band_entries.join(keep, ["band", "bucket"], "left_semi")
     buckets_g = capped.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("es")
+        F.sort_array(F.collect_list("id")).alias("es")
     )
     pair = F.explode(
         F.flatten(
@@ -304,19 +312,33 @@ def minhash_lsh_candidates(
             )
         )
     )
+    # ids sort identically to the old struct(id, sig) sort (ids are unique,
+    # so the struct comparison never reached sig) — pair orientation
+    # (id_a < id_b) is unchanged. Dedup BEFORE the sig joins: est_jaccard
+    # is a pure function of the pair, so per-band duplicates carried
+    # identical values anyway and each surviving pair now computes it once.
+    pairs = (
+        buckets_g.select(pair.alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     agree = F.aggregate(
-        F.zip_with("p.a.sig", "p.b.sig", lambda x, y: (x == y).cast("int")),
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(num_hashes))
+    # sig re-attach reads the persisted sig table (no kernel re-run); the
+    # pair list is bucket-cap-bounded, so AQE broadcasts it and the sig
+    # side streams map-side — left un-hinted so a degenerate pair list
+    # falls back to a shuffle instead of an OOM.
     return (
-        buckets_g.select(pair.alias("p"))
-        .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.round(agree, 4).alias("est_jaccard"),
+        pairs.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa")), "id_a"
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb")), "id_b"
+        )
+        .select("id_a", "id_b", F.round(agree, 4).alias("est_jaccard"))
     )
 
 
@@ -1270,13 +1292,14 @@ def incremental_dedup_against_store(
     )
 
     # 6b. shard × shard candidates: the exact pair-formation shape of
-    # minhash_lsh_candidates (bounded collect_list + upper triangle)
-    sh_sig = (
-        shard_bands.join(keep, ["band", "bucket"], "left_semi")
-        .join(nsig.select("id", "sig"), "id")
-    )
-    buckets_g = sh_sig.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("es")
+    # minhash_lsh_candidates (bounded collect_list + upper triangle).
+    # r15: ids-only through the bucket exchange, signatures re-attached to
+    # the deduped pair list from the persisted nsig table (guide §2.3/§8 —
+    # same split as minhash_lsh_candidates; the struct(id, sig) sort was
+    # id-decided anyway, so pair orientation is unchanged).
+    sh_ids = shard_bands.join(keep, ["band", "bucket"], "left_semi")
+    buckets_g = sh_ids.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("es")
     )
     pair = F.explode(
         F.flatten(
@@ -1295,15 +1318,24 @@ def incremental_dedup_against_store(
     shard_pairs = (
         buckets_g.filter(F.size("es") >= 2)
         .select(pair.alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            nsig.select(F.col("id").alias("id_a"), F.col("sig").alias("__pa")),
+            "id_a",
+        )
+        .join(
+            nsig.select(F.col("id").alias("id_b"), F.col("sig").alias("__pb")),
+            "id_b",
+        )
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.round(agree_frac(F.col("p.a.sig"), F.col("p.b.sig")), 4).alias(
+            "id_a",
+            "id_b",
+            F.round(agree_frac(F.col("__pa"), F.col("__pb")), 4).alias(
                 "est_jaccard"
             ),
             F.lit("lsh").alias("kind"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
 
     cands = cross.unionByName(shard_pairs)

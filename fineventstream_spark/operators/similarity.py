@@ -321,6 +321,14 @@ def cosine_near_dup_pairs(
     pairs inside giant clusters, the pairs the cap was already dropping
     wholesale. Capacity bound: max_bucket × 2^(levels × bits) per
     band-bucket (100 × 2^24 here) before anything is dropped.
+
+    Precondition (r15, advisor note): ``df[id_col]`` must be UNIQUE.
+    Since the r14 §8 split the vectors re-attach by joining the deduped
+    pair list back to ``df`` on id — a duplicated id would re-multiply
+    pairs there (the pre-r14 shape deduped last and so tolerated it).
+    Every caller passes a primary key (doc_id); a defensive final
+    ``dropDuplicates`` would add an exchange to pay for a contract
+    violation, so the precondition is documented instead.
     """
     if n_planes % n_bands:
         raise ValueError(f"n_planes ({n_planes}) must divide into {n_bands} bands")

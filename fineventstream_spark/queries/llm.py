@@ -258,7 +258,13 @@ def _exact_collapse(corpus: DataFrame):
     # per task, the no-skew-hazard property the note above relies on);
     # the members join shuffles (doc_id, 32-byte sha) pairs only; the
     # semi-join is gone.
-    keyed = corpus.select("doc_id", "text", F.sha2(F.col("text"), 256).alias("__sha"))
+    # r15 (guide §2.3 narrower types): the group key is the 32-BYTE binary
+    # digest (unhex of sha2's hex string), not the 64-char hex — halves the
+    # key bytes in the groupBy exchange and the members join. Equality
+    # semantics are unchanged (hex equality == binary equality).
+    keyed = corpus.select(
+        "doc_id", "text", F.unhex(F.sha2(F.col("text"), 256)).alias("__sha")
+    )
     rep = keyed.groupBy("__sha").agg(
         F.min("doc_id").alias("rep_id"), F.any_value("text").alias("text")
     )
@@ -1784,8 +1790,10 @@ def q_llm_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (value-deterministic within a sha group; sha2(NULL) IS NULL, so the
     # NULL-text docs form the same single group they did under
     # groupBy(text)), and the rep_corpus semi-join is gone.
+    # r15: 32-byte binary digest key (see _exact_collapse) — unhex(NULL)
+    # IS NULL, so the NULL-text single-group behavior is preserved.
     keyed = corpus.select(
-        "doc_id", "text", F.sha2(F.col("text"), 256).alias("__sha")
+        "doc_id", "text", F.unhex(F.sha2(F.col("text"), 256)).alias("__sha")
     )
     rep = keyed.groupBy("__sha").agg(
         F.min("doc_id").alias("rep_id"), F.any_value("text").alias("text")

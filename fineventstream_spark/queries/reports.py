@@ -29,7 +29,10 @@ from fineventstream_spark.operators.bucketed import (
     bucketed_table,
     layout_skew_degenerate,
 )
-from fineventstream_spark.operators.sizing import broadcast_else_shuffle_hash
+from fineventstream_spark.operators.sizing import (
+    broadcast_else_shuffle_hash,
+    maybe_broadcast,
+)
 from fineventstream_spark.queries._money import (
     DISC_REV_UNITS_SQL,
     REV_UNITS_SQL,
@@ -634,8 +637,15 @@ def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts orders outright, but past the autoBroadcast threshold
     the un-hinted join flips to a full-fact SMJ, the exact sf30 cliff
     Q9's r7 rewrite recorded); the 2/25-filtered supplier and customer
-    maps are explicitly broadcast dims. The only shuffle at any scale
-    is the ~(2 × 2 × years)-group aggregate."""
+    maps are SIZE-GUARDED broadcasts (r15, module contract lines 11-15:
+    supplier/customer grow with SF, so a bare ``F.broadcast`` would ram
+    the 8 GB limit / driver OOM at SF where AQE would have demoted it —
+    ``maybe_broadcast`` hints only while the backing scan is knowably
+    under the conf ceiling and otherwise leaves the join declarative;
+    not ``broadcast_else_shuffle_hash``, whose SHUFFLE_HASH fallback
+    would force an exchange on the bucketed FACT side). At every SF
+    where the broadcast fits, the only shuffle is the
+    ~(2 × 2 × years)-group aggregate."""
     t = Tables(spark, sf_dir)
     li = bucketed_table(spark, sf_dir, "lineitem")
     od = bucketed_table(spark, sf_dir, "orders")
@@ -654,9 +664,9 @@ def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").between("1996-01-01", "1999-12-31")
     )
     return (
-        lines.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        lines.join(maybe_broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cus), F.col("c_custkey") == F.col("o_custkey"))
+        .join(maybe_broadcast(cus), F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -709,7 +719,13 @@ def q_report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer keyset (dim-scale, same 1:40 ratio Q3 broadcasts) becomes a
     broadcast semi-join instead of a shuffled SMJ LeftSemi. The only
     exchange left is the 7-group year aggregate. Aggregate-collapsing
-    consumer → plain layout, not route_skew (operators/bucketed.py A/B)."""
+    consumer → plain layout, not route_skew (operators/bucketed.py A/B).
+
+    r15: part/supplier/customer-derived sides grow with SF — their
+    broadcasts are size-guarded (``maybe_broadcast``: hint only while the
+    backing scan is knowably under the conf ceiling, else leave the join
+    declarative for AQE), per the module scale contract; a bare hint
+    bypasses autoBroadcastJoinThreshold and OOMs past the 8 GB limit."""
     t = Tables(spark, sf_dir)
     li = bucketed_table(spark, sf_dir, "lineitem")
     od = bucketed_table(spark, sf_dir, "orders")
@@ -730,10 +746,10 @@ def q_report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "supp_nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(maybe_broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cus), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(maybe_broadcast(cus), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .withColumn("o_year", F.year("o_orderdate"))
         .withColumn("volume", vol)
         .groupBy("o_year")

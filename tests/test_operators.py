@@ -595,6 +595,34 @@ def test_exact_percentiles_global_spec_joined_path(spark):
     assert pg.count() == 200
 
 
+def test_exact_percentiles_extra_aggs_joined_path(spark):
+    """r15 (advisor note): extra_aggs must be attached — not silently
+    dropped — when the group cardinality exceeds LITERAL_MAX_GROUPS and
+    the operator takes the _refine_joined path. Pins the join-back at
+    percentiles.py (stats_agg.select(group, *extra_aggs)) with values
+    cross-checked against a separate groupBy().agg()."""
+    from fineventstream_spark.operators import percentiles as P
+
+    n_groups = P.LITERAL_MAX_GROUPS + 20
+    df = spark.range(n_groups * 7).select(
+        (F.col("id") % n_groups).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = P.exact_percentiles(
+        df, "g", "v", [0.5], ["p50"], n_buckets=8,
+        extra_aggs={"n": F.count(F.lit(1)), "sd": F.round(F.stddev("v"), 6)},
+    )
+    assert {"g", "p50", "n", "sd"} <= set(out.columns)
+    got = {r.g: (r.n, r.sd) for r in out.collect()}
+    ref = {
+        r.g: (r.n, r.sd)
+        for r in df.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.stddev("v"), 6).alias("sd"))
+        .collect()
+    }
+    assert got == ref
+
+
 def test_exact_percentiles_single_value_group(spark):
     """Degenerate group (all values equal → zero-width bucket range)."""
     from fineventstream_spark.operators.percentiles import exact_percentiles

@@ -983,8 +983,12 @@ def test_lsh_bucket_cap_is_partial_agg_and_never_forces_broadcast(spark, sf_dir)
     2. with broadcasts disabled the plan contains no BroadcastExchange at
        all — nothing in the operator FORCES a corpus-scale broadcast; any
        broadcast seen under defaults is AQE's size-based choice;
-    3. exactly ONE join (the cap semi-join) and no Window — band entries
-       cross the wire once, in the pair-formation groupBy.
+    3. exactly THREE joins (the cap semi-join plus the two sig re-attach
+       joins against the persisted sig table — r15, guide §2.3/§8) and no
+       Window — band entries cross the wire once, in the pair-formation
+       groupBy, carrying ids ONLY: the signature array must never ride
+       the band exchange (pre-r15 it crossed 16× per doc inside
+       collect_list(struct(id, sig))).
     """
     import re
 
@@ -1009,7 +1013,10 @@ def test_lsh_bucket_cap_is_partial_agg_and_never_forces_broadcast(spark, sf_dir)
     aggs = re.findall(r"^\(\d+\) \w*HashAggregate", plan, re.M)
     assert len(aggs) >= 2, "cap count must be a partial-aggregated groupBy"
     joins = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
-    assert len(joins) == 1, f"expected only the cap semi-join, got {joins}"
+    assert len(joins) == 3, f"expected cap semi-join + 2 sig re-attach joins, got {joins}"
+    assert "collect_list(struct(id" not in plan, (
+        "signature arrays must not ride the band collect_list exchange (r15)"
+    )
 
 
 def test_distributed_row_number_handles_ntz_order(spark):
