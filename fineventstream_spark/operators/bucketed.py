@@ -42,7 +42,17 @@ _CACHE_ROOT = os.path.join(
 )
 
 # the bucket keys the engine's headline queries co-locate on
-BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+# r15 adds the events/user_id layout (verdict #4 A/B at sf10, artifact
+# plans/r15/sweeps/events_layout_ab_sf10.json): the six user_id-clustered
+# consumers (rolling_active / retention / sessionize / funnel /
+# session_window / udaf_grouped) shuffled 53-280 MB of fact each at sf10;
+# on the layout all six run with ~zero exchange, identical rows, walls
+# 1.6-2.2x faster. Build cost 11.7 s at sf10, ingest-side (prewarm).
+BUCKET_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+}
 
 
 def q5_prejoin_spec() -> dict:

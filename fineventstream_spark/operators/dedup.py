@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fineventstream_spark.operators.sizing import spread_for_kernel
+
 # Large prime < 2^31 keeps rolling-hash arithmetic inside exact long range
 # even under ANSI overflow checking.
 _MOD = 2_147_483_647
@@ -223,14 +225,15 @@ def minhash_lsh_candidates(
     content): at 100 TB a single hot bucket would otherwise produce a
     quadratic pair explosion on one executor.
     """
-    n_cores = df.sparkSession.sparkContext.defaultParallelism
-    # Repartition first: fixture/lake files can be few huge unsplittable row
+    # Spread first: fixture/lake files can be few huge unsplittable row
     # groups, and the signature kernel is the CPU-heavy step — spread it
-    # across all cores before computing, exactly as one would after
-    # scanning few-but-huge files on a cluster.
+    # across all cores before computing. r15: size-guarded
+    # (spread_for_kernel, guide §2.1) — at lake scale the scan's own
+    # splits fill the cores and the full-corpus text shuffle is skipped.
     sig_and_buckets = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .repartition(n_cores, "id")
+        spread_for_kernel(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"
+        )
         .select(
             "id",
             text_to_minhash_udf(num_hashes, shingle_n, bands)(F.col("t")).alias("sb"),
@@ -477,11 +480,14 @@ def text_to_simhash_udf():
 
 
 def with_simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """Attach a 64-bit SimHash of the text. Repartitions to all cores first:
-    the kernel is CPU-bound and lake files may be unsplittable single row
-    groups."""
-    n_cores = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n_cores).withColumn(out_col, text_to_simhash_udf()(F.col(text_col)))
+    """Attach a 64-bit SimHash of the text. Spreads to all cores first
+    when the input is knowably small (size-guarded, r15 — see
+    sizing.spread_for_kernel): the kernel is CPU-bound and lake files may
+    be unsplittable single row groups; at lake scale the spread shuffle
+    is skipped."""
+    return spread_for_kernel(df).withColumn(
+        out_col, text_to_simhash_udf()(F.col(text_col))
+    )
 
 
 def simhash_candidates(
@@ -683,14 +689,14 @@ def _rep_signatures(
     """Collapse to per-text representatives (min id — the exact-collapse
     rule every corpus dedup query uses) and compute their MinHash
     signatures + band buckets: (rep_id, text_sha, sig, buckets)."""
-    n_cores = docs.sparkSession.sparkContext.defaultParallelism
     rep = (
         docs.filter(F.col(text_col).isNotNull())
         .groupBy(text_col)
         .agg(F.min(id_col).alias("rep_id"))
     )
+    # size-guarded spread before the CPU-heavy kernel (r15, guide §2.1)
     return (
-        rep.repartition(n_cores, "rep_id")
+        spread_for_kernel(rep, "rep_id")
         .select(
             "rep_id",
             F.sha2(F.col(text_col), 256).alias("text_sha"),
@@ -1155,7 +1161,6 @@ def incremental_dedup_against_store(
     num_hashes = spec["num_hashes"]
 
     sigs = _read_store_sigs(spark, path, spec)
-    n_cores = spark.sparkContext.defaultParallelism
 
     # 1. exact copies of stored content: ONE content-addressed probe of
     # the compact sigs table (left join, persisted — the hit rows are the
@@ -1192,8 +1197,9 @@ def incremental_dedup_against_store(
     )
 
     # 3. signature kernel over the shard's NEW representatives only
+    # (size-guarded spread, r15 — see sizing.spread_for_kernel)
     nsig = persist_tracked(
-        new_reps.repartition(n_cores, "id")
+        spread_for_kernel(new_reps, "id")
         .select(
             "id",
             "text_sha",

@@ -289,13 +289,24 @@ def _refine_literal(
 
     # pass 2: bucket histogram (≤ k × n_buckets rows — driver-safe
     # collect; with a global spec the grouping adds the global bucket,
-    # a monotone staircase of ≤ 2 × n_buckets rows per group)
+    # a monotone staircase of ≤ 2 × n_buckets rows per group).
+    # Driver-collect bound (r15, verdict #9): this path only runs with
+    # k ≤ LITERAL_MAX_GROUPS (=64) groups, so the collect is capped at
+    # 64 × 2 × n_buckets (256) = 32,768 slim rows (~1 MB) at ANY data
+    # scale — group cardinality, not data volume, bounds it; past the
+    # cap the operator takes the zero-driver-state joined path instead.
     hist_cols = [group_col, "__b"] + (["__gb"] if global_spec is not None else [])
     bucketed = src.withColumn("__b", bucket)
     if global_spec is not None:
         bucketed = bucketed.withColumn("__gb", g_bucket)
     hist_rows = (
         bucketed.groupBy(*hist_cols).agg(F.count("*").alias("__bc")).collect()
+    )
+    # the documented cap, asserted: one (group-bucket, global-bucket) row
+    # per occupied cell, ≤ 2 cells per group-bucket when fused
+    assert len(hist_rows) <= len(stats) * n_buckets * (2 if global_spec else 1), (
+        f"histogram collect {len(hist_rows)} rows exceeds the documented "
+        f"{len(stats)} groups x {n_buckets} buckets bound"
     )
     hist: dict[object, dict[int, int]] = {}
     g_hist: dict[int, int] = {}

@@ -155,6 +155,47 @@ def hot_key_values(
     return hot
 
 
+# Ceiling under which a pre-kernel spread repartition is worth its
+# shuffle: covers every local fixture (sf0.1 documents ≈ 3 MB, sf10 ≈
+# 300 MB) with headroom, and is far under any scale where the scan's own
+# split count already fills the cores.
+KERNEL_SPREAD_MAX_INPUT_BYTES = 4 << 30
+KERNEL_SPREAD_CONF_KEY = "spark.fineventstream.kernelSpreadMaxInputBytes"
+
+
+def spread_for_kernel(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition ``df`` across all cores BEFORE a CPU-heavy Arrow kernel
+    — but ONLY while the backing scan is knowably small.
+
+    The unconditional ``repartition(n_cores, key)`` this replaces was
+    tuned for local mode (guide §2.1): fixture files can be one huge
+    row group and AQE coalesces small inputs to 1 partition, so without
+    the spread the kernel runs serial on 31 idle cores. At cluster scale
+    the same call re-shuffles the full text/vector payload for NOTHING —
+    a 100 TB scan already has orders of magnitude more splits than cores,
+    and AQE's advisory partition size keeps post-shuffle parallelism up.
+    A partition-count probe cannot make this call (``.rdd`` sees the
+    STATIC shuffle partition number, not AQE's coalesced runtime count),
+    so the decision rides the same metadata-only size probe as the
+    broadcast guard: spread while the scan is knowably under the conf
+    ceiling (``spark.fineventstream.kernelSpreadMaxInputBytes``, default
+    4 GiB); unknown or large means the input is lake-scale — skip, the
+    scale-safe default. ``cols`` (optional) keys the repartition,
+    matching the call sites' previous hash-spread behavior at small
+    scale.
+    """
+    max_bytes = int(
+        df.sparkSession.conf.get(
+            KERNEL_SPREAD_CONF_KEY, str(KERNEL_SPREAD_MAX_INPUT_BYTES)
+        )
+    )
+    nbytes = scan_input_bytes(df)
+    if nbytes is None or nbytes >= max_bytes:
+        return df
+    n_cores = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_cores, *[F.col(c) for c in cols]) if cols else df.repartition(n_cores)
+
+
 def broadcast_else_shuffle_hash(df: DataFrame, max_bytes: int) -> DataFrame:
     """Size-selected join-side strategy for a dim that GROWS with the data:
     broadcast while the scan is knowably under ``max_bytes``, else hint

@@ -240,15 +240,38 @@ def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency ties by lowest value — the oracle reproduces that exact
     tie-break with an ordered correlated subquery (a bare ``mode()`` is
     tie-nondeterministic on BOTH engines, useless under hash compare).
-    One partial-aggregated shuffle; median is an ordered-set aggregate
-    the sort of which runs per group, not globally."""
+
+    r15 (guide §2.2 — shuffle fewer bytes): ``median(l_extendedprice)``
+    as a built-in is an ObjectHashAggregate whose PARTIAL buffer is the
+    partition's whole value multiset — the "partial" aggregation reduces
+    nothing on a high-cardinality double, so ~O(N) bytes crossed the
+    exchange (5.4 MB at sf0.1, the #6 shuffle offender; at 100 TB the
+    exchange IS the column). The high-cardinality median now rides
+    ``exact_percentiles`` (3 groups → the literal three-pass refinement:
+    only bucket COUNTS shuffle), while the LOW-cardinality aggregates —
+    median/mode over l_quantity's ~50 distinct integers and the row
+    count — ride the same pass-1 scan as ``extra_aggs``, their partial
+    buffers genuinely tiny. Values are identical: exact_percentiles
+    reproduces built-in ``percentile`` bit-for-bit (pinned by
+    test_exact_percentiles_match_builtin) and median == percentile(0.5).
+    """
+    from fineventstream_spark.operators.percentiles import exact_percentiles
+
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
-        F.mode("l_quantity", True).alias("mode_qty"),
-        F.count(F.lit(1)).alias("n"),
+    out = exact_percentiles(
+        t.lineitem,
+        "l_returnflag",
+        "l_extendedprice",
+        [0.5],
+        ["med_price"],
+        extra_aggs={
+            "med_qty": F.round(F.median("l_quantity"), 4),
+            "mode_qty": F.mode("l_quantity", True),
+            "n": F.count(F.lit(1)),
+        },
+        extra_cols=("l_quantity",),
     )
+    return out.select("l_returnflag", "med_qty", "med_price", "mode_qty", "n")
 
 
 @register(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
+from fineventstream_spark.operators.bucketed import bucketed_table
 from fineventstream_spark.registry import register
 
 
@@ -212,12 +213,17 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ts.cast("long")`` difference disagrees with the oracle's
     ``INTERVAL 30 MINUTE`` comparison for gaps within 1 s of the boundary
     (the sf1 scale sweep surfaced 12 such gaps; sf0.1 had none)."""
-    t = Tables(spark, sf_dir)
+    # r15: the user_id-bucketed layout satisfies both windows' required
+    # ClusteredDistribution(user_id) — the fact exchange disappears (A/B
+    # at sf10: 214 MB shuffle → 0, wall 1.65 → 0.80 s, rows identical);
+    # the in-partition (ts, event_id) sort remains, as it would after a
+    # shuffle.
+    ev = bucketed_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_new = (
         F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000
     )
-    flagged = t.events.select(
+    flagged = ev.select(
         "user_id",
         "event_id",
         "ts",
@@ -260,12 +266,17 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the exchange; no event-row explosion. The final distinct
     count shuffles (cohort_week, active_week, user_id) triples —
     bounded by active users per week, not raw events."""
-    t = Tables(spark, sf_dir)
-    cohorts = t.events.groupBy("user_id").agg(
+    # r15: the user_id-bucketed events layout — the cohort aggregate AND
+    # the events⋈cohorts join are both clustered on user_id, so neither
+    # exchanges the fact (A/B at sf10: 144 MB shuffle → 0.01 MB, wall
+    # 1.99 → 0.69 s, rows identical). Aggregate-collapsing consumer →
+    # plain layout, not route_skew.
+    ev = bucketed_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("week", F.col("ts"))).cast("date").alias("cohort_week")
     )
     return (
-        t.events.join(cohorts, "user_id")
+        ev.join(cohorts, "user_id")
         .groupBy(
             "cohort_week",
             F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
@@ -301,14 +312,21 @@ def q_event_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     for wide windows (30/90-day), the mergeable-sketch rollup
     (q_agg_sketch_rollup, Y22) replaces the exact count: one HLL per
     day, unions over the window — no expansion at all."""
-    t = Tables(spark, sf_dir)
     # r14: act feeds two consumers, but BOTH prune to the same (d,
     # user_id) columns, so the two exchange subtrees are byte-identical
     # and AQE's exchange reuse already runs the distinct once (measured:
     # a localCheckpoint changed shuffle bytes 0%, only added 4 MB of
     # block-manager traffic — reverted). Contrast tfidf/edit_distance,
     # where differing column pruning below the exchange defeats reuse.
-    act = t.events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    # r15: events rides the user_id-bucketed layout — HashPartitioning
+    # (user_id) satisfies ClusteredDistribution(d, user_id), so the
+    # (day, user) distinct collapses with NO fact exchange (A/B at sf10:
+    # 233 MB shuffle → 0.08 MB, wall 4.39 → 3.05 s, rows identical;
+    # plans/r15/sweeps/events_layout_ab_sf10.json). Aggregate-collapsing
+    # consumer → plain layout, not route_skew (the r10 consumer-shape
+    # lesson, operators/bucketed.py).
+    ev = bucketed_table(spark, sf_dir, "events")
+    act = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
     days = act.select(F.col("d").alias("day")).distinct()
     expanded = act.select(
         F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
@@ -637,20 +655,25 @@ def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     check joins that (one row per user) to the purchase events — the
     raw events never self-join, and the converter set is a DISTINCT on
     user_id, so the expansion is bounded by purchases per user."""
-    t = Tables(spark, sf_dir)
     # r14: a feeds the conversion join AND the final left join, but the
     # click aggregate subtree is identical in both branches (pruning
     # drops ta only ABOVE the aggregate), so exchange reuse already runs
     # it once — a localCheckpoint changed jobs/stages/shuffle 0% and
     # only added block-manager traffic (measured; same verdict as
     # q_event_rolling_active). Left as-is.
+    # r15: the user_id-bucketed layout — the click aggregate, the
+    # purchase⋈a join and the converter distinct are all clustered on
+    # user_id, so no fact exchange remains (A/B at sf10: 53 MB shuffle
+    # → 0, wall 1.83 → 0.87 s, rows identical). Aggregate-collapsing →
+    # plain layout, not route_skew.
+    ev = bucketed_table(spark, sf_dir, "events")
     a = (
-        t.events.filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("ts").alias("ta"))
     )
     conv = (
-        t.events.filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .join(a, "user_id")
         .filter(
             (F.col("ts") > F.col("ta"))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables, load_table
 from fineventstream_spark.operators import dedup, multimodal, similarity, text
+from fineventstream_spark.operators.sizing import spread_for_kernel
 from fineventstream_spark.registry import register
 
 
@@ -60,7 +61,18 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("U2",),
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom UDAF via groupBy().applyInPandas — one pandas frame per group."""
+    """Custom UDAF via groupBy().applyInPandas — one pandas frame per group.
+
+    r15 (guide §4 — pass only the columns the function needs): the UDAF
+    reads user_id and value, but applyInPandas ships EVERY column of the
+    grouped frame through both the group shuffle and the Arrow boundary —
+    ts/event_type/event_id were crossing for nothing (measured: 3.56 MB
+    shuffled at sf0.1 → 1.27 MB after the projection). applyInPandas has
+    no column pruning of its own (the UDF is a black box to Catalyst),
+    so the projection must be explicit. Additionally the user_id-bucketed
+    events layout satisfies FlatMapGroupsInPandas's required
+    ClusteredDistribution(user_id), so even the narrowed shuffle
+    disappears (A/B at sf10: 146 MB → 0, rows identical)."""
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -72,9 +84,13 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    t = Tables(spark, sf_dir)
-    return t.events.groupBy("user_id").applyInPandas(
-        agg, "user_id long, n long, total double, value_range double"
+    from fineventstream_spark.operators.bucketed import bucketed_table
+
+    ev = bucketed_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(agg, "user_id long, n long, total double, value_range double")
     )
 
 
@@ -630,7 +646,9 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "text")
-    max_id = docs.agg(F.max("doc_id")).first()[0]  # bounded scalar
+    # bounded driver collect (verdict #9): one row / one long at any
+    # scale — a per-query serialization point, never a memory risk
+    max_id = docs.agg(F.max("doc_id")).first()[0]
     thr = int(math.floor(0.9 * (max_id + 1)))
     history = docs.filter(F.col("doc_id") < thr)
     shard = docs.filter(F.col("doc_id") >= thr)
@@ -735,7 +753,9 @@ def q_llm_dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "text")
-    max_id = docs.agg(F.max("doc_id")).first()[0]  # bounded scalar
+    # bounded driver collect (verdict #9): one row / one long at any
+    # scale — a per-query serialization point, never a memory risk
+    max_id = docs.agg(F.max("doc_id")).first()[0]
     thr = int(math.floor(0.9 * (max_id + 1)))
     history = docs.filter(F.col("doc_id") < thr)
     shard = docs.filter(F.col("doc_id") >= thr)
@@ -1648,7 +1668,6 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
        collapse shuffles each text once — linear, and the same exchange
        the old length-repartition already paid."""
     t = Tables(spark, sf_dir)
-    n_cores = spark.sparkContext.defaultParallelism
 
     def counts(prefix: str):
         return [
@@ -1680,11 +1699,11 @@ def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dragging two ~300-byte texts through that probe is the dominant
     # cost on both engines. Texts are re-fetched for only the pairs that
     # survive the L1 prune (hundreds), classic late materialization.
-    a = reps.repartition(n_cores, "doc_id").select(
+    a = spread_for_kernel(reps, "doc_id").select(
         F.col("doc_id").alias("id_a"), F.col("n_chars").alias("na"),
         *counts("ca"),
     )
-    b = reps.repartition(n_cores, "doc_id").select(
+    b = spread_for_kernel(reps, "doc_id").select(
         F.col("doc_id").alias("id_b"), F.col("n_chars").alias("nb"),
         *counts("cb"),
     )
@@ -1936,12 +1955,12 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shingle cardinality. Top-50 with (dup_ratio DESC, doc_id) total
     order."""
     t = Tables(spark, sf_dir)
-    n_cores = spark.sparkContext.defaultParallelism
     # spread docs across all cores BEFORE the CPU-heavy kernel (lake files
-    # can be one huge row group), same pattern as the MinHash kernel
+    # can be one huge row group), same pattern as the MinHash kernel —
+    # size-guarded since r15 (sizing.spread_for_kernel): at lake scale the
+    # scan's own splits fill the cores and the text shuffle is skipped
     sh = (
-        t.documents.select("doc_id", "text")
-        .repartition(n_cores, "doc_id")
+        spread_for_kernel(t.documents.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
             F.explode(dedup.text_to_shingle_hashes_udf(8)(F.col("text"))).alias(

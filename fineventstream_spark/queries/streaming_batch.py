@@ -123,10 +123,18 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("T6",),
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows: 30-minute inactivity gap per user."""
-    t = Tables(spark, sf_dir)
+    """Session windows: 30-minute inactivity gap per user.
+
+    r15: events rides the user_id-bucketed layout — session_window's
+    required ClusteredDistribution(user_id) is satisfied by the bucket
+    distribution, so the fact never exchanges (A/B at sf10: 280 MB
+    shuffle → 0, wall 1.85 → 0.91 s, rows identical;
+    plans/r15/sweeps/events_layout_ab_sf10.json)."""
+    from fineventstream_spark.operators.bucketed import bucketed_table
+
+    ev = bucketed_table(spark, sf_dir, "events")
     return (
-        t.events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
         .select(
             F.col("w.start").alias("session_start"),
@@ -242,10 +250,16 @@ def q_scd2_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange (the filter between them preserves distribution). At 100 TB
     the change log is date-partition-pruned first and the dimension
     output is transitions-sized, not traffic-sized."""
-    t = Tables(spark, sf_dir)
+    # r15: user_id-bucketed layout — both window passes' required
+    # ClusteredDistribution(user_id) is satisfied by the bucket
+    # distribution, so the ONE shuffle this plan had disappears too
+    # (see q_win_rank; verdict #4 A/B artifact).
+    from fineventstream_spark.operators.bucketed import bucketed_table
+
+    ev = bucketed_table(spark, sf_dir, "events")
     w_lag = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     changes = (
-        t.events.select(
+        ev.select(
             "user_id",
             "event_type",
             "ts",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fineventstream_spark.catalog import Tables
+from fineventstream_spark.operators.bucketed import bucketed_table
 from fineventstream_spark.queries._money import CENTS_SQL, cents
 from fineventstream_spark.registry import register
 
@@ -34,10 +35,16 @@ from fineventstream_spark.registry import register
     tags=("W1",),
 )
 def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking family over a keyed, totally-ordered window."""
-    t = Tables(spark, sf_dir)
+    """Ranking family over a keyed, totally-ordered window.
+
+    r15: events rides the user_id-bucketed layout (verdict #4 A/B,
+    plans/r15/sweeps/events_layout_ab_sf10.json) — the window's required
+    ClusteredDistribution(user_id) is satisfied by the bucket
+    distribution, so the per-row fact exchange disappears at every
+    scale; the in-partition (ts, event_id) sort remains."""
+    ev = bucketed_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return t.events.select(
+    return ev.select(
         "event_id",
         "user_id",
         "value",
@@ -61,11 +68,13 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W2",),
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead: recompute the reference's change-vs-previous-quote in-engine."""
-    t = Tables(spark, sf_dir)
+    """lag/lead: recompute the reference's change-vs-previous-quote in-engine.
+
+    r15: user_id-bucketed layout — window exchange gone (see q_win_rank)."""
+    ev = bucketed_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("value").over(w)
-    return t.events.select(
+    return ev.select(
         "event_id",
         "user_id",
         "value",
@@ -119,8 +128,12 @@ def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineventstream_spark.operators.rolling import skew_split_sum_frames
     from fineventstream_spark.queries._money import cents
 
-    t = Tables(spark, sf_dir)
-    base = t.events.select("event_id", "user_id", "ts", cents("value").alias("__vc"))
+    # r15: base reads the user_id-bucketed layout — on uniform inputs the
+    # cold branch is the plain window, whose exchange the bucket
+    # distribution now removes; the hot/cold split machinery is
+    # source-agnostic and keeps its zipf behavior.
+    ev = bucketed_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "ts", cents("value").alias("__vc"))
     out = skew_split_sum_frames(
         base,
         ["user_id"],
@@ -151,10 +164,12 @@ def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W3",),
 )
 def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame keyed on a numeric ordering column (tie-insensitive by construction)."""
-    t = Tables(spark, sf_dir)
+    """RANGE frame keyed on a numeric ordering column (tie-insensitive by construction).
+
+    r15: user_id-bucketed layout — window exchange gone (see q_win_rank)."""
+    ev = bucketed_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("event_id")).rangeBetween(-100, 0)
-    return t.events.select(
+    return ev.select(
         "event_id",
         "user_id",
         F.count("*").over(w).cast("bigint").alias("n_nearby"),
@@ -211,10 +226,12 @@ def q_win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND (shortest-decimal-string, HALF_UP) and DuckDB's (binary value)
     disagree by 1 ulp. The differential/driver normalizer rounds BOTH
     sides with one rounding function, so emitting the raw double is the
-    deterministic form."""
-    t = Tables(spark, sf_dir)
+    deterministic form.
+
+    r15: user_id-bucketed layout — window exchange gone (see q_win_rank)."""
+    ev = bucketed_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
-    return t.events.select(
+    return ev.select(
         "event_id",
         "user_id",
         F.percent_rank().over(w).alias("pct_rank"),

@@ -595,6 +595,38 @@ def test_exact_percentiles_global_spec_joined_path(spark):
     assert pg.count() == 200
 
 
+def test_spread_for_kernel_size_guard(spark, sf_dir):
+    """r15 (guide §2.1 — scale-adaptive partitioning): the pre-kernel
+    spread repartition fires only while the backing scan is knowably
+    under the conf ceiling. Small local scan → repartition present;
+    ceiling forced to 1 byte (simulating a lake-scale scan) → the input
+    comes back untouched, no shuffle; non-file-backed input (size
+    unknowable) → untouched, the scale-safe default."""
+    import os
+
+    from fineventstream_spark.operators.sizing import (
+        KERNEL_SPREAD_CONF_KEY,
+        spread_for_kernel,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    spread = spread_for_kernel(docs, "doc_id")
+    assert "repartitionbyexpression" in spread._jdf.queryExecution().logical().toString().lower()
+
+    old = spark.conf.get(KERNEL_SPREAD_CONF_KEY, None)
+    spark.conf.set(KERNEL_SPREAD_CONF_KEY, "1")
+    try:
+        assert spread_for_kernel(docs, "doc_id") is docs
+    finally:
+        if old is None:
+            spark.conf.unset(KERNEL_SPREAD_CONF_KEY)
+        else:
+            spark.conf.set(KERNEL_SPREAD_CONF_KEY, old)
+
+    mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert spread_for_kernel(mem, "doc_id") is mem
+
+
 def test_exact_percentiles_extra_aggs_joined_path(spark):
     """r15 (advisor note): extra_aggs must be attached — not silently
     dropped — when the group cardinality exceeds LITERAL_MAX_GROUPS and

@@ -1297,3 +1297,47 @@ def test_q7_volume_shipping_single_tiny_shuffle(spark, sf_dir):
     assert "SortMergeJoin Inner" not in plan or "Exchange" not in plan.split(
         "SortMergeJoin Inner"
     )[0][-400:], "orderkey SMJ re-shuffles a bucketed side"
+
+
+def test_events_user_layout_zero_exchange_windows(spark, sf_dir):
+    """r15 (verdict #4): the user_id-bucketed events layout removes the
+    fact exchange from every user_id-clustered window/UDAF consumer —
+    HashPartitioning(user_id) satisfies the window's / applyInPandas's /
+    the aggregate's ClusteredDistribution. These plans must be bucketed
+    scans with ZERO shuffle exchanges (the A/B at sf10 measured 53-280 MB
+    of fact shuffle per query on the plain scans:
+    plans/r15/sweeps/events_layout_ab_sf10.json). q_win_frame_rows is
+    covered at the uniform fixture only — on a skew-degenerate input the
+    hot/cold split machinery deliberately reintroduces exchanges for the
+    hot keys."""
+    zero_exchange = [
+        "q_event_sessionize",
+        "q_session_window",
+        "q_udaf_grouped",
+        "q_win_rank",
+        "q_win_lag_lead",
+        "q_win_frame_rows",
+        "q_win_frame_range",
+        "q_win_pct_rank",
+        "q_scd2_user_segment",
+    ]
+    for name in zero_exchange:
+        plan = _plan(spark, sf_dir, name)
+        assert "Bucketed: true" in plan, f"{name} does not read the layout:\n{plan}"
+        n = _shuffle_exchanges(plan)
+        assert n == 0, f"{name} still shuffles ({n}):\n{plan}"
+
+
+def test_events_user_layout_agg_consumers_tiny_shuffle(spark, sf_dir):
+    """r15 (verdict #4): the aggregate-collapsing layout consumers keep
+    only their post-collapse exchanges (day/cohort-grained rows, KBs at
+    sf0.1) — the fact itself never shuffles."""
+    for name, max_ex in (
+        ("q_event_rolling_active", 3),
+        ("q_event_retention", 1),
+        ("q_event_funnel_windowed", 2),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Bucketed: true" in plan, f"{name} does not read the layout:\n{plan}"
+        n = _shuffle_exchanges(plan)
+        assert n <= max_ex, f"{name} shuffles ({n}) > {max_ex}:\n{plan}"
