@@ -62,6 +62,14 @@ SCALING_QUERIES = [
     "q_llm_dedup_exact",
     "q_llm_bm25",
     "q_agg_kll_quantile_rollup",
+    # r15 (r14 verdict #6): the bucketed report rewrites have never been
+    # shown to scale on cores — sf0.1 is scheduling-floor-bound (8-core
+    # beat 32-core there). Q7/Q8 ride the r14 bucketed orderkey layout,
+    # Q18/Q21 the bucketed keyset+semi+per-order-agg shapes.
+    "q_report_volume_shipping",
+    "q_report_market_share",
+    "q_report_large_orders",
+    "q_report_waiting_suppliers",
 ]
 
 # none of the scaling queries read the JSONL/CSV/ORC/nested derivatives;
